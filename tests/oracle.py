@@ -1,0 +1,72 @@
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Runs a Spark query and its oracle SQL side by side, normalizes both result
+sets (columns sorted by name, values canonicalized, rows sorted) and compares
+row-count + value-hash.  Used by tests/test_oracle_parity.py so every
+queries()/oracle_sql() pair is verified locally before the driver sees it.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import duckdb
+
+from sequila_spark.testdata import TABLES
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {name} AS "
+            f"SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
+        )
+    return con
+
+
+def _canon(v) -> str:
+    if v is None:
+        return "\\N"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{_canon(k)}:{_canon(v[k])}" for k in sorted(v, key=str)) + "}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon(x) for x in v) + "]"
+    return str(v)
+
+
+def normalize(rows: list[tuple], colnames: list[str]) -> tuple[int, str]:
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    lines = sorted("\x01".join(_canon(r[i]) for i in order) for r in rows)
+    digest = hashlib.sha256("\n".join(lines).encode()).hexdigest()
+    return len(rows), digest
+
+
+def compare(spark, sf_dir: str, query_fn, sql: str, name: str = "?"):
+    sdf = query_fn(spark, sf_dir)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    con = duck_connection(sf_dir)
+    res = con.execute(sql)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    con.close()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
+    )
+    n_s, h_s = normalize(spark_rows, spark_cols)
+    n_d, h_d = normalize(duck_rows, duck_cols)
+    assert n_s == n_d, f"{name}: row count spark={n_s} duck={n_d}"
+    assert h_s == h_d, f"{name}: value hash mismatch ({n_s} rows)"
+    return n_s
