@@ -145,6 +145,71 @@ def _q_grange_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select("target_id", S.CONTIG, S.START, S.END)
 
 
+def _q_pileup_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-position pileup with alt maps on a genomic slice (contig 1,
+    1..20000), alts rendered with altmap_to_str for comparison — the
+    reference's own golden-comparison technique (AltFunctions.scala:15-22)."""
+    from sequila_spark.functions.maps import altmap_to_str
+
+    reads = TD.reads_with_seq(spark, sf_dir)
+    p = pileup(reads, ref=TD.ref_base_col, alts=True)
+    return p.where((F.col(S.CONTIG) == "1") & F.col(S.START).between(1, 20000)).select(
+        S.CONTIG,
+        S.START,
+        S.END,
+        S.REF,
+        S.COVERAGE,
+        S.COUNT_REF,
+        S.COUNT_NONREF,
+        F.nullif(altmap_to_str(F.col(S.ALTS)), F.lit("")).alias("alts_str"),
+    )
+
+
+def _q_pileup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-genome pileup digest per contig: pins every per-position value
+    through exact integer sums."""
+    reads = TD.reads_with_seq(spark, sf_dir)
+    p = pileup(reads, ref=TD.ref_base_col, alts=True)
+    return p.groupBy(S.CONTIG).agg(
+        F.count("*").alias("n_pos"),
+        F.sum(S.COVERAGE).cast("long").alias("sum_cov"),
+        F.sum(S.COUNT_REF).cast("long").alias("sum_ref"),
+        F.sum(S.COUNT_NONREF).cast("long").alias("sum_nonref"),
+        F.sum(F.when(F.col(S.COUNT_NONREF) > 0, 1).otherwise(0)).cast("long").alias("n_alt_pos"),
+    )
+
+
+def _q_pileup_quals_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pileup with per-base quality histograms on a slice, rendered with
+    qualsmap_to_str (QualityFunctions.scala:52-58 golden rendering)."""
+    from sequila_spark.functions.maps import qualsmap_to_str
+
+    reads = TD.reads_with_seq(spark, sf_dir)
+    p = pileup(reads, ref=TD.ref_base_col, alts=True, quals=True)
+    return p.where((F.col(S.CONTIG) == "2") & F.col(S.START).between(1, 10000)).select(
+        S.CONTIG,
+        S.START,
+        S.REF,
+        S.COVERAGE,
+        qualsmap_to_str(F.col(S.QUALS)).alias("quals_str"),
+    )
+
+
+def _q_pileup_quals_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality binning (PileupStrategy.scala:110-118): histogram indexes are
+    qual div binSize."""
+    from sequila_spark.functions.maps import qualsmap_to_str
+
+    reads = TD.reads_with_seq(spark, sf_dir)
+    p = pileup(reads, ref=TD.ref_base_col, alts=True, quals=True, qual_bin_size=10)
+    return p.where((F.col(S.CONTIG) == "4") & F.col(S.START).between(1, 10000)).select(
+        S.CONTIG,
+        S.START,
+        S.COVERAGE,
+        qualsmap_to_str(F.col(S.QUALS)).alias("quals_str"),
+    )
+
+
 def _q_distinct_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTINCT sample_id fast path (SequilaDataSourceStrategy.scala:38-54);
     with partitioned storage this is partition listing — here the aggregate."""
@@ -166,6 +231,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "coverage_filtered": _q_coverage_filtered,
     "grange_tvf": _q_grange_tvf,
     "distinct_samples": _q_distinct_samples,
+    "pileup_slice": _q_pileup_slice,
+    "pileup_agg": _q_pileup_agg,
+    "pileup_quals_slice": _q_pileup_quals_slice,
+    "pileup_quals_binned": _q_pileup_quals_binned,
 }
 
 
@@ -201,6 +270,28 @@ blocks AS (
   SELECT contig, CAST(pos AS INT) AS pos_start, CAST(next_pos - 1 AS INT) AS pos_end,
          CAST(cov AS INT) AS coverage
   FROM c WHERE cov > 0 AND next_pos IS NOT NULL
+)
+"""
+
+
+def _pileup_base_cte(where: str = "TRUE") -> str:
+    """DuckDB per-base expansion + per-(pos,base) counts.  The oracle derives
+    bases arithmetically (testdata.read_base_sql) — independent of the Spark
+    path, which materializes seq strings and parses them back."""
+    return f"""
+pb AS (
+  SELECT contig, okey, UNNEST(range(pos_start, pos_end + 1)) AS p FROM reads
+),
+pb2 AS (
+  SELECT contig, CAST(p AS INT) AS pos,
+         {TD.read_base_sql('p', 'contig', 'okey')} AS base,
+         {TD.ref_base_sql('p', 'contig')} AS ref,
+         {TD.qual_sql('p', 'okey')} AS q
+  FROM pb WHERE {where}
+),
+cnts AS (
+  SELECT contig, pos, ref, base, COUNT(*) AS cnt
+  FROM pb2 GROUP BY contig, pos, ref, base
 )
 """
 
@@ -313,5 +404,66 @@ def oracle_sql() -> dict[str, str]:
         "distinct_samples": f"""
             {cte('reads')}
             SELECT DISTINCT sample_id FROM reads
+        """,
+        "pileup_slice": f"""
+            {cte('reads')}, {_pileup_base_cte("contig = '1' AND p BETWEEN 1 AND 20000")}
+            SELECT contig, pos AS pos_start, pos AS pos_end, ref,
+                   CAST(SUM(cnt) AS INT) AS coverage,
+                   CAST(SUM(CASE WHEN base = ref THEN cnt ELSE 0 END) AS INT) AS "countRef",
+                   CAST(SUM(CASE WHEN base <> ref THEN cnt ELSE 0 END) AS INT) AS "countNonRef",
+                   STRING_AGG(CASE WHEN base <> ref THEN base || ':' || CAST(cnt AS STRING) END,
+                              '|' ORDER BY base) AS alts_str
+            FROM cnts GROUP BY contig, pos, ref
+        """,
+        "pileup_agg": f"""
+            {cte('reads')}, {_pileup_base_cte()},
+            pos_level AS (
+              SELECT contig, pos,
+                     SUM(cnt) AS coverage,
+                     SUM(CASE WHEN base = ref THEN cnt ELSE 0 END) AS cref,
+                     SUM(CASE WHEN base <> ref THEN cnt ELSE 0 END) AS cnonref
+              FROM cnts GROUP BY contig, pos
+            )
+            SELECT contig,
+                   CAST(COUNT(*) AS BIGINT) AS n_pos,
+                   CAST(SUM(coverage) AS BIGINT) AS sum_cov,
+                   CAST(SUM(cref) AS BIGINT) AS sum_ref,
+                   CAST(SUM(cnonref) AS BIGINT) AS sum_nonref,
+                   CAST(SUM(CASE WHEN cnonref > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_alt_pos
+            FROM pos_level GROUP BY contig
+        """,
+        "pileup_quals_slice": f"""
+            {cte('reads')}, {_pileup_base_cte("contig = '2' AND p BETWEEN 1 AND 10000")},
+            qc AS (
+              SELECT contig, pos, ref, base, q, COUNT(*) AS n
+              FROM pb2 GROUP BY contig, pos, ref, base, q
+            ),
+            hist AS (
+              SELECT contig, pos, ref, base,
+                     STRING_AGG(CAST(q AS STRING) || '=' || CAST(n AS STRING), ',' ORDER BY q) AS h,
+                     SUM(n) AS bn
+              FROM qc GROUP BY contig, pos, ref, base
+            )
+            SELECT contig, pos AS pos_start, ref,
+                   CAST(SUM(bn) AS INT) AS coverage,
+                   STRING_AGG(base || ':' || h, '|' ORDER BY base) AS quals_str
+            FROM hist GROUP BY contig, pos, ref
+        """,
+        "pileup_quals_binned": f"""
+            {cte('reads')}, {_pileup_base_cte("contig = '4' AND p BETWEEN 1 AND 10000")},
+            qc AS (
+              SELECT contig, pos, base, CAST(FLOOR(q / 10) AS INT) AS qb, COUNT(*) AS n
+              FROM pb2 GROUP BY contig, pos, base, CAST(FLOOR(q / 10) AS INT)
+            ),
+            hist AS (
+              SELECT contig, pos, base,
+                     STRING_AGG(CAST(qb AS STRING) || '=' || CAST(n AS STRING), ',' ORDER BY qb) AS h,
+                     SUM(n) AS bn
+              FROM qc GROUP BY contig, pos, base
+            )
+            SELECT contig, pos AS pos_start,
+                   CAST(SUM(bn) AS INT) AS coverage,
+                   STRING_AGG(base || ':' || h, '|' ORDER BY base) AS quals_str
+            FROM hist GROUP BY contig, pos
         """,
     }

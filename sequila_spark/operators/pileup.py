@@ -106,7 +106,9 @@ def pileup(
         g1 = per_base.groupBy(*group1, qb).agg(F.count("*").alias("cnt"))
         # per (pos, base): histogram array indexed by qual_bin
         hist = F.aggregate(
-            F.collect_list(F.struct("qual_bin", "cnt")),
+            F.collect_list(
+                F.struct(F.col("qual_bin"), F.col("cnt").cast("int").alias("cnt"))
+            ),
             F.array_repeat(F.lit(0), nbins),
             lambda acc, e: F.transform(
                 acc,

@@ -124,6 +124,15 @@ def reads_with_seq_sql(dialect: str) -> str:
     return inner.replace("__reads_base", f"({READS_SQL}) __rb")
 
 
+def ref_base_col(contig, pos):
+    """Spark Column equivalent of ``ref_base_sql`` — the deterministic
+    reference base at (contig, pos)."""
+    from pyspark.sql import functions as F
+
+    idx = (pos * 7 + contig.cast("int") * 13) % 4
+    return F.lit("ACGT").substr((idx + 1).cast("int"), F.lit(1))
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register the base parquet tables + derived genomic views as temp views."""
     for name in TABLES:

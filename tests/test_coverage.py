@@ -1,0 +1,107 @@
+"""Coverage semantics: CIGAR-aware block expansion (M/=/X emit, D/N advance,
+I/S/H/P consume nothing — pileup/model/Read.scala:27-54), block merging,
+chunk-boundary stitching, windows weighting, partitioning invariance."""
+
+from pyspark.sql import functions as F
+
+from sequila_spark.operators.coverage import aligned_blocks, coverage
+
+
+def reads_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "qname string, contig string, pos_start int, pos_end int, cigar string"
+    )
+
+
+def blocks_of(df):
+    return sorted(
+        (r["contig"], r["pos_start"], r["pos_end"], r["coverage"])
+        for r in df.collect()
+    )
+
+
+def test_cigar_block_expansion(spark):
+    # 10M 5D 10M: two blocks, deletion advances reference
+    df = reads_df(spark, [("r1", "1", 100, 124, "10M5D10M")])
+    blks = sorted(
+        (r["__sq_bs"], r["__sq_be"]) for r in aligned_blocks(df).collect()
+    )
+    assert blks == [(100, 109), (115, 124)]
+
+
+def test_cigar_insertion_softclip(spark):
+    # 5S 10M 3I 10M: soft-clip and insertion consume no reference
+    df = reads_df(spark, [("r1", "1", 100, 119, "5S10M3I10M")])
+    blks = sorted((r["__sq_bs"], r["__sq_be"]) for r in aligned_blocks(df).collect())
+    assert blks == [(100, 109), (110, 119)]
+
+
+def test_cigar_skip_region(spark):
+    # 10M 100N 10M (spliced read)
+    df = reads_df(spark, [("r1", "1", 1, 120, "10M100N10M")])
+    blks = sorted((r["__sq_bs"], r["__sq_be"]) for r in aligned_blocks(df).collect())
+    assert blks == [(1, 10), (111, 120)]
+
+
+def test_coverage_blocks_merging(spark):
+    df = reads_df(
+        spark,
+        [
+            ("r1", "1", 1, 10, None),
+            ("r2", "1", 5, 14, None),
+            ("r3", "1", 11, 20, None),
+        ],
+    )
+    got = blocks_of(coverage(df, mode="blocks", use_cigar=False))
+    # depth: 1-4 ->1, 5-10 ->2, 11-14 ->2, 15-20 ->1; runs 5-14 merge (equal cov)
+    assert got == [("1", 1, 4, 1), ("1", 5, 14, 2), ("1", 15, 20, 1)]
+
+
+def test_coverage_gap_produces_separate_blocks(spark):
+    df = reads_df(spark, [("r1", "1", 1, 5, None), ("r2", "1", 100, 105, None)])
+    got = blocks_of(coverage(df, mode="blocks", use_cigar=False))
+    assert got == [("1", 1, 5, 1), ("1", 100, 105, 1)]
+
+
+def test_chunk_boundary_stitching(spark):
+    # one read spanning a chunk boundary with tiny chunk_size
+    df = reads_df(spark, [("r1", "1", 95, 110, None), ("r2", "1", 98, 120, None)])
+    got = blocks_of(coverage(df, mode="blocks", use_cigar=False, chunk_size=100))
+    expect = blocks_of(coverage(df, mode="blocks", use_cigar=False, chunk_size=10**6))
+    assert got == expect
+    assert got == [("1", 95, 97, 1), ("1", 98, 110, 2), ("1", 111, 120, 1)]
+
+
+def test_coverage_with_cigar_deletion(spark):
+    df = reads_df(spark, [("r1", "1", 100, 124, "10M5D10M")])
+    got = blocks_of(coverage(df, mode="blocks"))
+    assert got == [("1", 100, 109, 1), ("1", 115, 124, 1)]
+
+
+def test_bases_mode(spark):
+    df = reads_df(spark, [("r1", "1", 3, 5, None)])
+    rows = sorted((r["pos_start"], r["coverage"]) for r in coverage(df, mode="bases", use_cigar=False).collect())
+    assert rows == [(3, 1), (4, 1), (5, 1)]
+
+
+def test_windows_weighted_mean(spark):
+    # coverage 1 over 1..150 with window 100: win1 avg=1.0 (100/100), win2 avg=0.5
+    df = reads_df(spark, [("r1", "1", 1, 150, None)])
+    rows = sorted(
+        (r["pos_start"], r["pos_end"], r["coverage"])
+        for r in coverage(df, mode="windows", window_size=100, use_cigar=False).collect()
+    )
+    assert rows == [(1, 100, 1.0), (101, 200, 0.5)]
+
+
+def test_partitioning_invariance(spark):
+    # same data in 1 partition vs 16 partitions -> identical blocks
+    rows = [
+        ("r%d" % i, str(1 + i % 2), 1 + (i * 131) % 500, 1 + (i * 131) % 500 + 49, None)
+        for i in range(200)
+    ]
+    df1 = reads_df(spark, rows).coalesce(1)
+    df16 = reads_df(spark, rows).repartition(16)
+    assert blocks_of(coverage(df1, mode="blocks", use_cigar=False)) == blocks_of(
+        coverage(df16, mode="blocks", use_cigar=False)
+    )

@@ -1,0 +1,125 @@
+"""Range-join semantics: boundary cases, option semantics, strategy
+equivalence (binned must equal nested-loop on every input), and join-type
+extensions."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sequila_spark.operators.range_join import range_join
+
+
+def _df(spark, rows, prefix):
+    return spark.createDataFrame(
+        rows, f"{prefix}_id string, contig string, pos_start int, pos_end int"
+    ).withColumnsRenamed({f"{prefix}_id": f"{prefix}_id"})
+
+
+def mk(spark, rows):
+    return spark.createDataFrame(rows, "id string, contig string, pos_start int, pos_end int")
+
+
+def pairs(df):
+    return sorted((r["id"], r["id_r"]) for r in df.select("id", "id_r").collect())
+
+
+def test_basic_overlap_and_boundaries(spark):
+    left = mk(spark, [("a", "1", 100, 200)])
+    right = mk(
+        spark,
+        [
+            ("touch_left", "1", 50, 100),    # end == left start -> overlap (inclusive)
+            ("touch_right", "1", 200, 250),  # start == left end -> overlap
+            ("inside", "1", 150, 160),
+            ("covering", "1", 50, 300),
+            ("adjacent_left", "1", 50, 99),  # gap of 0 bases -> NO overlap
+            ("adjacent_right", "1", 201, 250),
+            ("other_contig", "2", 100, 200),
+        ],
+    )
+    got = pairs(range_join(left, right))
+    assert got == [
+        ("a", "covering"),
+        ("a", "inside"),
+        ("a", "touch_left"),
+        ("a", "touch_right"),
+    ]
+
+
+def test_min_overlap(spark):
+    left = mk(spark, [("a", "1", 100, 200)])
+    right = mk(
+        spark,
+        [
+            ("ov10", "1", 191, 300),  # overlap 10
+            ("ov9", "1", 192, 300),   # overlap 9
+        ],
+    )
+    got = pairs(range_join(left, right, min_overlap=10))
+    assert got == [("a", "ov10")]
+
+
+def test_max_gap(spark):
+    left = mk(spark, [("a", "1", 100, 200)])
+    right = mk(
+        spark,
+        [
+            # widening by g matches when r.start - l.end <= g
+            ("sep100", "1", 300, 400),  # 300 - 200 = 100 -> matches
+            ("sep101", "1", 301, 400),  # 101 -> no match
+            ("far", "1", 500, 520),
+        ],
+    )
+    got = pairs(range_join(left, right, max_gap=100))
+    assert got == [("a", "sep100")]
+
+
+def test_bin_spanning_dedup(spark):
+    # overlap spans many bins: must produce exactly ONE output pair
+    left = mk(spark, [("a", "1", 1, 50_000)])
+    right = mk(spark, [("b", "1", 2, 49_999)])
+    out = range_join(left, right, bin_size=1000)
+    assert out.count() == 1
+
+
+def test_no_contig_join(spark):
+    left = mk(spark, [("a", "1", 100, 200)])
+    right = mk(spark, [("b", "9", 150, 250)])
+    got = range_join(left, right, on_contig=None)
+    assert got.count() == 1  # contig ignored
+
+
+@pytest.mark.parametrize("how,expected", [("left_semi", ["a"]), ("left_anti", ["c"])])
+def test_semi_anti(spark, how, expected):
+    left = mk(spark, [("a", "1", 100, 200), ("c", "1", 900, 950)])
+    right = mk(spark, [("b", "1", 150, 250)])
+    got = sorted(r["id"] for r in range_join(left, right, how=how).collect())
+    assert got == expected
+
+
+def test_left_outer(spark):
+    left = mk(spark, [("a", "1", 100, 200), ("c", "1", 900, 950)])
+    right = mk(spark, [("b", "1", 150, 250)])
+    out = range_join(left, right, how="left_outer").collect()
+    by_id = {r["id"]: r for r in out}
+    assert len(out) == 2
+    assert by_id["a"]["id_r"] == "b"
+    assert by_id["c"]["id_r"] is None
+
+
+def test_strategy_equivalence_random(spark):
+    # deterministic pseudo-random intervals; binned == nested_loop
+    left = spark.range(300).select(
+        F.concat(F.lit("L"), "id").alias("id"),
+        (F.col("id") % 3).cast("string").alias("contig"),
+        (1 + (F.col("id") * 7919) % 10_000).cast("int").alias("pos_start"),
+    ).withColumn("pos_end", (F.col("pos_start") + (F.col("pos_start") * 31 % 900)).cast("int"))
+    right = spark.range(200).select(
+        F.concat(F.lit("R"), "id").alias("id"),
+        (F.col("id") % 3).cast("string").alias("contig"),
+        (1 + (F.col("id") * 6271) % 10_000).cast("int").alias("pos_start"),
+    ).withColumn("pos_end", (F.col("pos_start") + (F.col("pos_start") * 17 % 1500)).cast("int"))
+
+    for kwargs in ({}, {"min_overlap": 50}, {"max_gap": 200}, {"bin_size": 123}):
+        b = pairs(range_join(left, right, **kwargs))
+        n = pairs(range_join(left, right, strategy="nested_loop", **kwargs))
+        assert b == n, f"strategy divergence for {kwargs}"
