@@ -217,6 +217,81 @@ def _q_distinct_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reads.select("sample_id").distinct()
 
 
+# --- LLM-pipeline operators (dedup / similarity / text / multimodal) --------
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over a corpus with planted copies (documents unioned with
+    an id-shifted copy of itself)."""
+    from sequila_spark.operators.dedup import exact_duplicates
+
+    d = _docs(spark, sf_dir)
+    corpus = d.unionByName(d.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    return exact_duplicates(corpus)
+
+
+def _q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sequila_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.8)
+
+
+def _q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sequila_spark.operators.dedup import minhash_dedup_pairs
+
+    return minhash_dedup_pairs(_docs(spark, sf_dir), threshold=0.8)
+
+
+def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sequila_spark.operators.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir))
+
+
+def _q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sequila_spark.operators.similarity import cosine_topk
+
+    embs = _embs(spark, sf_dir)
+    queries_df = embs.where(F.col("vec_id") % 50 == 0)
+    return cosine_topk(embs, queries_df, k=5)
+
+
+def _q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sequila_spark.operators.similarity import ann_topk_lsh
+
+    embs = _embs(spark, sf_dir)
+    queries_df = embs.where(F.col("vec_id") % 50 == 0)
+    return ann_topk_lsh(embs, queries_df, k=5)
+
+
+def _q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sequila_spark.operators.text import text_features
+
+    return text_features(_docs(spark, sf_dir)).select(
+        "doc_id", "ws_tokens", "bpe_tokens", "quality", "lang_pred", "fp_md5", "fp_shingle"
+    )
+
+
+def _q_multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sequila_spark.operators.multimodal import attach_binary, byte_features
+
+    media = attach_binary(_docs(spark, sf_dir))
+    feats = byte_features(media)
+    return feats.select(
+        "doc_id",
+        "byte_len",
+        F.col("checksum").cast("long").alias("checksum"),
+        F.array_join(F.col("byte_hist"), ",").alias("hist_str"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "feature_counts": _q_feature_counts,
     "range_join_pairs": _q_range_join_pairs,
@@ -235,6 +310,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pileup_agg": _q_pileup_agg,
     "pileup_quals_slice": _q_pileup_quals_slice,
     "pileup_quals_binned": _q_pileup_quals_binned,
+    "dedup_exact": _q_dedup_exact,
+    "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+    "dedup_minhash_pairs": _q_dedup_minhash_pairs,
+    "dedup_simhash": _q_dedup_simhash,
+    "similarity_topk": _q_similarity_topk,
+    "similarity_ann_lsh": _q_similarity_ann_lsh,
+    "text_features": _q_text_features,
+    "multimodal_byte_features": _q_multimodal_byte_features,
 }
 
 
@@ -294,6 +377,215 @@ cnts AS (
   FROM pb2 GROUP BY contig, pos, ref, base
 )
 """
+
+
+def _llm_oracles() -> dict[str, str]:
+    """DuckDB replicas of the LLM-pipeline operators (deterministic
+    arithmetic shared with sequila_spark.operators.dedup/similarity/text)."""
+    from sequila_spark.operators import dedup as DD
+    from sequila_spark.operators import similarity as SIM
+    from sequila_spark.operators import text as TX
+
+    _, duck_shingles = DD.shingle_hash_exprs("text")
+    P = DD.MINHASH_P
+
+    sh_cte = f"""
+sh AS (
+  SELECT DISTINCT doc_id, UNNEST({duck_shingles}) AS sh FROM documents
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_1, b.doc_id AS id_2, COUNT(*) AS c
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+jac AS (
+  SELECT id_1, id_2,
+         CAST(c AS DOUBLE) / (s1.n + s2.n - c) AS jaccard
+  FROM shared
+  JOIN sizes s1 ON s1.doc_id = id_1
+  JOIN sizes s2 ON s2.doc_id = id_2
+)
+"""
+
+    mh_cols = ", ".join(
+        f"MIN(({DD.PERM_A[i]} * (sh % {P}) + {DD.PERM_B[i]}) % {P}) AS mh{i}"
+        for i in range(DD.NUM_PERM)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT {b} AS band, {key} AS bkey, doc_id FROM sig".format(
+            b=b,
+            key=" || ',' || ".join(
+                f"CAST(mh{b * DD.ROWS_PER_BAND + r} AS STRING)"
+                for r in range(DD.ROWS_PER_BAND)
+            ),
+        )
+        for b in range(DD.BANDS)
+    )
+
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN (sh >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(DD.SIMHASH_BITS)
+    )
+    simhash_value = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(DD.SIMHASH_BITS)
+    )
+
+    quant = (
+        "list_transform(embedding, x -> "
+        f"CAST(FLOOR(CAST(x AS DOUBLE) * {SIM.QUANT_SCALE}) AS BIGINT))"
+    )
+    cosine = (
+        "CAST(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * cv[i])) AS DOUBLE)"
+        " / (sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE))"
+        " * sqrt(CAST(list_sum(list_transform(cv, x -> x * x)) AS DOUBLE)))"
+    )
+    topk_tail = f"""
+scored AS (
+  SELECT query_id, neighbor_id, {cosine} AS cosine
+  FROM q CROSS JOIN c
+  WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+    half = (SIM._PLANE_MOD - 1) // 2
+
+    def bucket_expr(table: int) -> str:
+        return " + ".join(
+            "(CASE WHEN list_sum(list_transform(range(1, len(v) + 1), "
+            f"i -> v[i] * ((({(table * SIM.N_PLANES + p)} * 997 + (i - 1)) * 2654435761)"
+            f" % {SIM._PLANE_MOD} - {half})"
+            f")) > 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(SIM.N_PLANES)
+        )
+
+    bucket_cols = ", ".join(
+        f"CAST({bucket_expr(t)} AS BIGINT) AS bkt{t}" for t in range(SIM.N_TABLES)
+    )
+    cand_union = " UNION ".join(
+        f"SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id "
+        f"FROM eb q JOIN eb c ON q.bkt{t} = c.bkt{t} "
+        f"WHERE q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id"
+        for t in range(SIM.N_TABLES)
+    )
+
+    # text features
+    occ = TX.occurrences_sql
+    tokens = "len(string_split_regex(trim(text), '\\s+'))"
+    n = "LENGTH(text)"
+    n_nospace = "LENGTH(regexp_replace(text, '\\s', '', 'g'))"
+    n_alpha = "LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g'))"
+    n_digit = "LENGTH(regexp_replace(text, '[^0-9]', '', 'g'))"
+    stop_hits = " + ".join(
+        occ("(' ' || LOWER(text) || ' ')", f" {w} ") for w in ("the", "a", "of", "and")
+    )
+    punct_ratio = f"CAST(({n_nospace} - {n_alpha} - {n_digit}) AS DOUBLE) / {n}"
+    digit_ratio = f"CAST({n_digit} AS DOUBLE) / {n}"
+    stop_ratio = f"CAST(({stop_hits}) AS DOUBLE) / ({tokens})"
+    quality = f"(((0.5 + ({stop_ratio}) * 2.0) - ({punct_ratio}) * 1.0) - ({digit_ratio}) * 1.0)"
+    bpe_pat = TX.TOKEN_PATTERN  # single-quoted SQL string: backslashes pass through
+    fp_shingle = (
+        "list_min(list_transform(range(1, greatest(length(text) - 15, 1) + 1),"
+        " i -> md5(substr(text, CAST(i AS INT), 16))))"
+    )
+
+    hist_cols = ", ".join(
+        f"SUM(CASE WHEN code % {16} = {k} THEN 1 ELSE 0 END) AS h{k}" for k in range(16)
+    )
+    hist_str = " || ',' || ".join(f"CAST(h{k} AS STRING)" for k in range(16))
+
+    return {
+        "dedup_exact": """
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text FROM documents
+            )
+            SELECT md5(text) AS content_hash,
+                   CAST(COUNT(*) AS BIGINT) AS n_copies,
+                   MIN(doc_id) AS rep_id
+            FROM corpus GROUP BY md5(text) HAVING COUNT(*) > 1
+        """,
+        "dedup_ngram_jaccard": f"""
+            WITH {sh_cte}
+            SELECT id_1, id_2, jaccard FROM jac WHERE jaccard >= 0.8
+        """,
+        "dedup_minhash_pairs": f"""
+            WITH {sh_cte},
+            sig AS (SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id),
+            bands AS ({band_selects}),
+            cands AS (
+              SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+            )
+            SELECT j.id_1, j.id_2, j.jaccard
+            FROM jac j JOIN cands USING (id_1, id_2)
+            WHERE j.jaccard >= 0.8
+        """,
+        "dedup_simhash": f"""
+            WITH sh AS (
+              SELECT DISTINCT doc_id, UNNEST({duck_shingles}) AS sh FROM documents
+            ),
+            bits AS (SELECT doc_id, {bit_sums} FROM sh GROUP BY doc_id)
+            SELECT doc_id, CAST({simhash_value} AS INT) AS simhash FROM bits
+        """,
+        "similarity_topk": f"""
+            WITH q AS (
+              SELECT vec_id AS query_id, {quant} AS qv
+              FROM embeddings WHERE vec_id % 50 = 0
+            ),
+            c AS (SELECT vec_id AS neighbor_id, {quant} AS cv FROM embeddings),
+            {topk_tail}
+        """,
+        "similarity_ann_lsh": f"""
+            WITH e AS (
+              SELECT vec_id, {quant} AS v FROM embeddings
+            ),
+            eb AS (SELECT vec_id, v, {bucket_cols} FROM e),
+            cand AS ({cand_union}),
+            scored AS (
+              SELECT query_id, neighbor_id, {cosine} AS cosine
+              FROM cand
+              JOIN (SELECT vec_id, v AS qv FROM e) q ON q.vec_id = cand.query_id
+              JOIN (SELECT vec_id, v AS cv FROM e) c ON c.vec_id = cand.neighbor_id
+            )
+            SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+              FROM scored
+            ) WHERE rank <= 5
+        """,
+        "text_features": f"""
+            SELECT doc_id,
+                   CAST({tokens} AS INT) AS ws_tokens,
+                   CAST(len(regexp_extract_all(text, '{bpe_pat}')) AS INT) AS bpe_tokens,
+                   {quality} AS quality,
+                   {TX.lang_id_sql('text')} AS lang_pred,
+                   md5(text) AS fp_md5,
+                   {fp_shingle} AS fp_shingle
+            FROM documents
+        """,
+        "multimodal_byte_features": f"""
+            WITH pc AS (
+              SELECT doc_id, text, UNNEST(range(1, length(text) + 1)) AS i FROM documents
+            ),
+            codes AS (
+              SELECT doc_id, ascii(substr(text, CAST(i AS INT), 1)) AS code FROM pc
+            ),
+            agg AS (
+              SELECT doc_id,
+                     CAST(COUNT(*) AS INT) AS byte_len,
+                     CAST(SUM(code) % 2147483647 AS BIGINT) AS checksum,
+                     {hist_cols}
+              FROM codes GROUP BY doc_id
+            )
+            SELECT doc_id, byte_len, checksum, {hist_str} AS hist_str FROM agg
+        """,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
@@ -466,4 +758,5 @@ def oracle_sql() -> dict[str, str]:
                    STRING_AGG(base || ':' || h, '|' ORDER BY base) AS quals_str
             FROM hist GROUP BY contig, pos
         """,
+        **_llm_oracles(),
     }

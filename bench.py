@@ -27,10 +27,10 @@ BENCH_QUERIES = [
     "range_join_maxgap",
     "coverage_blocks",
     "coverage_windows",
-    "pileup_alts_agg",
+    "pileup_agg",
     "dedup_minhash_pairs",
     "similarity_topk",
-    "text_quality",
+    "text_features",
 ]
 
 

@@ -1,0 +1,209 @@
+"""Deduplication operators for training-data pipelines: exact, n-gram
+Jaccard, MinHash+LSH, SimHash.
+
+Extends the reference's surface (BASELINE.json north star).  Design goals:
+
+ - **Scale**: candidate generation is always an equi-join (shingle join or
+   LSH band join) that Catalyst shuffles by key — never an all-pairs cross
+   join; exact verification runs only on candidates.
+ - **Determinism**: shingle hashes are a fixed-base Horner polynomial over
+   character codes (pure integer arithmetic, identical in Spark SQL and
+   DuckDB); MinHash permutations use fixed (a_i, b_i) literals mod a prime.
+   Every result is reproducible and oracle-checkable — no engine-specific
+   hash functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+SHINGLE_K = 8
+_BASE = 131
+_COEFS = [_BASE**i for i in range(SHINGLE_K)]
+MINHASH_P = 1_000_003
+NUM_PERM = 16
+BANDS = 4
+ROWS_PER_BAND = NUM_PERM // BANDS
+# fixed permutation parameters (deterministic, shared with oracles)
+PERM_A = [(7919 * (i + 1)) % MINHASH_P for i in range(NUM_PERM)]
+PERM_B = [(104729 * (i + 1)) % MINHASH_P for i in range(NUM_PERM)]
+SIMHASH_BITS = 16
+
+
+def _shingle_terms(expr: str, i_var: str) -> str:
+    """Horner hash of the k-char shingle starting at position ``i_var`` of
+    ``expr`` — a portable SQL fragment (ascii/substr/integer literals only)."""
+    return " + ".join(
+        f"CAST({c} AS BIGINT) * ascii(substr({expr}, {i_var} + {j}, 1))"
+        for j, c in enumerate(_COEFS)
+    )
+
+
+def shingle_hash_exprs(expr: str = "text") -> tuple[str, str]:
+    """(spark_sql, duckdb_sql) producing the LIST of shingle hashes of a
+    text column — identical values, dialect-specific list builders."""
+    terms = _shingle_terms(expr, "i")
+    spark = (
+        f"transform(sequence(1, greatest(length({expr}) - {SHINGLE_K - 1}, 1)),"
+        f" i -> {terms})"
+    )
+    duck = (
+        f"list_transform(range(1, greatest(length({expr}) - {SHINGLE_K - 1}, 1) + 1),"
+        f" i -> {terms})"
+    )
+    return spark, duck
+
+
+def doc_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Distinct (id, shingle-hash) pairs — the base relation for jaccard /
+    minhash.  One explode + distinct; shuffle keyed by shingle downstream."""
+    spark_expr, _ = shingle_hash_exprs(text_col)
+    return (
+        df.select(F.col(id_col), F.explode(F.expr(spark_expr)).alias("sh"))
+        .distinct()
+    )
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Hash-groupBy exact dedup: one row per duplicated content with the
+    group size and the representative (minimum) id."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.count("*").cast("long").alias("n_copies"),
+            F.min(id_col).alias("rep_id"),
+        )
+        .where(F.col("n_copies") > 1)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs via a shingle equi-join:
+    |A∩B| from the join, |A∪B| = |A|+|B|−|A∩B|.  Returns (id_1, id_2,
+    jaccard) with id_1 < id_2.  Scales as sum over shingles of df^2 within a
+    shingle key — skew-safe under AQE."""
+    sh = doc_shingles(df, id_col, text_col).cache()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    a = sh.select(F.col(id_col).alias("id_1"), "sh")
+    b = sh.select(F.col(id_col).alias("id_2"), "sh")
+    shared = (
+        a.join(b, "sh")
+        .where(F.col("id_1") < F.col("id_2"))
+        .groupBy("id_1", "id_2")
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_1"), F.col("n").alias("n1"))
+    sb = sizes.select(F.col(id_col).alias("id_2"), F.col("n").alias("n2"))
+    return (
+        shared.join(sa, "id_1")
+        .join(sb, "id_2")
+        .select(
+            "id_1",
+            "id_2",
+            (
+                F.col("shared").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("shared"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-doc MinHash signature: m_i = min over shingles of
+    (a_i * (sh mod P) + b_i) mod P.  One shuffle (groupBy id)."""
+    sh = doc_shingles(df, id_col, text_col)
+    x = F.col("sh") % MINHASH_P
+    aggs = [
+        F.min((PERM_A[i] * x + PERM_B[i]) % MINHASH_P).cast("long").alias(f"mh{i}")
+        for i in range(NUM_PERM)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """LSH banding: docs sharing any band of the signature are candidates.
+    Equi-join per band on the band key (shuffle by band value), distinct
+    pairs.  No cross join anywhere."""
+    bands = []
+    for b in range(BANDS):
+        key = F.concat_ws(
+            ",", *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+        )
+        bands.append(
+            signatures.select(
+                F.lit(b).alias("band"), key.alias("bkey"), F.col(id_col).alias("id")
+            )
+        )
+    tagged = bands[0]
+    for extra in bands[1:]:
+        tagged = tagged.unionByName(extra)
+    a = tagged.select("band", "bkey", F.col("id").alias("id_1"))
+    b_ = tagged.select("band", "bkey", F.col("id").alias("id_2"))
+    return (
+        a.join(b_, ["band", "bkey"])
+        .where(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash+LSH candidates, verified with exact Jaccard on the candidate
+    set only.  Output (id_1, id_2, jaccard) — a (probabilistic-recall,
+    exact-precision) near-dup pair list."""
+    cands = lsh_candidate_pairs(minhash_signatures(df, id_col, text_col), id_col)
+    sh = doc_shingles(df, id_col, text_col)
+    sets = sh.groupBy(id_col).agg(
+        F.collect_set("sh").alias("shset"), F.count("*").alias("n")
+    )
+    s1 = sets.select(
+        F.col(id_col).alias("id_1"), F.col("shset").alias("s1"), F.col("n").alias("n1")
+    )
+    s2 = sets.select(
+        F.col(id_col).alias("id_2"), F.col("shset").alias("s2"), F.col("n").alias("n2")
+    )
+    shared = F.size(F.array_intersect(F.col("s1"), F.col("s2")))
+    return (
+        cands.join(s1, "id_1")
+        .join(s2, "id_2")
+        .select(
+            "id_1",
+            "id_2",
+            (shared.cast("double") / (F.col("n1") + F.col("n2") - shared)).alias(
+                "jaccard"
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Column:
+    """Per-doc 16-bit SimHash over shingle hashes: bit j set iff the majority
+    of shingles have bit j set (strictly more ones than zeros)."""
+    sh = doc_shingles(df, id_col, text_col)
+    bit_sums = [
+        F.sum(F.shiftright(F.col("sh"), j).bitwiseAND(1) * 2 - 1).alias(f"b{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    agg = sh.groupBy(id_col).agg(*bit_sums)
+    value = None
+    for j in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(0)
+        value = bit if value is None else value + bit
+    return agg.select(id_col, value.cast("int").alias("simhash"))

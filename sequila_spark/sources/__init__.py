@@ -1,0 +1,19 @@
+from sequila_spark.sources.bed import read_bed
+from sequila_spark.sources.fastq import read_fastq
+from sequila_spark.sources.fasta import read_fasta, read_fasta_bases
+from sequila_spark.sources.vcf import read_vcf
+from sequila_spark.sources.adam import read_adam
+from sequila_spark.sources.bam import read_alignments, read_bam
+from sequila_spark.sources.sinks import write_result
+
+__all__ = [
+    "read_bed",
+    "read_fastq",
+    "read_fasta",
+    "read_fasta_bases",
+    "read_vcf",
+    "read_adam",
+    "read_alignments",
+    "read_bam",
+    "write_result",
+]
