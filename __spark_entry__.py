@@ -220,11 +220,16 @@ def _q_distinct_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- LLM-pipeline operators (dedup / similarity / text / multimodal) --------
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # small single-file input; spread before the 100x shingle explosion
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -292,6 +297,27 @@ def _q_multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- events: windowed aggregation / sessionization (batch forms of the
+# streaming operators — sequila_spark/streaming/ops.py) ----------------------
+
+def _q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sequila_spark.streaming.ops import read_events, windowed_event_agg
+
+    return windowed_event_agg(read_events(spark, sf_dir), exact_users=True)
+
+
+def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sequila_spark.streaming.ops import read_events, sessionize
+
+    return sessionize(read_events(spark, sf_dir))
+
+
+def _q_reads_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sequila_spark.streaming.ops import windowed_read_counts
+
+    return windowed_read_counts(TD.reads(spark, sf_dir))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "feature_counts": _q_feature_counts,
     "range_join_pairs": _q_range_join_pairs,
@@ -318,6 +344,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "similarity_ann_lsh": _q_similarity_ann_lsh,
     "text_features": _q_text_features,
     "multimodal_byte_features": _q_multimodal_byte_features,
+    "events_window_agg": _q_events_window_agg,
+    "events_sessionize": _q_events_sessionize,
+    "reads_window_counts": _q_reads_window_counts,
 }
 
 
@@ -759,4 +788,49 @@ def oracle_sql() -> dict[str, str]:
             FROM hist GROUP BY contig, pos
         """,
         **_llm_oracles(),
+        "events_window_agg": """
+            WITH e AS (
+              SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type, user_id, value
+              FROM events
+            )
+            SELECT CAST((us // 3600000000) * 3600 AS BIGINT) AS win_start_s,
+                   CAST(((us // 3600000000) + 1) * 3600 AS BIGINT) AS win_end_s,
+                   event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_milli,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM e GROUP BY us // 3600000000, event_type
+        """,
+        "events_sessionize": """
+            WITH e AS (
+              SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+            ),
+            l AS (
+              SELECT *, LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+              FROM e
+            ),
+            b AS (
+              SELECT *, CASE WHEN prev IS NULL THEN 0
+                             WHEN us - prev > 1800000000 THEN 1 ELSE 0 END AS is_new
+              FROM l
+            ),
+            s AS (
+              SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS session_no
+              FROM b
+            )
+            SELECT user_id,
+                   CAST(session_no AS BIGINT) AS session_no,
+                   CAST(MIN(us) // 1000000 AS BIGINT) AS session_start_s,
+                   CAST(MAX(us) // 1000000 AS BIGINT) AS session_end_s,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM s GROUP BY user_id, session_no
+        """,
+        "reads_window_counts": f"""
+            {cte('reads')}
+            SELECT contig,
+                   CAST(FLOOR((pos_start - 1) / 10000) AS BIGINT) AS win,
+                   CAST(COUNT(*) AS BIGINT) AS n_reads
+            FROM reads GROUP BY contig, CAST(FLOOR((pos_start - 1) / 10000) AS BIGINT)
+        """,
     }

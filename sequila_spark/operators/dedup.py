@@ -118,11 +118,14 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    _shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc MinHash signature: m_i = min over shingles of
     (a_i * (sh mod P) + b_i) mod P.  One shuffle (groupBy id)."""
-    sh = doc_shingles(df, id_col, text_col)
+    sh = _shingles if _shingles is not None else doc_shingles(df, id_col, text_col)
     x = F.col("sh") % MINHASH_P
     aggs = [
         F.min((PERM_A[i] * x + PERM_B[i]) % MINHASH_P).cast("long").alias(f"mh{i}")
@@ -167,8 +170,10 @@ def minhash_dedup_pairs(
     """MinHash+LSH candidates, verified with exact Jaccard on the candidate
     set only.  Output (id_1, id_2, jaccard) — a (probabilistic-recall,
     exact-precision) near-dup pair list."""
-    cands = lsh_candidate_pairs(minhash_signatures(df, id_col, text_col), id_col)
-    sh = doc_shingles(df, id_col, text_col)
+    sh = doc_shingles(df, id_col, text_col).persist()
+    cands = lsh_candidate_pairs(
+        minhash_signatures(df, id_col, text_col, _shingles=sh), id_col
+    )
     sets = sh.groupBy(id_col).agg(
         F.collect_set("sh").alias("shset"), F.count("*").alias("n")
     )

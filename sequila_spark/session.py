@@ -84,7 +84,12 @@ class SequilaSession:
         self.spark = register(spark)
 
     def sql(self, query: str) -> DataFrame:
-        return self.spark.sql(query)
+        """SQL with the reference's TVF surface (coverage/pileup/bdg_grange
+        resolved via sequila_spark.sql preprocessing, everything else stock
+        Spark SQL)."""
+        from sequila_spark.sql import sequila_sql
+
+        return sequila_sql(self.spark, query)
 
     def coverage(self, reads: DataFrame | str, **kwargs) -> DataFrame:
         from sequila_spark.operators.coverage import coverage

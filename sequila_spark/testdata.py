@@ -141,18 +141,29 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     spark.sql(TARGETS_SQL).createOrReplaceTempView("targets")
 
 
+def _reg_par(spark: SparkSession, sf_dir: str, name: str) -> None:
+    # The small-SF parquet inputs arrive as a single file split; the derived
+    # views fan out 100-1000x (seq strings, per-base explosion), so spread
+    # the narrow BASE rows across the cluster before the expensive
+    # projections run (repartitioning afterwards would leave the projection
+    # itself single-task).  On real data the scan is already split.
+    spark.read.parquet(f"{sf_dir}/{name}.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    ).createOrReplaceTempView(name)
+
+
 def reads(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView("lineitem")
+    _reg_par(spark, sf_dir, "lineitem")
     return spark.sql(READS_SQL)
 
 
 def targets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.read.parquet(f"{sf_dir}/part.parquet").createOrReplaceTempView("part")
+    _reg_par(spark, sf_dir, "part")
     return spark.sql(TARGETS_SQL)
 
 
 def reads_with_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView("lineitem")
+    _reg_par(spark, sf_dir, "lineitem")
     return spark.sql(reads_with_seq_sql("spark"))
 
 

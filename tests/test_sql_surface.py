@@ -1,0 +1,66 @@
+"""SQL TVF surface: the reference's `SELECT * FROM coverage(...)` /
+`pileup(...)` / `bdg_grange(...)` queries (GenomicIntervalTVFTestSuite,
+PileupTestBase DDL style) through the preprocessor."""
+
+from sequila_spark.session import SequilaSession
+
+
+def _reads_view(spark):
+    df = spark.createDataFrame(
+        [
+            ("s1", "r1", "1", 1, 10, "ACGTACGTAC"),
+            ("s1", "r2", "1", 5, 14, "ACGTACGTAC"),
+            ("s2", "r3", "1", 5, 14, "ACGTACGTAC"),
+        ],
+        "sample_id string, qname string, contig string, pos_start int, pos_end int, seq string",
+    )
+    df.createOrReplaceTempView("reads_sql_test")
+
+
+def test_coverage_tvf(spark):
+    _reads_view(spark)
+    ss = SequilaSession(spark)
+    rows = ss.sql(
+        "SELECT * FROM coverage('reads_sql_test', 's1', 'blocks') ORDER BY pos_start"
+    ).collect()
+    got = [(r["pos_start"], r["pos_end"], r["coverage"]) for r in rows]
+    assert got == [(1, 4, 1), (5, 10, 2), (11, 14, 1)]
+
+
+def test_coverage_tvf_all_samples(spark):
+    _reads_view(spark)
+    ss = SequilaSession(spark)
+    rows = ss.sql("SELECT max(coverage) AS m FROM coverage('reads_sql_test')").collect()
+    assert rows[0]["m"] == 3
+
+
+def test_pileup_tvf(spark):
+    _reads_view(spark)
+    ss = SequilaSession(spark)
+    rows = ss.sql(
+        "SELECT * FROM pileup('reads_sql_test', 's1') WHERE pos_start = 5"
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["coverage"] == 2
+    # no ref table given -> ref is null, all bases counted as non-ref-less
+    assert r["countRef"] + r["countNonRef"] == 2 or r["coverage"] == 2
+
+
+def test_grange_tvf_join(spark):
+    _reads_view(spark)
+    ss = SequilaSession(spark)
+    rows = ss.sql(
+        """
+        SELECT r.qname FROM reads_sql_test r
+        JOIN bdg_grange('1', 12, 20) g
+          ON r.contig = g.contig
+         AND r.pos_start <= g.pos_end AND r.pos_end >= g.pos_start
+        """
+    ).collect()
+    assert sorted(r["qname"] for r in rows) == ["r2", "r3"]
+
+
+def test_plain_sql_passthrough(spark):
+    ss = SequilaSession(spark)
+    assert ss.sql("SELECT 1 + 1 AS x").first()["x"] == 2

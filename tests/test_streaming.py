@@ -1,0 +1,90 @@
+"""Structured-streaming operators: stream results must equal the batch
+formulation (which is itself DuckDB-oracle-checked via the driver queries)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _run_stream(df, name, output_mode="complete"):
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def test_windowed_event_agg_stream_equals_batch(spark, sf_small):
+    from sequila_spark.streaming.ops import (
+        read_events,
+        read_events_stream,
+        windowed_event_agg,
+    )
+
+    stream = windowed_event_agg(read_events_stream(spark, sf_small))
+    _run_stream(stream, "win_agg")
+    got = {
+        (r["win_start_s"], r["event_type"]): (r["n_events"], r["sum_value_milli"])
+        for r in spark.sql("SELECT * FROM win_agg").collect()
+    }
+    batch = windowed_event_agg(read_events(spark, sf_small))
+    expect = {
+        (r["win_start_s"], r["event_type"]): (r["n_events"], r["sum_value_milli"])
+        for r in batch.collect()
+    }
+    assert got == expect
+    assert len(got) > 0
+
+
+def test_session_window_stream(spark, sf_small):
+    from sequila_spark.streaming.ops import read_events_stream, sessionize_stream
+
+    stream = sessionize_stream(read_events_stream(spark, sf_small))
+    _run_stream(stream, "sessions")
+    rows = spark.sql("SELECT * FROM sessions").collect()
+    assert len(rows) > 0
+    assert all(r["n_events"] >= 1 for r in rows)
+
+
+def test_stateful_running_totals(spark, sf_small):
+    from sequila_spark.streaming.ops import (
+        read_events,
+        read_events_stream,
+        running_user_totals_stream,
+    )
+
+    stream = running_user_totals_stream(read_events_stream(spark, sf_small))
+    _run_stream(stream, "totals", output_mode="update")
+    got = {
+        r["user_id"]: r["total_events"]
+        for r in spark.sql(
+            "SELECT user_id, max(total_events) AS total_events FROM totals GROUP BY user_id"
+        ).collect()
+    }
+    expect = {
+        r["user_id"]: r["n"]
+        for r in read_events(spark, sf_small)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == expect
+
+
+def test_batch_sessionize_properties(spark, sf_small):
+    from sequila_spark.streaming.ops import read_events, sessionize
+
+    sessions = sessionize(read_events(spark, sf_small)).collect()
+    assert len(sessions) > 0
+    # sessions of one user don't overlap and are ordered by session_no
+    by_user = {}
+    for r in sessions:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for user, ss in by_user.items():
+        ss.sort(key=lambda r: r["session_no"])
+        for a, b in zip(ss, ss[1:]):
+            assert a["session_end_s"] < b["session_start_s"]
