@@ -91,6 +91,9 @@ def pileup(
     if flag_mask or min_mapq:
         reads = filter_reads(reads, flag_mask=flag_mask, min_mapq=min_mapq)
 
+    if not quals and callable(ref) and not isinstance(ref, DataFrame):
+        return _pileup_sparse(reads, ref, alts)
+
     per_base = expand_bases(reads, with_quals=quals)
 
     if isinstance(ref, DataFrame):
@@ -170,3 +173,61 @@ def pileup(
     if quals:
         cols.append(F.col(S.QUALS))
     return out.select(*cols)
+
+
+def _pileup_sparse(reads: DataFrame, ref: RefExpr, alts: bool) -> DataFrame:
+    """Fast path for alts-mode pileup with an expression-computable
+    reference: the same sparse-mismatch design as the reference's MD-tag
+    walk (pileup/MDTagParser.scala:24-53 — matching bases never materialize
+    as per-base records).
+
+      coverage    <- event-based coverage blocks exploded to positions
+                     (|changes| << |bases| rows through the shuffle)
+      alt counts  <- per-base rows FILTERED to base != ref before the
+                     shuffle (mismatch rate ~2%, so ~50x less shuffle I/O)
+      countRef    =  coverage - countNonRef
+
+    Output is identical to the dense path (verified by the oracle parity
+    suite); only the plan differs.
+    """
+    from sequila_spark.operators.coverage import coverage as _coverage
+
+    cov = _coverage(reads, mode="bases", use_cigar=False).select(
+        S.CONTIG, F.col(S.START).alias("pos"), S.COVERAGE
+    )
+
+    per_base = expand_bases(reads, with_quals=False)
+    mism = per_base.withColumn("ref_base", ref(F.col(S.CONTIG), F.col("pos"))).where(
+        F.col("base") != F.col("ref_base")
+    )
+    g1 = mism.groupBy(S.CONTIG, "pos", "base").agg(F.count("*").cast("int").alias("cnt"))
+    alt_agg = [
+        F.sum("cnt").cast("int").alias(S.COUNT_NONREF),
+    ]
+    if alts:
+        alt_agg.append(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct(F.col("base"), F.col("cnt"))))
+            ).alias(S.ALTS)
+        )
+    alt_pos = g1.groupBy(S.CONTIG, "pos").agg(*alt_agg)
+
+    joined = cov.join(alt_pos, [S.CONTIG, "pos"], "left")
+    nonref = F.coalesce(F.col(S.COUNT_NONREF), F.lit(0)).cast("int")
+    cols = [
+        F.col(S.CONTIG),
+        F.col("pos").cast("int").alias(S.START),
+        F.col("pos").cast("int").alias(S.END),
+        ref(F.col(S.CONTIG), F.col("pos")).alias(S.REF),
+        F.col(S.COVERAGE).cast("int").alias(S.COVERAGE),
+        (F.col(S.COVERAGE) - nonref).cast("int").alias(S.COUNT_REF),
+        nonref.alias(S.COUNT_NONREF),
+    ]
+    if alts:
+        # dense path yields an empty map (not null) at all-ref positions
+        cols.append(
+            F.coalesce(
+                F.col(S.ALTS), F.expr("map()").cast("map<string,int>")
+            ).alias(S.ALTS)
+        )
+    return joined.select(*cols)
