@@ -297,6 +297,50 @@ def _q_multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold tuned to the corpus)."""
+    from sequila_spark.operators.similarity import cosine_dup_pairs
+
+    return cosine_dup_pairs(_embs(spark, sf_dir), threshold=0.4)
+
+
+def _q_interval_ops2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remaining interval-function variants: resize start/end anchors,
+    flank both/negative, overlap length vs a fixed probe interval."""
+    t = TD.targets(spark, sf_dir)
+    return t.select(
+        "target_id",
+        IV.resize(S.START, S.END, 10, "start")[S.END].alias("rs_end"),
+        IV.resize(S.START, S.END, 10, "end")[S.START].alias("re_start"),
+        IV.flank(S.START, S.END, 50, True, True)[S.START].alias("fb_start"),
+        IV.flank(S.START, S.END, 50, True, True)[S.END].alias("fb_end"),
+        IV.flank(S.START, S.END, -50, False, False)[S.START].alias("fn_start"),
+        IV.flank(S.START, S.END, -50, False, False)[S.END].alias("fn_end"),
+        IV.overlap_length(S.START, S.END, F.lit(40_000), F.lit(60_000)).alias("ov_probe"),
+    )
+
+
+def _q_contig_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contig normalization (DataQualityFuncs.scala:9-41) applied to
+    chr-prefixed renderings of the targets' contigs + the special cases."""
+    t = TD.targets(spark, sf_dir)
+    raw = F.concat(F.lit("chr"), F.col(S.CONTIG))
+    return t.select(
+        "target_id",
+        IV.clean_contig(raw).alias("cleaned"),
+        IV.clean_contig(F.lit("chrM")).alias("m_case"),
+        IV.unclean_contig(F.col(S.CONTIG)).alias("unclean"),
+    )
+
+
+def _q_coverage_cigar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage through the CIGAR-walk path (aligned_blocks fold).  The
+    synthetic reads carry all-M cigars, so the oracle equals plain span
+    coverage — indel/clip semantics are pinned by tests/test_coverage.py."""
+    reads = TD.reads(spark, sf_dir)
+    return coverage(reads, mode="blocks", use_cigar=True)
+
+
 # --- events: windowed aggregation / sessionization (batch forms of the
 # streaming operators — sequila_spark/streaming/ops.py) ----------------------
 
@@ -347,6 +391,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_window_agg": _q_events_window_agg,
     "events_sessionize": _q_events_sessionize,
     "reads_window_counts": _q_reads_window_counts,
+    "dedup_embedding": _q_dedup_embedding,
+    "interval_ops2": _q_interval_ops2,
+    "contig_cleaning": _q_contig_cleaning,
+    "coverage_cigar": _q_coverage_cigar,
 }
 
 
@@ -832,5 +880,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(FLOOR((pos_start - 1) / 10000) AS BIGINT) AS win,
                    CAST(COUNT(*) AS BIGINT) AS n_reads
             FROM reads GROUP BY contig, CAST(FLOOR((pos_start - 1) / 10000) AS BIGINT)
+        """,
+        "dedup_embedding": """
+            WITH e AS (
+              SELECT vec_id,
+                     list_transform(embedding,
+                       x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+              FROM embeddings
+            )
+            SELECT * FROM (
+              SELECT a.vec_id AS id_1, b.vec_id AS id_2,
+                     CAST(list_sum(list_transform(range(1, len(a.v) + 1), k -> a.v[k] * b.v[k])) AS DOUBLE)
+                     / (sqrt(CAST(list_sum(list_transform(a.v, x -> x * x)) AS DOUBLE))
+                        * sqrt(CAST(list_sum(list_transform(b.v, x -> x * x)) AS DOUBLE))) AS cosine
+              FROM e a JOIN e b ON a.vec_id < b.vec_id
+            ) WHERE cosine >= 0.4
+        """,
+        "interval_ops2": f"""
+            {cte('targets')}
+            SELECT target_id,
+                   pos_end + 10 AS rs_end,
+                   pos_start - 10 AS re_start,
+                   pos_start - 50 AS fb_start,
+                   pos_start - 50 + 100 - 1 AS fb_end,
+                   pos_end - 50 + 1 AS fn_start,
+                   pos_end - 50 + 1 + 50 - 1 AS fn_end,
+                   CAST(LEAST(pos_end, 60000) - GREATEST(pos_start, 40000) + 1 AS INT) AS ov_probe
+            FROM targets
+        """,
+        "contig_cleaning": f"""
+            {cte('targets')}
+            SELECT target_id,
+                   contig AS cleaned,
+                   'MT' AS m_case,
+                   'chr' || contig AS unclean
+            FROM targets
+        """,
+        "coverage_cigar": f"""
+            {cte('reads')}, {_COVERAGE_BLOCKS_CTE}
+            SELECT contig, pos_start, pos_end, coverage FROM blocks
         """,
     }

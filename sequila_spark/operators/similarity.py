@@ -84,6 +84,37 @@ def cosine_topk(
     )
 
 
+def cosine_dup_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_1, id_2, cosine) with
+    id_1 < id_2 and cosine >= threshold.  Brute-force self-join baseline —
+    at corpus scale, generate candidates with the multi-table LSH buckets
+    (ann_topk_lsh) and verify with this exact score."""
+    e = corpus.select(
+        F.col(id_col).alias("id"),
+        quantized(F.col(vec_col)).alias("v"),
+        _norm2(quantized(F.col(vec_col))).alias("n2"),
+    )
+    a = e.select(F.col("id").alias("id_1"), F.col("v").alias("v1"), F.col("n2").alias("n1"))
+    b = e.select(F.col("id").alias("id_2"), F.col("v").alias("v2"), F.col("n2").alias("n2"))
+    return (
+        a.join(b, F.col("id_1") < F.col("id_2"))
+        .select(
+            "id_1",
+            "id_2",
+            (
+                _dot(F.col("v1"), F.col("v2")).cast("double")
+                / (F.sqrt(F.col("n1").cast("double")) * F.sqrt(F.col("n2").cast("double")))
+            ).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def plane_coef(plane: int, dim: int):
     """Deterministic pseudo-random hyperplane coefficient in
     [-(P-1)/2, (P-1)/2]: ((plane*997 + dim) * 2654435761) mod P - (P-1)/2."""

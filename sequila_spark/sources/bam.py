@@ -25,6 +25,28 @@ from sequila_spark import schemas as S
 from sequila_spark.functions.intervals import clean_contig
 
 
+def write_alignments(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Recommended storage layout for alignment relations: parquet
+    partitioned by sample_id and sorted within partitions by
+    (contig, pos_start).  This is what makes the reference's custom
+    optimizations fall out for free at scale:
+
+      - `sample_id = 'X'` / IN (...)  -> partition-directory pruning
+        (reference: glob-path rewrite, AlignmentRelation.scala:311-324)
+      - contig/pos predicates          -> parquet row-group min/max skipping
+        (reference: BAI/BGZF interval pushdown, AlignmentRelation.scala:310-368)
+      - DISTINCT sample_id             -> partition listing, no data read
+        (reference: scan elision, SequilaDataSourceStrategy.scala:38-54)
+    """
+    (
+        df.repartition(S.SAMPLE, S.CONTIG)
+        .sortWithinPartitions(S.CONTIG, S.START)
+        .write.mode(mode)
+        .partitionBy(S.SAMPLE)
+        .parquet(path)
+    )
+
+
 def read_alignments(spark: SparkSession, path: str) -> DataFrame:
     """Parquet-backed alignment relation with canonical columns; contig
     normalization applied on read (AlignmentRelation.scala:233)."""
