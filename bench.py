@@ -29,8 +29,11 @@ BENCH_QUERIES = [
     "coverage_windows",
     "pileup_agg",
     "dedup_minhash_pairs",
+    "dedup_ngram_jaccard",
     "similarity_topk",
+    "similarity_ann_lsh",
     "text_features",
+    "events_window_agg",
 ]
 
 

@@ -86,32 +86,51 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Exact n-gram-Jaccard near-dup pairs via a shingle equi-join:
-    |A∩B| from the join, |A∪B| = |A|+|B|−|A∩B|.  Returns (id_1, id_2,
-    jaccard) with id_1 < id_2.  Scales as sum over shingles of df^2 within a
-    shingle key — skew-safe under AQE."""
-    sh = doc_shingles(df, id_col, text_col).cache()
+    """Exact n-gram-Jaccard near-dup pairs with **prefix filtering**
+    (AllPairs/PPJoin family): two sets with Jaccard >= t must share at least
+    one of each other's ⌊(1-t)·|set|⌋+1 globally-rarest shingles, so the
+    candidate join runs only on those prefixes — hot common shingles never
+    join.  Candidates are then verified with exact |A∩B| via a full shingle
+    join restricted to candidate pairs.  EXACT results (the filter is
+    lossless); the DuckDB oracle computes the naive formulation and must
+    match.  Returns (id_1, id_2, jaccard) with id_1 < id_2."""
+    sh = doc_shingles(df, id_col, text_col).persist()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
-    a = sh.select(F.col(id_col).alias("id_1"), "sh")
-    b = sh.select(F.col(id_col).alias("id_2"), "sh")
-    shared = (
-        a.join(b, "sh")
-        .where(F.col("id_1") < F.col("id_2"))
-        .groupBy("id_1", "id_2")
-        .agg(F.count("*").alias("shared"))
+
+    # global rarity order: (frequency, shingle) — deterministic
+    freq = sh.groupBy("sh").agg(F.count("*").alias("f"))
+    ranked = sh.join(freq, "sh").withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy(id_col).orderBy("f", "sh")
+        ),
     )
-    sa = sizes.select(F.col(id_col).alias("id_1"), F.col("n").alias("n1"))
-    sb = sizes.select(F.col(id_col).alias("id_2"), F.col("n").alias("n2"))
+    prefix = ranked.join(sizes, id_col).where(
+        F.col("rk") <= F.floor((1.0 - threshold) * F.col("n")) + 1
+    )
+
+    a = prefix.select(F.col(id_col).alias("id_1"), "sh")
+    b = prefix.select(F.col(id_col).alias("id_2"), "sh")
+    cands = (
+        a.join(b, "sh").where(F.col("id_1") < F.col("id_2")).select("id_1", "id_2").distinct()
+    )
+
+    # verify candidates with exact intersection sizes on collected sets
+    sets = sh.groupBy(id_col).agg(F.collect_set("sh").alias("shset"), F.count("*").alias("n"))
+    s1 = sets.select(
+        F.col(id_col).alias("id_1"), F.col("shset").alias("s1"), F.col("n").alias("n1")
+    )
+    s2 = sets.select(
+        F.col(id_col).alias("id_2"), F.col("shset").alias("s2"), F.col("n").alias("n2")
+    )
+    shared = F.size(F.array_intersect(F.col("s1"), F.col("s2")))
     return (
-        shared.join(sa, "id_1")
-        .join(sb, "id_2")
+        cands.join(s1, "id_1")
+        .join(s2, "id_2")
         .select(
             "id_1",
             "id_2",
-            (
-                F.col("shared").cast("double")
-                / (F.col("n1") + F.col("n2") - F.col("shared"))
-            ).alias("jaccard"),
+            (shared.cast("double") / (F.col("n1") + F.col("n2") - shared)).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
     )

@@ -72,9 +72,25 @@ def range_join(
         raise ValueError(f"unsupported how={how!r}")
     if strategy not in ("binned", "nested_loop"):
         raise ValueError(f"unsupported strategy={strategy!r}")
+    if bin_size <= 0:
+        raise ValueError(f"bin_size must be positive, got {bin_size}")
+    if min_overlap < 1:
+        raise ValueError(f"min_overlap must be >= 1, got {min_overlap}")
+    if max_gap < 0:
+        raise ValueError(f"max_gap must be >= 0, got {max_gap}")
 
     if isinstance(on_contig, str):
         on_contig = (on_contig, on_contig)
+
+    for side, (s, e), cols in (("left", left_interval, left.columns), ("right", right_interval, right.columns)):
+        for col in (s, e):
+            if col not in cols:
+                raise ValueError(f"{side} side is missing interval column {col!r}")
+    if on_contig:
+        if on_contig[0] not in left.columns:
+            raise ValueError(f"left side is missing contig column {on_contig[0]!r}")
+        if on_contig[1] not in right.columns:
+            raise ValueError(f"right side is missing contig column {on_contig[1]!r}")
 
     ls, le = left_interval
     rs, re = right_interval

@@ -14,6 +14,9 @@ neighbor id.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -143,6 +146,51 @@ def lsh_bucket(vec_col, table: int) -> F.Column:
     return bucket.cast("long")
 
 
+def _buckets_batch():
+    """Arrow-vectorized multi-table bucket computation: one integer matmul
+    per batch instead of N_TABLES*N_PLANES expression-tree aggregates per
+    row.  Same arithmetic as lsh_bucket (int64 exact) — results identical,
+    just computed in numpy."""
+    half = (_PLANE_MOD - 1) // 2
+
+    @F.pandas_udf("array<long>")
+    def udf(vec: pd.Series) -> pd.Series:
+        if len(vec) == 0:
+            return pd.Series([], dtype=object)
+        v = np.stack(
+            [np.floor(np.asarray(x, dtype=np.float64) * QUANT_SCALE).astype(np.int64) for x in vec]
+        )
+        dim = v.shape[1]
+        g = np.arange(N_TABLES * N_PLANES, dtype=np.int64)[:, None]
+        d = np.arange(dim, dtype=np.int64)[None, :]
+        planes = ((g * 997 + d) * 2654435761) % _PLANE_MOD - half
+        bits = (v @ planes.T) > 0  # (n, T*P)
+        weights = np.tile(1 << np.arange(N_PLANES, dtype=np.int64), N_TABLES)
+        per_plane = bits.astype(np.int64) * weights[None, :]
+        buckets = per_plane.reshape(len(v), N_TABLES, N_PLANES).sum(axis=2)
+        return pd.Series(list(buckets))
+
+    return udf
+
+
+def _cosine_batch():
+    """Arrow-vectorized quantized cosine: exact int64 dot/norms, then the
+    same float64 op sequence as the expression path (IEEE-identical)."""
+
+    @F.pandas_udf("double")
+    def udf(qv: pd.Series, cv: pd.Series) -> pd.Series:
+        if len(qv) == 0:
+            return pd.Series([], dtype=np.float64)
+        a = np.stack([np.asarray(x, dtype=np.int64) for x in qv])
+        b = np.stack([np.asarray(x, dtype=np.int64) for x in cv])
+        dot = np.einsum("ij,ij->i", a, b).astype(np.float64)
+        na = np.sqrt(np.einsum("ij,ij->i", a, a).astype(np.float64))
+        nb = np.sqrt(np.einsum("ij,ij->i", b, b).astype(np.float64))
+        return pd.Series(dot / (na * nb))
+
+    return udf
+
+
 def ann_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,
@@ -152,19 +200,28 @@ def ann_topk_lsh(
 ) -> DataFrame:
     """Approximate top-k: candidates = union over N_TABLES of same-bucket
     pairs (each an equi-join on the bucket key — the cross product never
-    materializes), exact-rank on candidates.  Recall is probabilistic;
-    tested against cosine_topk."""
+    materializes), exact-rank on candidates.  Bucket hashing and candidate
+    scoring run as Arrow-batched numpy (integer-exact, so results match the
+    declarative oracle bit-for-bit).  Recall is probabilistic; tested
+    against cosine_topk."""
+    buckets = _buckets_batch()
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         quantized(F.col(vec_col)).alias("cv"),
-        _norm2(quantized(F.col(vec_col))).alias("cn"),
-        *[lsh_bucket(F.col(vec_col), t).alias(f"bkt{t}") for t in range(N_TABLES)],
+        buckets(F.col(vec_col)).alias("bkts"),
+    ).select(
+        "neighbor_id",
+        "cv",
+        *[F.col("bkts").getItem(t).alias(f"bkt{t}") for t in range(N_TABLES)],
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         quantized(F.col(vec_col)).alias("qv"),
-        _norm2(quantized(F.col(vec_col))).alias("qn"),
-        *[lsh_bucket(F.col(vec_col), t).alias(f"bkt{t}") for t in range(N_TABLES)],
+        buckets(F.col(vec_col)).alias("bkts"),
+    ).select(
+        "query_id",
+        "qv",
+        *[F.col("bkts").getItem(t).alias(f"bkt{t}") for t in range(N_TABLES)],
     )
     cand = None
     for t in range(N_TABLES):
@@ -182,17 +239,11 @@ def ann_topk_lsh(
         cand = pairs if cand is None else cand.unionByName(pairs)
     cand = cand.where(F.col("query_id") != F.col("neighbor_id")).distinct()
 
+    cos = _cosine_batch()
     scored = (
-        cand.join(q.select("query_id", "qv", "qn"), "query_id")
-        .join(c.select("neighbor_id", "cv", "cn"), "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            (
-                _dot(F.col("qv"), F.col("cv")).cast("double")
-                / (F.sqrt(F.col("qn").cast("double")) * F.sqrt(F.col("cn").cast("double")))
-            ).alias("cosine"),
-        )
+        cand.join(q.select("query_id", "qv"), "query_id")
+        .join(c.select("neighbor_id", "cv"), "neighbor_id")
+        .select("query_id", "neighbor_id", cos(F.col("qv"), F.col("cv")).alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

@@ -69,9 +69,11 @@ def register(spark: SparkSession) -> SparkSession:
             spark.conf.set(key, val)
     from sequila_spark.functions.intervals import register_sql_functions
     from sequila_spark.functions.maps import register_map_functions
+    from sequila_spark.functions.udtf import register_udtfs
 
     register_sql_functions(spark)
     register_map_functions(spark)
+    register_udtfs(spark)
     return spark
 
 
