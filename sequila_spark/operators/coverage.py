@@ -121,6 +121,7 @@ def coverage(
     flag_mask: int = 0,
     min_mapq: int = 0,
     chunk_size: int = DEFAULT_CHUNK,
+    ref_bases: DataFrame | None = None,
 ) -> DataFrame:
     """Depth of coverage over alignment-shaped rows.
 
@@ -132,7 +133,10 @@ def coverage(
                       requires window_size
 
     ``flag_mask``/``min_mapq`` apply the reference's read filter when set
-    (callers may pre-filter instead).
+    (callers may pre-filter instead).  ``ref_bases`` — a (contig, pos, ref)
+    relation (sources.read_fasta_bases) — attaches the reference base in
+    bases mode, matching the reference Coverage row schema
+    (utvf/ResolveTableValuedFunctionsSeq.scala:239).
     """
     if mode not in ("blocks", "bases", "windows"):
         raise ValueError(f"unsupported mode={mode!r}")
@@ -205,7 +209,7 @@ def coverage(
     if mode == "blocks":
         return blocks
     if mode == "bases":
-        return blocks.select(
+        bases = blocks.select(
             S.CONTIG,
             F.explode(F.sequence(F.col(S.START), F.col(S.END))).alias("pos"),
             S.COVERAGE,
@@ -215,6 +219,18 @@ def coverage(
             F.col("pos").cast("int").alias(S.END),
             S.COVERAGE,
         )
+        if ref_bases is not None:
+            r = ref_bases.select(
+                F.col(S.CONTIG).alias("__rc"),
+                F.col("pos").alias("__rp"),
+                F.col(S.REF).alias(S.REF),
+            )
+            bases = bases.join(
+                r,
+                (bases[S.CONTIG] == r["__rc"]) & (bases[S.START] == r["__rp"]),
+                "left",
+            ).select(S.CONTIG, S.START, S.END, S.REF, S.COVERAGE)
+        return bases
 
     # windows: weighted by the overlap of each block with each window —
     # blocks explode into the few windows they span, never into bases.

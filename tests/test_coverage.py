@@ -105,3 +105,19 @@ def test_partitioning_invariance(spark):
     assert blocks_of(coverage(df1, mode="blocks", use_cigar=False)) == blocks_of(
         coverage(df16, mode="blocks", use_cigar=False)
     )
+
+
+def test_coverage_bases_with_ref(spark):
+    import os
+
+    from sequila_spark.operators.coverage import coverage
+    from sequila_spark.sources import read_fasta_bases
+
+    fix = os.path.join(os.path.dirname(__file__), "fixtures", "test.fasta")
+    reads = reads_df(spark, [("r1", "1", 2, 5, None)])
+    out = coverage(
+        reads, mode="bases", use_cigar=False, ref_bases=read_fasta_bases(spark, fix)
+    ).collect()
+    got = sorted((r["pos_start"], r["ref"], r["coverage"]) for r in out)
+    # contig 1 of the fixture is ACGTACGT... -> positions 2..5 = C,G,T,A
+    assert got == [(2, "C", 1), (3, "G", 1), (4, "T", 1), (5, "A", 1)]

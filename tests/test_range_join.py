@@ -123,3 +123,13 @@ def test_strategy_equivalence_random(spark):
         b = pairs(range_join(left, right, **kwargs))
         n = pairs(range_join(left, right, strategy="nested_loop", **kwargs))
         assert b == n, f"strategy divergence for {kwargs}"
+
+
+def test_partitioning_invariance(spark):
+    """Reference test pattern §5.2: identical results regardless of input
+    partitioning."""
+    left = mk(spark, [(f"L{i}", str(i % 2), 1 + i * 7 % 400, 60 + i * 7 % 400) for i in range(120)])
+    right = mk(spark, [(f"R{i}", str(i % 2), 1 + i * 13 % 400, 90 + i * 13 % 400) for i in range(60)])
+    one = pairs(range_join(left.coalesce(1), right.coalesce(1)))
+    many = pairs(range_join(left.repartition(16), right.repartition(16)))
+    assert one == many

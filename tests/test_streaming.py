@@ -88,3 +88,37 @@ def test_batch_sessionize_properties(spark, sf_small):
         ss.sort(key=lambda r: r["session_no"])
         for a, b in zip(ss, ss[1:]):
             assert a["session_end_s"] < b["session_start_s"]
+
+
+def test_windowed_read_counts_stream_equals_batch(spark, sf_small, tmp_path):
+    """Genomic windowed counts driven as a stream (reads written to a
+    parquet dir, file-streamed back) must equal the batch formulation."""
+    from sequila_spark import testdata as TD
+    from sequila_spark.streaming.ops import windowed_read_counts
+
+    reads = TD.reads(spark, sf_small)
+    path = str(tmp_path / "reads_stream")
+    reads.write.mode("overwrite").parquet(path)
+    stream = (
+        spark.readStream.schema(reads.schema).format("parquet").load(path)
+    )
+    q = (
+        windowed_read_counts(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_reads")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["contig"], r["win"]): r["n_reads"]
+        for r in spark.sql("SELECT * FROM win_reads").collect()
+    }
+    expect = {
+        (r["contig"], r["win"]): r["n_reads"]
+        for r in windowed_read_counts(reads).collect()
+    }
+    assert got == expect and len(got) > 0
