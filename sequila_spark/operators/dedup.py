@@ -109,31 +109,28 @@ def ngram_jaccard_pairs(
         F.col("rk") <= F.floor((1.0 - threshold) * F.col("n")) + 1
     )
 
-    a = prefix.select(F.col(id_col).alias("id_1"), "sh")
-    b = prefix.select(F.col(id_col).alias("id_2"), "sh")
+    # positional filter (PPJoin): a matching prefix element at ranks
+    # (rk1, rk2) bounds the overlap by 1 + min(n1-rk1, n2-rk2), which must
+    # reach ceil(t/(1+t)*(n1+n2)) for Jaccard >= t — lossless pruning.
+    a = prefix.select(F.col(id_col).alias("id_1"), "sh", F.col("rk").alias("rk1"), F.col("n").alias("n1"))
+    b = prefix.select(F.col(id_col).alias("id_2"), "sh", F.col("rk").alias("rk2"), F.col("n").alias("n2"))
+    alpha = F.ceil(
+        F.lit(threshold) / (1.0 + threshold) * (F.col("n1") + F.col("n2"))
+    )
     cands = (
-        a.join(b, "sh").where(F.col("id_1") < F.col("id_2")).select("id_1", "id_2").distinct()
+        a.join(b, "sh")
+        .where(
+            (F.col("id_1") < F.col("id_2"))
+            & (
+                1 + F.least(F.col("n1") - F.col("rk1"), F.col("n2") - F.col("rk2"))
+                >= alpha
+            )
+        )
+        .select("id_1", "id_2")
+        .distinct()
     )
 
-    # verify candidates with exact intersection sizes on collected sets
-    sets = sh.groupBy(id_col).agg(F.collect_set("sh").alias("shset"), F.count("*").alias("n"))
-    s1 = sets.select(
-        F.col(id_col).alias("id_1"), F.col("shset").alias("s1"), F.col("n").alias("n1")
-    )
-    s2 = sets.select(
-        F.col(id_col).alias("id_2"), F.col("shset").alias("s2"), F.col("n").alias("n2")
-    )
-    shared = F.size(F.array_intersect(F.col("s1"), F.col("s2")))
-    return (
-        cands.join(s1, "id_1")
-        .join(s2, "id_2")
-        .select(
-            "id_1",
-            "id_2",
-            (shared.cast("double") / (F.col("n1") + F.col("n2") - shared)).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= threshold)
-    )
+    return _verify_jaccard(sh, cands, threshold, id_col)
 
 
 def minhash_signatures(
@@ -193,9 +190,18 @@ def minhash_dedup_pairs(
     cands = lsh_candidate_pairs(
         minhash_signatures(df, id_col, text_col, _shingles=sh), id_col
     )
-    sets = sh.groupBy(id_col).agg(
-        F.collect_set("sh").alias("shset"), F.count("*").alias("n")
-    )
+    return _verify_jaccard(sh, cands, threshold, id_col)
+
+
+def _verify_jaccard(
+    sh: DataFrame, cands: DataFrame, threshold: float, id_col: str
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs.  The per-doc set
+    relation is broadcast when Catalyst's size estimate allows (it is tiny
+    relative to the candidate list — doc_count * avg_set_size ints), so the
+    heavy candidate relation never shuffles the arrays; past the broadcast
+    threshold AQE falls back to a shuffled join automatically."""
+    sets = sh.groupBy(id_col).agg(F.collect_set("sh").alias("shset"), F.count("*").alias("n"))
     s1 = sets.select(
         F.col(id_col).alias("id_1"), F.col("shset").alias("s1"), F.col("n").alias("n1")
     )
@@ -204,14 +210,12 @@ def minhash_dedup_pairs(
     )
     shared = F.size(F.array_intersect(F.col("s1"), F.col("s2")))
     return (
-        cands.join(s1, "id_1")
-        .join(s2, "id_2")
+        cands.join(F.broadcast(s1), "id_1")
+        .join(F.broadcast(s2), "id_2")
         .select(
             "id_1",
             "id_2",
-            (shared.cast("double") / (F.col("n1") + F.col("n2") - shared)).alias(
-                "jaccard"
-            ),
+            (shared.cast("double") / (F.col("n1") + F.col("n2") - shared)).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
     )
