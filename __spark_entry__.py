@@ -341,6 +341,73 @@ def _q_coverage_cigar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return coverage(reads, mode="blocks", use_cigar=True)
 
 
+# --- general analytics over the raw star schema (engine breadth: broadcast
+# dim joins, top-k, multi-join aggregation; money quantized to cents so sums
+# are exact integers) ---------------------------------------------------------
+
+def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary (quantized money)."""
+    li = _table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    disc_cents = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    # l_shipdate is TIMESTAMP_NTZ (wall-clock): NTZ comparisons never consult
+    # the session TZ, and DuckDB's naive timestamps have the same semantics.
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(cents).alias("sum_price_cents"),
+            F.sum(disc_cents).alias("sum_disc_price_cents"),
+            F.count("*").alias("n_rows"),
+        )
+        .withColumn(
+            "avg_qty", F.col("sum_qty").cast("double") / F.col("n_rows")
+        )
+    )
+
+
+def _q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 revenue orders for one market segment (dims broadcast)."""
+    cust = _table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _table(spark, sf_dir, "orders")
+    li = _table(spark, sf_dir, "lineitem")
+    rev = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    j = li.join(
+        F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+        li.l_orderkey == F.col("o_orderkey"),
+    )
+    return (
+        j.groupBy("o_orderkey")
+        .agg(F.sum(rev).alias("revenue_cents"))
+        .orderBy(F.col("revenue_cents").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def _q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5-shaped multi-join: revenue per nation via customer->orders->lineitem
+    with nation/region dims broadcast."""
+    region = _table(spark, sf_dir, "region")
+    nation = _table(spark, sf_dir, "nation")
+    cust = _table(spark, sf_dir, "customer")
+    orders = _table(spark, sf_dir, "orders")
+    li = _table(spark, sf_dir, "lineitem")
+    rev = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    dims = nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(dims), cust.c_nationkey == F.col("n_nationkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(rev).alias("revenue_cents"), F.count("*").alias("n_items"))
+    )
+
+
 # --- events: windowed aggregation / sessionization (batch forms of the
 # streaming operators — sequila_spark/streaming/ops.py) ----------------------
 
@@ -395,6 +462,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "interval_ops2": _q_interval_ops2,
     "contig_cleaning": _q_contig_cleaning,
     "coverage_cigar": _q_coverage_cigar,
+    "pricing_summary": _q_pricing_summary,
+    "top_orders": _q_top_orders,
+    "nation_revenue": _q_nation_revenue,
 }
 
 
@@ -919,5 +989,38 @@ def oracle_sql() -> dict[str, str]:
         "coverage_cigar": f"""
             {cte('reads')}, {_COVERAGE_BLOCKS_CTE}
             SELECT contig, pos_start, pos_end, coverage FROM blocks
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_price_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_qty
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_orders": """
+            SELECT o_orderkey,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY o_orderkey
+            ORDER BY revenue_cents DESC, o_orderkey
+            LIMIT 10
+        """,
+        "nation_revenue": """
+            SELECT r_name, n_name,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
         """,
     }
