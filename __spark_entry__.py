@@ -423,6 +423,25 @@ def _q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(read_events(spark, sf_dir))
 
 
+def _q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured handling: parse the JSON props column with the
+    native from_json path and aggregate on the extracted field."""
+    from sequila_spark.streaming.ops import read_events
+
+    e = read_events(spark, sf_dir)
+    k = F.from_json(F.col("props"), "k INT")["k"]
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").cast("int").alias("min_k"),
+            F.max("k").cast("int").alias("max_k"),
+        )
+    )
+
+
 def _q_reads_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sequila_spark.streaming.ops import windowed_read_counts
 
@@ -465,6 +484,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": _q_pricing_summary,
     "top_orders": _q_top_orders,
     "nation_revenue": _q_nation_revenue,
+    "events_props_json": _q_events_props_json,
 }
 
 
@@ -1022,5 +1042,13 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name, n_name
+        """,
+        "events_props_json": """
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+                   CAST(MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS min_k,
+                   CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
+            FROM events GROUP BY event_type
         """,
     }
