@@ -297,6 +297,18 @@ def _q_multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (deterministic integer k-means inverted lists).  No
+    oracle entry: the iterative index build is not reasonably
+    SQL-expressible — the driver records a rows-only check; determinism and
+    recall are pinned by tests/test_llm_ops.py."""
+    from sequila_spark.operators.similarity import ivf_topk
+
+    embs = _embs(spark, sf_dir)
+    queries_df = embs.where(F.col("vec_id") % 50 == 0)
+    return ivf_topk(embs, queries_df, k=5)
+
+
 def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (threshold tuned to the corpus)."""
     from sequila_spark.operators.similarity import cosine_dup_pairs
@@ -485,6 +497,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_orders": _q_top_orders,
     "nation_revenue": _q_nation_revenue,
     "events_props_json": _q_events_props_json,
+    "similarity_ivf": _q_similarity_ivf,
 }
 
 

@@ -118,6 +118,140 @@ def cosine_dup_pairs(
     )
 
 
+IVF_LISTS = 16
+IVF_ITERS = 2
+IVF_PROBES = 4
+
+
+def ivf_index(
+    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """IVF (inverted-file) assignment: deterministic integer k-means.
+
+    Seeds are the IVF_LISTS smallest ids; IVF_ITERS Lloyd iterations with
+    centroids kept as **floor-divided integer vectors** (sum div count) so
+    every step is exact integer arithmetic — the index is bit-reproducible
+    across runs/cluster sizes (no RNG, no float accumulation order).
+    Returns (id, list_id, v) — the corpus partitioned into inverted lists.
+    Centroid recomputation aggregates per-dimension sums (a groupBy over
+    exploded (list, dim, value) triples — one shuffle per iteration, tiny).
+    """
+    e = corpus.select(F.col(id_col).alias("id"), quantized(F.col(vec_col)).alias("v"))
+    w = Window.orderBy("id")
+    seeds = (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= IVF_LISTS)
+        .select((F.col("rn") - 1).alias("list_id"), F.col("v").alias("c"))
+    )
+    centroids = F.broadcast(seeds)
+    for _ in range(IVF_ITERS):
+        # nearest centroid by exact integer squared L2
+        dist = F.aggregate(
+            F.zip_with(F.col("v"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        assigned = (
+            e.crossJoin(centroids)
+            .withColumn("d2", dist)
+            .withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.partitionBy("id").orderBy("d2", "list_id")
+                ),
+            )
+            .where(F.col("rk") == 1)
+            .select("id", "list_id", "v")
+        )
+        sums = (
+            assigned.select(
+                "list_id", F.posexplode(F.col("v")).alias("dim", "x")
+            )
+            .groupBy("list_id", "dim")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .groupBy("list_id")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("dim", F.expr("s div n").alias("m")))
+                    ),
+                    lambda t: t["m"],
+                ).alias("c")
+            )
+        )
+        centroids = F.broadcast(sums)
+    dist = F.aggregate(
+        F.zip_with(F.col("v"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        e.crossJoin(centroids)
+        .withColumn("d2", dist)
+        .withColumn(
+            "rk", F.row_number().over(Window.partitionBy("id").orderBy("d2", "list_id"))
+        )
+        .where(F.col("rk") == 1)
+        .select("id", "list_id", "v")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probes: int = IVF_PROBES,
+) -> DataFrame:
+    """IVF approximate top-k: each query probes its n_probes nearest
+    inverted lists and scores only those lists' vectors (equi-join on
+    list_id — candidate cost scales with probed-list occupancy, not corpus
+    size).  Deterministic end to end; recall tested against cosine_topk."""
+    index = ivf_index(corpus, id_col, vec_col).persist()
+    # reconstruct centroids from the final assignment (exact ints)
+    cents = (
+        index.select("list_id", F.posexplode("v").alias("dim", "x"))
+        .groupBy("list_id", "dim")
+        .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+        .groupBy("list_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", F.expr("s div n").alias("m")))),
+                lambda t: t["m"],
+            ).alias("c")
+        )
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), quantized(F.col(vec_col)).alias("qv"))
+    dist = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("d2", dist)
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.partitionBy("query_id").orderBy("d2", "list_id")),
+        )
+        .where(F.col("rk") <= n_probes)
+        .select("query_id", "qv", "list_id")
+    )
+    cos = _cosine_batch()
+    scored = (
+        probes.join(index.select("list_id", F.col("id").alias("neighbor_id"), F.col("v").alias("cv")), "list_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos(F.col("qv"), F.col("cv")).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int"), "cosine")
+    )
+
+
 def plane_coef(plane: int, dim: int):
     """Deterministic pseudo-random hyperplane coefficient in
     [-(P-1)/2, (P-1)/2]: ((plane*997 + dim) * 2654435761) mod P - (P-1)/2."""

@@ -102,3 +102,19 @@ def test_decode_media_stub_raises(spark, docs):
     media = attach_binary(docs.limit(2))
     with pytest.raises(Exception, match="no decoder registered"):
         decode_media(media).collect()
+
+
+def test_ivf_topk_deterministic_and_sane(spark, embs):
+    from sequila_spark.operators.similarity import cosine_topk, ivf_topk
+
+    queries = embs.where(F.col("vec_id") % 100 == 0)
+    a = sorted(map(tuple, ivf_topk(embs, queries, k=5).collect()))
+    b = sorted(map(tuple, ivf_topk(embs, queries, k=5).collect()))
+    assert a == b  # bit-reproducible (integer k-means, no RNG)
+    assert all(r[0] != r[1] for r in a)  # no self matches
+    # probing 4/16 lists must keep rank-1 recall well above the 25% random
+    # baseline (near vectors fall in near lists)
+    exact1 = {r["query_id"]: r["neighbor_id"] for r in cosine_topk(embs, queries, k=5).collect() if r["rank"] == 1}
+    ivf1 = {r[0]: r[1] for r in a if r[2] == 1}
+    hits = sum(1 for qid, n in ivf1.items() if exact1.get(qid) == n)
+    assert hits >= max(1, len(exact1) // 3), (hits, len(exact1))
