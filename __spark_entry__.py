@@ -454,6 +454,56 @@ def _q_events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's latest prior (or
+    same-instant) view.  Oracle = DuckDB's native ASOF JOIN."""
+    from sequila_spark.operators.asof import asof_join
+    from sequila_spark.streaming.ops import read_events
+
+    e = read_events(spark, sf_dir)
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("ts"), F.col("event_id").alias("purchase_id")
+    )
+    views = e.where(F.col("event_type") == "view").select(
+        "user_id", F.unix_micros("ts").alias("ts"), F.col("event_id").alias("view_id")
+    )
+    j = asof_join(purchases, views, on="user_id", ts_col="ts")
+    return j.select(
+        "user_id",
+        "purchase_id",
+        F.col("r_view_id").cast("long").alias("view_id"),
+    )
+
+
+def _q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event-type counts as columns."""
+    from sequila_spark.streaming.ops import read_events
+
+    e = read_events(spark, sf_dir)
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", types)
+        .count()
+        .select(
+            "user_id",
+            *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in types],
+        )
+    )
+
+
+def _q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup aggregation over (event_type, user_id) with grouping flags."""
+    from sequila_spark.streaming.ops import read_events
+
+    e = read_events(spark, sf_dir)
+    return e.rollup("event_type", "user_id").agg(
+        F.count("*").alias("n"),
+        F.grouping("event_type").cast("int").alias("g_type"),
+        F.grouping("user_id").cast("int").alias("g_user"),
+    )
+
+
 def _q_reads_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sequila_spark.streaming.ops import windowed_read_counts
 
@@ -498,6 +548,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nation_revenue": _q_nation_revenue,
     "events_props_json": _q_events_props_json,
     "similarity_ivf": _q_similarity_ivf,
+    "events_asof": _q_events_asof,
+    "events_pivot": _q_events_pivot,
+    "events_rollup": _q_events_rollup,
 }
 
 
@@ -1055,6 +1108,34 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name, n_name
+        """,
+        "events_asof": """
+            WITH p AS (
+              SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts, event_id AS purchase_id
+              FROM events WHERE event_type = 'purchase'
+            ),
+            v AS (
+              SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts, event_id AS view_id
+              FROM events WHERE event_type = 'view'
+            )
+            SELECT p.user_id, p.purchase_id, CAST(v.view_id AS BIGINT) AS view_id
+            FROM p ASOF LEFT JOIN v
+              ON p.user_id = v.user_id AND v.ts <= p.ts
+        """,
+        "events_pivot": """
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                   CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+                   CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+                   CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+            FROM events GROUP BY user_id
+        """,
+        "events_rollup": """
+            SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(CASE WHEN GROUPING(event_type) THEN 1 ELSE 0 END AS INT) AS g_type,
+                   CAST(CASE WHEN GROUPING(user_id) THEN 1 ELSE 0 END AS INT) AS g_user
+            FROM events GROUP BY ROLLUP (event_type, user_id)
         """,
         "events_props_json": """
             SELECT event_type,
