@@ -56,3 +56,16 @@ def test_distinct_samples_from_partitions(spark, tmp_path):
         for r in read_alignments(spark, path).select("sample_id").distinct().collect()
     )
     assert got == ["A", "B", "C"]
+
+
+def test_limit_pushdown_plan(spark, tmp_path):
+    """LIMIT over a scan plans as CollectLimit (no full materialization) —
+    the built-in equivalent of the reference's LIMIT fast path
+    (SequilaDataSourceStrategy.scala:56-75)."""
+    from sequila_spark.sources import read_alignments
+
+    path = _write(spark, tmp_path)
+    df = read_alignments(spark, path).limit(7)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CollectLimit" in plan or "GlobalLimit" in plan
+    assert df.count() == 7
