@@ -196,6 +196,13 @@ _SQL_BODIES = {
         " WHEN c LIKE 'chr%' THEN substr(c, 4) "
         " ELSE c END",
     ),
+    "unclean_contig": (
+        "c STRING",
+        "STRING",
+        "CASE WHEN c IS NULL THEN c "
+        " WHEN c = 'MT' THEN 'chrM' "
+        " ELSE concat('chr', c) END",
+    ),
 }
 
 

@@ -112,6 +112,30 @@ def register_map_functions(spark: SparkSession) -> None:
             "CAST(aggregate(flatten(map_values(m)), 0, (acc, x) -> acc + x) AS INT) END",
         ),
         "cov_equals": ("a INT, b INT", "BOOLEAN", "a = b"),
+        "alts_to_char": (
+            "m MAP<STRING,INT>",
+            "MAP<STRING,INT>",
+            "transform_keys(m, (k, v) -> CAST(k AS STRING))",
+        ),
+        "quals_to_char": (
+            "m MAP<STRING,ARRAY<INT>>",
+            "MAP<STRING,ARRAY<INT>>",
+            "transform_keys(m, (k, v) -> CAST(k AS STRING))",
+        ),
+        "quals_to_map": (
+            "m MAP<STRING,ARRAY<INT>>",
+            "MAP<STRING,MAP<STRING,INT>>",
+            "transform_values(m, (k, v) -> map_from_entries("
+            " filter(zip_with(v, sequence(33, 33 + size(v) - 1),"
+            "  (cnt, q) -> struct(char(q) AS key, cnt AS value)), e -> e.value > 0)))",
+        ),
+        "to_charmap": (
+            "m MAP<STRING,ARRAY<INT>>",
+            "MAP<STRING,MAP<STRING,INT>>",
+            "transform_values(m, (k, v) -> map_from_entries("
+            " filter(zip_with(v, sequence(33, 33 + size(v) - 1),"
+            "  (cnt, q) -> struct(char(q) AS key, cnt AS value)), e -> e.value > 0)))",
+        ),
         "qualsmap_to_str": (
             "m MAP<STRING,ARRAY<INT>>",
             "STRING",

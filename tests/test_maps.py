@@ -73,3 +73,20 @@ def test_sql_map_functions(spark):
     assert row["qc"] == 3
     assert row["ce"] is True
     assert row["qs"] == "A:1=7"
+
+
+def test_sql_map_function_registry_complete(spark):
+    """Every UDF in the reference's UDFRegister has a SQL-callable
+    counterpart (utils/UDFRegister.scala:12-41)."""
+    row = spark.sql(
+        "SELECT alts_to_char(map('A', 2)) AS a,"
+        " quals_to_char(map('C', array(1))) AS qc,"
+        " quals_to_map(map('A', array(0, 3))) AS qm,"
+        " to_charmap(map('G', array(2))) AS tc,"
+        " unclean_contig('MT') AS u1, bdg_unclean_contig('7') AS u2"
+    ).first()
+    assert dict(row["a"]) == {"A": 2}
+    assert dict(row["qc"]) == {"C": [1]}
+    assert {k: dict(v) for k, v in row["qm"].items()} == {"A": {'"': 3}}
+    assert {k: dict(v) for k, v in row["tc"].items()} == {"G": {"!": 2}}
+    assert row["u1"] == "chrM" and row["u2"] == "chr7"
