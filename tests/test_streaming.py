@@ -122,3 +122,68 @@ def test_windowed_read_counts_stream_equals_batch(spark, sf_small, tmp_path):
         for r in windowed_read_counts(reads).collect()
     }
     assert got == expect and len(got) > 0
+
+
+def test_append_mode_watermark_emits_closed_windows(spark, tmp_path):
+    """Append-mode windowed agg with a watermark: windows are emitted only
+    once the watermark passes their end, and late rows beyond the watermark
+    are dropped — the bounded-state contract."""
+    import os
+    import pandas as pd
+
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src, exist_ok=True)
+    base = 1_700_000_000  # epoch seconds
+
+    def write_batch(name, rows):
+        pd.DataFrame(
+            {
+                "event_id": range(len(rows)),
+                "ts": pd.to_datetime([base + r for r in rows], unit="s").astype(
+                    "datetime64[us]"
+                ),
+                "value": [1.0] * len(rows),
+            }
+        ).to_parquet(f"{src}/{name}.parquet")
+
+    # batch 1: events inside window [0, 60); batch 2: an event far in the
+    # future (advances watermark past window 1) plus one very late event.
+    write_batch("b1", [5, 10, 20])
+    schema = "event_id long, ts timestamp, value double"
+    from pyspark.sql import functions as F
+
+    stream = spark.readStream.schema(schema).format("parquet").load(src)
+    agg = (
+        stream.withWatermark("ts", "30 seconds")
+        .groupBy(F.window("ts", "60 seconds").alias("win"))
+        .agg(F.count("*").alias("n"))
+        .select(F.unix_timestamp("win.start").alias("ws"), "n")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = {r["ws"]: r["n"] for r in spark.sql("SELECT * FROM wm_out").collect()}
+        assert first == {}  # watermark has not passed window 1 yet
+
+        write_batch("b2", [500])  # advances the watermark past window 1
+        q.processAllAvailable()
+        second = {r["ws"]: r["n"] for r in spark.sql("SELECT * FROM wm_out").collect()}
+        assert second == {base - base % 60: 3}  # window 1 closed and emitted
+
+        write_batch("b3", [2, 600])  # ts=+2 is now behind the watermark
+        q.processAllAvailable()
+        third = {r["ws"]: r["n"] for r in spark.sql("SELECT * FROM wm_out").collect()}
+    finally:
+        q.stop()
+
+    # the late row was dropped: window 1's emitted count is unchanged (no
+    # re-emission — append mode emits each window once); ts=+500's window
+    # also closed when the watermark passed it.
+    w1 = base - base % 60
+    assert third == {w1: 3, w1 + 480: 1}
