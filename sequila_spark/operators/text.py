@@ -75,6 +75,10 @@ def quality_metrics(col: Column) -> dict[str, Column]:
     n_upper = F.length(F.regexp_replace(col, r"[^A-Z]", ""))
     n_punct = n_nospace - n_alpha - n_digit
     tokens = ws_token_count(col)
+    # guarded denominators: empty/whitespace-only text yields 0-valued
+    # ratios instead of 0/0 NaNs (counts stay exact)
+    n_d = F.greatest(n, F.lit(1))
+    tokens_d = F.greatest(tokens, F.lit(1))
     stop_hits = sum(
         (occurrences(F.concat(F.lit(" "), F.lower(col), F.lit(" ")), f" {w} ")
         for w in ("the", "a", "of", "and")),
@@ -83,11 +87,11 @@ def quality_metrics(col: Column) -> dict[str, Column]:
     return {
         "n_chars": n.cast("int"),
         "n_tokens": tokens.cast("int"),
-        "punct_ratio": (n_punct.cast("double") / n).alias("punct_ratio"),
-        "digit_ratio": (n_digit.cast("double") / n),
-        "upper_ratio": (n_upper.cast("double") / n),
-        "mean_token_len": (n_nospace.cast("double") / tokens),
-        "stop_ratio": (stop_hits.cast("double") / tokens),
+        "punct_ratio": (n_punct.cast("double") / n_d),
+        "digit_ratio": (n_digit.cast("double") / n_d),
+        "upper_ratio": (n_upper.cast("double") / n_d),
+        "mean_token_len": (n_nospace.cast("double") / tokens_d),
+        "stop_ratio": (stop_hits.cast("double") / tokens_d),
     }
 
 

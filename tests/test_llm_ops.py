@@ -118,3 +118,21 @@ def test_ivf_topk_deterministic_and_sane(spark, embs):
     ivf1 = {r[0]: r[1] for r in a if r[2] == 1}
     hits = sum(1 for qid, n in ivf1.items() if exact1.get(qid) == n)
     assert hits >= max(1, len(exact1) // 3), (hits, len(exact1))
+
+
+def test_text_features_empty_and_odd_inputs(spark):
+    """Empty / whitespace-only / unicode text must not produce NaNs or
+    errors."""
+    import math
+
+    from sequila_spark.operators.text import text_features
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "héllo wörld 123 !!"), (4, "a")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in text_features(df).collect()}
+    for r in rows.values():
+        assert not math.isnan(r["quality"]), r
+        assert r["ws_tokens"] >= 0 and r["bpe_tokens"] >= 0
+    assert rows[3]["bpe_tokens"] >= 4

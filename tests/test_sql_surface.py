@@ -64,3 +64,21 @@ def test_grange_tvf_join(spark):
 def test_plain_sql_passthrough(spark):
     ss = SequilaSession(spark)
     assert ss.sql("SELECT 1 + 1 AS x").first()["x"] == 2
+
+
+def test_session_dataset_api(spark):
+    """SequilaSession dataset-API entry points (SequilaSession.scala:89-112
+    parity): coverage/pileup/range_join/grange as methods."""
+    from pyspark.sql import functions as F
+
+    from sequila_spark.session import SequilaSession
+
+    ss = SequilaSession(spark)
+    _reads_view(spark)
+    cov = ss.coverage("reads_sql_test", mode="blocks", use_cigar=False)
+    assert cov.count() > 0
+    p = ss.pileup("reads_sql_test")
+    assert p.where(F.col("coverage") > 0).count() > 0
+    iv = ss.grange("1", 1, 100)
+    j = ss.range_join(iv, spark.table("reads_sql_test"))
+    assert j.count() == 3
