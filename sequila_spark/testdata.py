@@ -119,8 +119,56 @@ FROM __reads_base
 """
 
 
+# Closed-form Spark builder: the derived strings are periodic, so they can
+# be assembled with repeat/substr/overlay instead of a per-character lambda
+# (~2x cheaper at sf0.1; equality with the lambda form is pinned by
+# tests/test_testdata.py and the oracle gate, whose DuckDB side still uses
+# the per-character definition):
+#  - ref base index (7p + 13c) % 4 steps by 3 per position -> the reference
+#    is repeat('ATGC') rotated by a per-read offset;
+#  - mismatch positions solve 11p ≡ -okey (mod 59) -> arithmetic sequence
+#    with step 59, patched in with overlay();
+#  - qual value (3p + okey) % 21 has period 7 -> repeat of a 7-char block.
+_LN = "(pos_end - pos_start + 1)"
+_C = "CAST(contig AS INT)"
+_REF_OFF = f"element_at(array(0, 3, 2, 1), CAST((pos_start * 7 + {_C} * 13) % 4 AS INT) + 1)"
+_REF_SEQ = f"substr(repeat('ATGC', {_LN} div 4 + 2), {_REF_OFF} + 1, {_LN})"
+_FIRST_MISM = (
+    "pos_start + CAST((((((59 - okey % 59) % 59) * 43) % 59 - pos_start) % 59 + 59) % 59 AS INT)"
+)
+_ALT_CHAR = (
+    f"substr('ACGT', 1 + CAST((p * 7 + {_C} * 13 + 1 + okey % 3) % 4 AS INT), 1)"
+)
+_SEQ_FAST = f"""
+CASE WHEN {_FIRST_MISM} > pos_end THEN {_REF_SEQ}
+ELSE aggregate(
+  sequence(CAST({_FIRST_MISM} AS BIGINT), CAST(pos_end AS BIGINT), 59),
+  {_REF_SEQ},
+  (acc, p) -> overlay(acc, {_ALT_CHAR}, CAST(p - pos_start + 1 AS INT), 1))
+END
+"""
+_QPH = f"CAST((pos_start * 3 + okey) % 21 AS INT)"
+_QBLOCK = "concat(" + ", ".join(
+    f"char(53 + ({_QPH} + {3 * j}) % 21)" for j in range(7)
+) + ")"
+_QUAL_FAST = f"substr(repeat({_QBLOCK}, {_LN} div 7 + 2), 1, {_LN})"
+
+_READS_SEQ_SPARK_FAST = f"""
+SELECT
+  okey, sample_id, qname, flag, contig, pos_start, pos_end, mapq, cigar,
+  {_SEQ_FAST} AS seq,
+  {_QUAL_FAST} AS qual
+FROM __reads_base
+"""
+
+
 def reads_with_seq_sql(dialect: str) -> str:
-    inner = _READS_SEQ_SPARK if dialect == "spark" else _READS_SEQ_DUCK
+    if dialect == "spark":
+        inner = _READS_SEQ_SPARK_FAST
+    elif dialect == "spark_lambda":
+        inner = _READS_SEQ_SPARK
+    else:
+        inner = _READS_SEQ_DUCK
     return inner.replace("__reads_base", f"({READS_SQL}) __rb")
 
 
