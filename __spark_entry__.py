@@ -210,6 +210,48 @@ def _q_pileup_quals_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pileup_indels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indel-aware pileup digest over mixed-CIGAR reads (gapless /
+    soft-clipped / deletion / insertion shapes): each seq index is mapped to
+    its reference position through the CIGAR walk (pileup/MDTagParser.scala:
+    24-53, pileup/model/Read.scala:56-69 semantics).  Callable ref ->
+    sparse-mismatch path; per-contig integer sums pin every position."""
+    reads = TD.reads_indel(spark, sf_dir)
+    p = pileup(reads, ref=TD.ref_base_col, alts=True)
+    return p.groupBy(S.CONTIG).agg(
+        F.count("*").alias("n_pos"),
+        F.sum(S.COVERAGE).cast("long").alias("sum_cov"),
+        F.sum(S.COUNT_REF).cast("long").alias("sum_ref"),
+        F.sum(S.COUNT_NONREF).cast("long").alias("sum_nonref"),
+        F.sum(F.when(F.col(S.COUNT_NONREF) > 0, 1).otherwise(0)).cast("long").alias("n_alt_pos"),
+    )
+
+
+def _q_pileup_indels_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indel-aware pileup on a slice through the DENSE path (ref passed as a
+    relation), alts rendered per position — pins exact per-position values
+    with CIGAR-shifted base attribution."""
+    from sequila_spark.functions.maps import altmap_to_str
+
+    reads = TD.reads_indel(spark, sf_dir)
+    ref_rel = (
+        spark.range(1, 20001)
+        .select(F.lit("3").alias(S.CONTIG), F.col("id").cast("int").alias("pos"))
+        .withColumn(S.REF, TD.ref_base_col(F.col(S.CONTIG), F.col("pos")))
+    )
+    p = pileup(reads, ref=ref_rel, alts=True)
+    return p.where((F.col(S.CONTIG) == "3") & F.col(S.START).between(1, 20000)).select(
+        S.CONTIG,
+        S.START,
+        S.END,
+        S.REF,
+        S.COVERAGE,
+        S.COUNT_REF,
+        S.COUNT_NONREF,
+        F.nullif(altmap_to_str(F.col(S.ALTS)), F.lit("")).alias("alts_str"),
+    )
+
+
 def _q_distinct_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTINCT sample_id fast path (SequilaDataSourceStrategy.scala:38-54);
     with partitioned storage this is partition listing — here the aggregate."""
@@ -528,6 +570,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pileup_agg": _q_pileup_agg,
     "pileup_quals_slice": _q_pileup_quals_slice,
     "pileup_quals_binned": _q_pileup_quals_binned,
+    "pileup_indels": _q_pileup_indels,
+    "pileup_indels_slice": _q_pileup_indels_slice,
     "dedup_exact": _q_dedup_exact,
     "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
     "dedup_minhash_pairs": _q_dedup_minhash_pairs,
@@ -608,6 +652,39 @@ pb2 AS (
 cnts AS (
   SELECT contig, pos, ref, base, COUNT(*) AS cnt
   FROM pb2 GROUP BY contig, pos, ref, base
+)
+"""
+
+
+def _indel_base_cte(where: str = "TRUE") -> str:
+    """DuckDB per-base expansion for the mixed-CIGAR reads: aligned blocks
+    are derived arithmetically per CIGAR shape (kind), bases from the
+    0-based query offset — fully independent of the Spark CIGAR fold."""
+    return f"""
+iblocks AS (
+  SELECT contig, okey, pos_start AS s,
+         CASE kind WHEN 1 THEN 5 ELSE 0 END AS q,
+         CASE kind WHEN 0 THEN qlen WHEN 1 THEN qlen - 10 ELSE a END AS n
+  FROM reads_indel
+  UNION ALL
+  SELECT contig, okey,
+         CASE kind WHEN 2 THEN pos_start + a + d ELSE pos_start + a END AS s,
+         CASE kind WHEN 2 THEN a ELSE a + ins END AS q,
+         CASE kind WHEN 2 THEN qlen - a ELSE qlen - a - ins END AS n
+  FROM reads_indel WHERE kind = 2 OR kind = 3
+),
+ipb AS (
+  SELECT contig, okey, s, q, UNNEST(range(0, n)) AS o FROM iblocks
+),
+ipb2 AS (
+  SELECT contig, CAST(s + o AS INT) AS pos,
+         {TD.indel_base_sql('(q + o)', 'okey')} AS base,
+         {TD.ref_base_sql('(s + o)', 'contig')} AS ref
+  FROM ipb
+),
+icnts AS (
+  SELECT contig, pos, ref, base, COUNT(*) AS cnt
+  FROM ipb2 WHERE {where} GROUP BY contig, pos, ref, base
 )
 """
 
@@ -990,6 +1067,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(bn) AS INT) AS coverage,
                    STRING_AGG(base || ':' || h, '|' ORDER BY base) AS quals_str
             FROM hist GROUP BY contig, pos
+        """,
+        "pileup_indels": f"""
+            {cte('reads_indel')}, {_indel_base_cte()},
+            pos_level AS (
+              SELECT contig, pos,
+                     SUM(cnt) AS coverage,
+                     SUM(CASE WHEN base = ref THEN cnt ELSE 0 END) AS cref,
+                     SUM(CASE WHEN base <> ref THEN cnt ELSE 0 END) AS cnonref
+              FROM icnts GROUP BY contig, pos
+            )
+            SELECT contig,
+                   CAST(COUNT(*) AS BIGINT) AS n_pos,
+                   CAST(SUM(coverage) AS BIGINT) AS sum_cov,
+                   CAST(SUM(cref) AS BIGINT) AS sum_ref,
+                   CAST(SUM(cnonref) AS BIGINT) AS sum_nonref,
+                   CAST(SUM(CASE WHEN cnonref > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_alt_pos
+            FROM pos_level GROUP BY contig
+        """,
+        "pileup_indels_slice": f"""
+            {cte('reads_indel')}, {_indel_base_cte("contig = '3' AND pos BETWEEN 1 AND 20000")}
+            SELECT contig, pos AS pos_start, pos AS pos_end, ref,
+                   CAST(SUM(cnt) AS INT) AS coverage,
+                   CAST(SUM(CASE WHEN base = ref THEN cnt ELSE 0 END) AS INT) AS "countRef",
+                   CAST(SUM(CASE WHEN base <> ref THEN cnt ELSE 0 END) AS INT) AS "countNonRef",
+                   STRING_AGG(CASE WHEN base <> ref THEN base || ':' || CAST(cnt AS STRING) END,
+                              '|' ORDER BY base) AS alts_str
+            FROM icnts GROUP BY contig, pos, ref
         """,
         **_llm_oracles(),
         "events_window_agg": """

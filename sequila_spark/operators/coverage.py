@@ -103,7 +103,17 @@ def aligned_blocks(reads: DataFrame, use_cigar: bool | None = None) -> DataFrame
         new_off = F.when(consumes_ref, acc["off"] + n).otherwise(acc["off"]).cast("int")
         return F.struct(new_off.alias("off"), new_blocks.alias("blocks"))
 
-    blocks = F.aggregate(ops, init, step)["blocks"]
+    folded = F.aggregate(ops, init, step)["blocks"]
+    # Gapless fast path: single-run CIGARs (e.g. '100M') skip the fold
+    # entirely (CaseWhen branches evaluate lazily per row).
+    n1 = F.substring(F.col(S.CIGAR), 1, F.length(S.CIGAR) - 1).cast("int")
+    gapless = F.array(
+        F.struct(
+            F.col(S.START).cast("int").alias("s"),
+            (F.col(S.START) + n1 - 1).cast("int").alias("e"),
+        )
+    )
+    blocks = F.when(F.col(S.CIGAR).rlike("^[0-9]+[M=X]$"), gapless).otherwise(folded)
     exploded = reads.select("*", F.explode(blocks).alias("__sq_blk"))
     return exploded.select(
         "*",

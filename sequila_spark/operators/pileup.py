@@ -36,35 +36,167 @@ from sequila_spark import schemas as S
 RefExpr = Callable[[Column, Column], Column]  # (contig, pos) -> ref base
 
 
-def expand_bases(reads: DataFrame, with_quals: bool = False) -> DataFrame:
+def _strand_cased(base: Column, reads_cols: list[str], strand_case: bool) -> Column:
+    """samtools-style base casing: mismatch bases from reverse-strand reads
+    (flag bit 16) render lowercase (SamtoolsConverter caseSensitive=true
+    comparison path).  Default (strand_case=False) uppercases everything —
+    the reference's case-insensitive common format."""
+    if strand_case and S.FLAG in reads_cols:
+        return F.when(
+            F.col(S.FLAG).bitwiseAND(16) != 0, F.lower(base)
+        ).otherwise(F.upper(base))
+    return F.upper(base)
+
+
+# A CIGAR that is one reference-consuming run (e.g. '100M') — the common
+# short-read case, expanded without the fold.
+_GAPLESS_RE = "^[0-9]+[M=X]$"
+
+
+def _cigar_query_blocks(cigar: Column, start: Column) -> Column:
+    """Fold the CIGAR into per-aligned-block structs
+    ``(s: ref start, q: 0-based query offset, n: length)``.
+
+    M/=/X consume reference AND query (and emit a block); D/N consume
+    reference only; I/S consume query only; H/P consume nothing
+    (pileup/model/Read.scala:56-69, pileup/MDTagParser.scala:24-53 —
+    semantics matched, mechanism is a native Catalyst fold, not an MD-tag
+    walk: we have the full seq column, so mismatches come from comparing
+    expanded bases against the reference relation/expression).
+    """
+    ops = F.regexp_extract_all(cigar, F.lit(r"(\d+)([MIDNSHP=X])"), 0)
+    init = F.struct(
+        start.cast("int").alias("r"),
+        F.lit(0).cast("int").alias("q"),
+        F.expr("CAST(array() AS ARRAY<STRUCT<s: INT, q: INT, n: INT>>)").alias("blocks"),
+    )
+
+    def step(acc, op):
+        n = F.substring(op, 1, F.length(op) - 1).cast("int")
+        code = F.substring(op, -1, 1)
+        consumes_ref = code.isin("M", "D", "N", "=", "X")
+        consumes_query = code.isin("M", "I", "S", "=", "X")
+        emits = code.isin("M", "=", "X")
+        new_blocks = F.when(
+            emits,
+            F.concat(
+                acc["blocks"],
+                F.array(F.struct(acc["r"].alias("s"), acc["q"].alias("q"), n.alias("n"))),
+            ),
+        ).otherwise(acc["blocks"])
+        return F.struct(
+            F.when(consumes_ref, acc["r"] + n).otherwise(acc["r"]).cast("int").alias("r"),
+            F.when(consumes_query, acc["q"] + n).otherwise(acc["q"]).cast("int").alias("q"),
+            new_blocks.alias("blocks"),
+        )
+
+    folded = F.aggregate(ops, init, step)["blocks"]
+    # Gapless fast path: skip the fold for single-run CIGARs (CaseWhen
+    # evaluates lazily per row, so all-M data never pays the fold).
+    gapless = F.array(
+        F.struct(
+            start.cast("int").alias("s"),
+            F.lit(0).cast("int").alias("q"),
+            F.substring(cigar, 1, F.length(cigar) - 1).cast("int").alias("n"),
+        )
+    )
+    return F.when(cigar.rlike(_GAPLESS_RE), gapless).otherwise(folded)
+
+
+def expand_bases(
+    reads: DataFrame,
+    with_quals: bool = False,
+    use_cigar: bool | None = None,
+    strand_case: bool = False,
+) -> DataFrame:
     """Explode alignment rows into per-base rows (contig, pos, base [, qual]).
 
-    Assumes seq aligns 1:1 from pos_start (gapless CIGAR, e.g. '100M' —
-    indel-aware expansion goes through `aligned_blocks`-style offsets; the
-    qual string is phred+33).  Native expressions only.
+    With ``use_cigar`` (default: auto — on when a cigar column exists) each
+    seq index is mapped to its reference position through the CIGAR walk:
+    soft-clipped and inserted bases are skipped, deletions/splices jump the
+    reference coordinate.  Without it, seq is assumed to align 1:1 from
+    pos_start (gapless).  Native expressions only; qual is phred+33.
     """
-    # Split once into a char array and posexplode — ~3x faster than
-    # per-position substr (the split is one pass over the string; substr in
-    # a sequence-explode re-scans).  slice() drops the regex's trailing
-    # empty element.
+    if use_cigar is None:
+        use_cigar = S.CIGAR in reads.columns
+    # Split once into a char array — ~3x faster than per-position substr
+    # (one pass over the string; substr in a sequence-explode re-scans).
+    # slice() drops the regex's trailing empty element.
     seq_chars = F.slice(F.split(F.col(S.SEQUENCE), "(?!^)"), 1, F.length(S.SEQUENCE))
-    if with_quals:
-        qual_chars = F.slice(F.split(F.col(S.BASEQ), "(?!^)"), 1, F.length(S.BASEQ))
-        zipped = F.arrays_zip(seq_chars.alias("b"), qual_chars.alias("q"))
-        out = reads.select(
-            S.CONTIG, S.START, F.posexplode(zipped).alias("__i", "__bq")
+    base = lambda c: _strand_cased(c, reads.columns, strand_case)  # noqa: E731
+
+    if use_cigar:
+        blocks = _cigar_query_blocks(F.col(S.CIGAR), F.col(S.START))
+        keep = [S.CONTIG] + ([S.FLAG] if strand_case and S.FLAG in reads.columns else [])
+        blk = reads.select(
+            *keep,
+            F.col(S.SEQUENCE).alias("__seq"),
+            *([F.col(S.BASEQ).alias("__qs")] if with_quals else []),
+            F.explode(blocks).alias("__blk"),
+        )
+        # Per-block string substring, split to chars, one posexplode:
+        # pos = s + i.  Substring-then-split keeps total split work equal to
+        # one pass over seq (blocks are disjoint in query space) — measured
+        # faster than slicing a pre-split char array through the Generate.
+        sub = F.slice(
+            F.split(
+                F.substring(F.col("__seq"), F.col("__blk.q") + 1, F.col("__blk.n")),
+                "(?!^)",
+            ),
+            1,
+            F.col("__blk.n"),
+        )
+        if with_quals:
+            qsub = F.slice(
+                F.split(
+                    F.substring(F.col("__qs"), F.col("__blk.q") + 1, F.col("__blk.n")),
+                    "(?!^)",
+                ),
+                1,
+                F.col("__blk.n"),
+            )
+            out = blk.select(
+                *keep,
+                F.col("__blk.s").alias("__s"),
+                F.posexplode(F.arrays_zip(sub.alias("b"), qsub.alias("q"))).alias(
+                    "__i", "__bq"
+                ),
+            )
+            return out.select(
+                F.col(S.CONTIG),
+                (F.col("__s") + F.col("__i")).cast("int").alias("pos"),
+                base(F.col("__bq.b")).alias("base"),
+                (F.ascii(F.col("__bq.q")) - 33).cast("int").alias("qual"),
+            )
+        out = blk.select(
+            *keep,
+            F.col("__blk.s").alias("__s"),
+            F.posexplode(sub).alias("__i", "__b"),
         )
         return out.select(
             F.col(S.CONTIG),
+            (F.col("__s") + F.col("__i")).cast("int").alias("pos"),
+            base(F.col("__b")).alias("base"),
+        )
+
+    keep = [S.CONTIG, S.START] + (
+        [S.FLAG] if strand_case and S.FLAG in reads.columns else []
+    )
+    if with_quals:
+        qual_chars = F.slice(F.split(F.col(S.BASEQ), "(?!^)"), 1, F.length(S.BASEQ))
+        zipped = F.arrays_zip(seq_chars.alias("b"), qual_chars.alias("q"))
+        out = reads.select(*keep, F.posexplode(zipped).alias("__i", "__bq"))
+        return out.select(
+            F.col(S.CONTIG),
             (F.col(S.START) + F.col("__i")).cast("int").alias("pos"),
-            F.upper(F.col("__bq.b")).alias("base"),
+            base(F.col("__bq.b")).alias("base"),
             (F.ascii(F.col("__bq.q")) - 33).cast("int").alias("qual"),
         )
-    out = reads.select(S.CONTIG, S.START, F.posexplode(seq_chars).alias("__i", "__b"))
+    out = reads.select(*keep, F.posexplode(seq_chars).alias("__i", "__b"))
     return out.select(
         F.col(S.CONTIG),
         (F.col(S.START) + F.col("__i")).cast("int").alias("pos"),
-        F.upper(F.col("__b")).alias("base"),
+        base(F.col("__b")).alias("base"),
     )
 
 
@@ -78,13 +210,22 @@ def pileup(
     qual_bin_size: int = 1,
     flag_mask: int = 0,
     min_mapq: int = 0,
+    use_cigar: bool | None = None,
+    strand_case: bool = False,
 ) -> DataFrame:
     """Per-position pileup rows (pos_start == pos_end == pos), matching the
     pileup TVF's 4 overloads: coverage-only, +alts, +quals, +binSize.
 
     ``ref`` is either a relation (contig, pos, ref) or a deterministic
     expression builder (contig, pos) -> base.  When None, the most frequent
-    base at each position is used as the reference proxy (no-FASTA mode).
+    base at each position (deterministic tie-break: lexicographically
+    smallest) is used as the reference proxy (no-FASTA mode).
+
+    ``use_cigar`` (default auto: on when a cigar column exists) maps each
+    seq index through the CIGAR walk so insertions/deletions/soft-clips
+    attribute bases to the correct reference positions.  ``strand_case``
+    renders mismatch bases from reverse-strand reads lowercase
+    (samtools-comparison mode); ref-match counting is always case-folded.
     """
     from sequila_spark.operators.coverage import filter_reads
 
@@ -92,25 +233,13 @@ def pileup(
         reads = filter_reads(reads, flag_mask=flag_mask, min_mapq=min_mapq)
 
     if not quals and callable(ref) and not isinstance(ref, DataFrame):
-        return _pileup_sparse(reads, ref, alts)
+        return _pileup_sparse(reads, ref, alts, use_cigar=use_cigar, strand_case=strand_case)
 
-    per_base = expand_bases(reads, with_quals=quals)
+    per_base = expand_bases(
+        reads, with_quals=quals, use_cigar=use_cigar, strand_case=strand_case
+    )
 
-    if isinstance(ref, DataFrame):
-        refd = ref.select(
-            F.col(S.CONTIG).alias("__rc"), F.col("pos").alias("__rp"), F.col(S.REF).alias("__rb")
-        )
-        per_base = per_base.join(
-            refd,
-            (per_base[S.CONTIG] == refd["__rc"]) & (per_base["pos"] == refd["__rp"]),
-            "left",
-        ).select(per_base[S.CONTIG], "pos", "base", *(["qual"] if quals else []), F.col("__rb").alias("ref_base"))
-    elif callable(ref):
-        per_base = per_base.withColumn("ref_base", ref(F.col(S.CONTIG), F.col("pos")))
-    else:
-        per_base = per_base.withColumn("ref_base", F.lit(None).cast("string"))
-
-    group1 = [S.CONTIG, "pos", "ref_base", "base"]
+    group1 = [S.CONTIG, "pos", "base"]
     if quals:
         nbins = max_qual // qual_bin_size + 1
         qb = F.least(
@@ -129,13 +258,48 @@ def pileup(
             ),
         )
         g1 = (
-            g1.groupBy(S.CONTIG, "pos", "ref_base", "base")
+            g1.groupBy(S.CONTIG, "pos", "base")
             .agg(F.sum("cnt").alias("cnt"), hist.alias("hist"))
         )
     else:
         g1 = per_base.groupBy(*group1).agg(F.count("*").alias("cnt"))
 
-    is_ref = F.col("base") == F.col("ref_base")
+    # Attach the reference base AFTER the first aggregation: g1 has at most a
+    # few rows per position (distinct observed bases), so the ref join/
+    # expression touches orders of magnitude fewer rows than per-base would.
+    if isinstance(ref, DataFrame):
+        refd = ref.select(
+            F.col(S.CONTIG).alias("__rc"), F.col("pos").alias("__rp"), F.col(S.REF).alias("__rb")
+        )
+        g1 = g1.join(
+            refd,
+            (g1[S.CONTIG] == refd["__rc"]) & (g1["pos"] == refd["__rp"]),
+            "left",
+        ).select(g1[S.CONTIG], "pos", "base", "cnt", *(["hist"] if quals else []), F.col("__rb").alias("ref_base"))
+    elif callable(ref):
+        g1 = g1.withColumn("ref_base", ref(F.col(S.CONTIG), F.col("pos")))
+    else:
+        # No-FASTA mode: the reference proxy is the most frequent observed
+        # base per position, ties broken to the lexicographically smallest
+        # (deterministic).  One extra tiny aggregation over g1.
+        proxy = (
+            g1.groupBy(S.CONTIG, "pos", F.upper("base").alias("__ub"))
+            .agg(F.sum("cnt").alias("__bc"))
+            .groupBy(S.CONTIG, "pos")
+            .agg(
+                F.element_at(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct((-F.col("__bc")).alias("nc"), F.col("__ub"))
+                        )
+                    ),
+                    1,
+                )["__ub"].alias("ref_base")
+            )
+        )
+        g1 = g1.join(proxy, [S.CONTIG, "pos"])
+
+    is_ref = F.upper(F.col("base")) == F.upper(F.col("ref_base"))
     aggs = [
         F.sum("cnt").cast("int").alias(S.COVERAGE),
         F.sum(F.when(is_ref, F.col("cnt")).otherwise(0)).cast("int").alias(S.COUNT_REF),
@@ -175,7 +339,13 @@ def pileup(
     return out.select(*cols)
 
 
-def _pileup_sparse(reads: DataFrame, ref: RefExpr, alts: bool) -> DataFrame:
+def _pileup_sparse(
+    reads: DataFrame,
+    ref: RefExpr,
+    alts: bool,
+    use_cigar: bool | None = None,
+    strand_case: bool = False,
+) -> DataFrame:
     """Fast path for alts-mode pileup with an expression-computable
     reference: the same sparse-mismatch design as the reference's MD-tag
     walk (pileup/MDTagParser.scala:24-53 — matching bases never materialize
@@ -192,16 +362,20 @@ def _pileup_sparse(reads: DataFrame, ref: RefExpr, alts: bool) -> DataFrame:
     """
     from sequila_spark.operators.coverage import coverage as _coverage
 
-    cov = _coverage(reads, mode="bases", use_cigar=False).select(
+    if use_cigar is None:
+        use_cigar = S.CIGAR in reads.columns
+    cov = _coverage(reads, mode="bases", use_cigar=use_cigar).select(
         S.CONTIG, F.col(S.START).alias("pos"), S.COVERAGE
     )
 
     # Explode all bases map-side, filter to mismatches pre-shuffle.  (An
     # array-lambda prefilter before the explode was measured 2x SLOWER —
     # higher-order-function evaluation beats Generate on per-element cost.)
-    per_base = expand_bases(reads, with_quals=False)
+    per_base = expand_bases(
+        reads, with_quals=False, use_cigar=use_cigar, strand_case=strand_case
+    )
     mism = per_base.withColumn("ref_base", ref(F.col(S.CONTIG), F.col("pos"))).where(
-        F.col("base") != F.col("ref_base")
+        F.upper(F.col("base")) != F.col("ref_base")
     )
     g1 = mism.groupBy(S.CONTIG, "pos", "base").agg(F.count("*").cast("int").alias("cnt"))
     alt_agg = [

@@ -59,6 +59,53 @@ SELECT
 FROM ({READS_CORE_SQL}) __reads_core
 """
 
+# Mixed-CIGAR reads: one per lineitem row, four deterministic CIGAR shapes
+# keyed by okey % 4 — gapless (qM), soft-clipped (5S mM 5S), deletion
+# (aM dD bM), insertion (aM iI bM).  qlen = query length (seq length);
+# pos_end = reference end accounting for ref-consumed ops.  Shared verbatim
+# by Spark and DuckDB (probed constructs only).  The seq string is defined
+# by query offset: seq[i] = 'ACGT'[(i*5 + okey) % 4] (0-based i) — the
+# DuckDB oracle derives per-position bases arithmetically from (block, i)
+# while Spark parses seq/cigar back, so the two derivations are independent.
+READS_INDEL_SQL = f"""
+SELECT
+  okey, sample_id, qname, flag, contig, pos_start, mapq, kind, qlen, a, d, ins,
+  CAST(pos_start + CASE kind WHEN 0 THEN qlen WHEN 1 THEN qlen - 10
+       WHEN 2 THEN qlen + d ELSE qlen - ins END - 1 AS INT) AS pos_end,
+  CASE kind
+    WHEN 0 THEN CAST(qlen AS STRING) || 'M'
+    WHEN 1 THEN '5S' || CAST(qlen - 10 AS STRING) || 'M' || '5S'
+    WHEN 2 THEN CAST(a AS STRING) || 'M' || CAST(d AS STRING) || 'D'
+         || CAST(qlen - a AS STRING) || 'M'
+    ELSE CAST(a AS STRING) || 'M' || CAST(ins AS STRING) || 'I'
+         || CAST(qlen - a - ins AS STRING) || 'M'
+  END AS cigar
+FROM (
+  SELECT okey, sample_id, qname, flag, contig, pos_start, mapq,
+         read_len AS qlen,
+         CAST(okey % 4 AS INT) AS kind,
+         CAST(FLOOR(read_len / 2) AS INT) AS a,
+         CAST(1 + (okey % 7) AS INT) AS d,
+         CAST(1 + (okey % 5) AS INT) AS ins
+  FROM ({READS_CORE_SQL}) __ic
+) __indel_core
+"""
+
+
+def indel_base_sql(i: str, okey: str) -> str:
+    """Base at 0-based query offset ``i`` of a mixed-CIGAR read."""
+    return f"substr('ACGT', 1 + CAST(({i} * 5 + {okey}) % 4 AS INT), 1)"
+
+
+_READS_INDEL_SEQ_SPARK = f"""
+SELECT *,
+  array_join(transform(sequence(0, qlen - 1),
+    i -> {indel_base_sql('i', 'okey')}), '') AS seq,
+  repeat('I', qlen) AS qual
+FROM ({READS_INDEL_SQL}) __rin
+"""
+
+
 # targets: one per part row; 200/2k/20k rows.  Interval length 200..2000.
 TARGETS_SQL = f"""
 SELECT
@@ -215,6 +262,13 @@ def reads_with_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(reads_with_seq_sql("spark"))
 
 
+def reads_indel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-CIGAR alignment rows (seq/qual materialized) — the indel-aware
+    pileup's oracle input."""
+    _reg_par(spark, sf_dir, "lineitem")
+    return spark.sql(_READS_INDEL_SEQ_SPARK)
+
+
 def duck_cte(*views: str) -> str:
     """WITH-clause prefix for oracle SQL: duck_cte('reads','targets') ->
     'WITH reads AS (...), targets AS (...)'."""
@@ -226,6 +280,8 @@ def duck_cte(*views: str) -> str:
             parts.append(f"targets AS ({TARGETS_SQL})")
         elif v == "reads_seq":
             parts.append(f"reads_seq AS ({reads_with_seq_sql('duckdb')})")
+        elif v == "reads_indel":
+            parts.append(f"reads_indel AS ({READS_INDEL_SQL})")
         else:
             raise KeyError(v)
     return "WITH " + ",\n".join(parts)
