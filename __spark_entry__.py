@@ -340,19 +340,24 @@ def _q_multimodal_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN (deterministic integer k-means inverted lists).  No
-    oracle entry: the iterative index build is not reasonably
-    SQL-expressible — the driver records a rows-only check; determinism and
-    recall are pinned by tests/test_llm_ops.py."""
+    """IVF ANN in the seeded (iters=0) variant: assignment to the nearest of
+    the 16 smallest-id seed vectors, 4 probed lists per query — fully
+    SQL-expressible, so the whole pipeline (seeding, assignment, probing,
+    in-list exact scoring) is DuckDB-oracle-gated.  The Lloyd-iterated
+    variant (iters>0) shares every operator and is pinned by
+    tests/test_llm_ops.py recall/determinism assertions."""
     from sequila_spark.operators.similarity import ivf_topk
 
     embs = _embs(spark, sf_dir)
     queries_df = embs.where(F.col("vec_id") % 50 == 0)
-    return ivf_topk(embs, queries_df, k=5)
+    return ivf_topk(embs, queries_df, k=5, iters=0)
 
 
 def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (threshold tuned to the corpus)."""
+    """Embedding-cosine near-dup pairs via multi-table LSH candidates +
+    exact verify (threshold tuned to the corpus).  The bucket equi-joins
+    replace the quadratic self-join; the oracle replicates the bucket
+    arithmetic, so recall behavior is deterministic and hash-checked."""
     from sequila_spark.operators.similarity import cosine_dup_pairs
 
     return cosine_dup_pairs(_embs(spark, sf_dir), threshold=0.4)
@@ -782,6 +787,16 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM (
         f"WHERE q.vec_id % 50 = 0 AND q.vec_id <> c.vec_id"
         for t in range(SIM.N_TABLES)
     )
+    dup_cand_union = " UNION ".join(
+        f"SELECT a.vec_id AS id_1, b.vec_id AS id_2 "
+        f"FROM eb a JOIN eb b ON a.bkt{t} = b.bkt{t} "
+        f"WHERE a.vec_id < b.vec_id"
+        for t in range(SIM.N_TABLES)
+    )
+    l2 = (
+        "list_sum(list_transform(range(1, len({a}) + 1),"
+        " i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
 
     # text features
     occ = TX.occurrences_sql
@@ -864,6 +879,62 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM (
               JOIN (SELECT vec_id, v AS qv FROM e) q ON q.vec_id = cand.query_id
               JOIN (SELECT vec_id, v AS cv FROM e) c ON c.vec_id = cand.neighbor_id
             )
+            SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+              FROM scored
+            ) WHERE rank <= 5
+        """,
+        "dedup_embedding": f"""
+            WITH e AS (
+              SELECT vec_id, {quant} AS v FROM embeddings
+            ),
+            eb AS (SELECT vec_id, v, {bucket_cols} FROM e),
+            cand AS ({dup_cand_union}),
+            pairs AS (
+              SELECT id_1, id_2, a.v AS qv, b.v AS cv
+              FROM cand
+              JOIN e a ON a.vec_id = cand.id_1
+              JOIN e b ON b.vec_id = cand.id_2
+            )
+            SELECT id_1, id_2, cosine FROM (
+              SELECT id_1, id_2, {cosine} AS cosine FROM pairs
+            ) WHERE cosine >= 0.4
+        """,
+        "similarity_ivf": f"""
+            WITH e AS (
+              SELECT vec_id, {quant} AS v FROM embeddings
+            ),
+            seeds AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list_id, v AS c
+              FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {SIM.IVF_LISTS})
+            ),
+            assign AS (
+              SELECT id, list_id, v FROM (
+                SELECT e.vec_id AS id, s.list_id, e.v,
+                       row_number() OVER (
+                         PARTITION BY e.vec_id
+                         ORDER BY {l2.format(a='e.v', b='s.c')}, s.list_id
+                       ) AS rk
+                FROM e CROSS JOIN seeds s
+              ) WHERE rk = 1
+            ),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+            probes AS (
+              SELECT query_id, qv, list_id FROM (
+                SELECT q.query_id, q.qv, s.list_id,
+                       row_number() OVER (
+                         PARTITION BY q.query_id
+                         ORDER BY {l2.format(a='q.qv', b='s.c')}, s.list_id
+                       ) AS rk
+                FROM q CROSS JOIN seeds s
+              ) WHERE rk <= {SIM.IVF_PROBES}
+            ),
+            cand AS (
+              SELECT p.query_id, a.id AS neighbor_id, p.qv, a.v AS cv
+              FROM probes p JOIN assign a ON p.list_id = a.list_id
+              WHERE p.query_id <> a.id
+            ),
+            scored AS (SELECT query_id, neighbor_id, {cosine} AS cosine FROM cand)
             SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM (
               SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
               FROM scored
@@ -1140,21 +1211,6 @@ def oracle_sql() -> dict[str, str]:
                    CAST(FLOOR((pos_start - 1) / 10000) AS BIGINT) AS win,
                    CAST(COUNT(*) AS BIGINT) AS n_reads
             FROM reads GROUP BY contig, CAST(FLOOR((pos_start - 1) / 10000) AS BIGINT)
-        """,
-        "dedup_embedding": """
-            WITH e AS (
-              SELECT vec_id,
-                     list_transform(embedding,
-                       x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
-              FROM embeddings
-            )
-            SELECT * FROM (
-              SELECT a.vec_id AS id_1, b.vec_id AS id_2,
-                     CAST(list_sum(list_transform(range(1, len(a.v) + 1), k -> a.v[k] * b.v[k])) AS DOUBLE)
-                     / (sqrt(CAST(list_sum(list_transform(a.v, x -> x * x)) AS DOUBLE))
-                        * sqrt(CAST(list_sum(list_transform(b.v, x -> x * x)) AS DOUBLE))) AS cosine
-              FROM e a JOIN e b ON a.vec_id < b.vec_id
-            ) WHERE cosine >= 0.4
         """,
         "interval_ops2": f"""
             {cte('targets')}

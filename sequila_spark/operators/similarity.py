@@ -92,28 +92,70 @@ def cosine_dup_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    candidates: str = "lsh",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_1, id_2, cosine) with
-    id_1 < id_2 and cosine >= threshold.  Brute-force self-join baseline —
-    at corpus scale, generate candidates with the multi-table LSH buckets
-    (ann_topk_lsh) and verify with this exact score."""
+    id_1 < id_2 and cosine >= threshold.
+
+    ``candidates='lsh'`` (default, the 100 TB path): candidate pairs come
+    from the multi-table hyperplane-LSH buckets — per table an equi-join on
+    the bucket key, so the corpus cross product never materializes and the
+    plan contains no nested-loop/cartesian node.  Exact cosine verifies each
+    candidate.  Recall < 1 by LSH design (a pair hashed apart in every table
+    is never compared); the bucket arithmetic is integer-deterministic, so
+    results are exactly reproducible (and DuckDB-oracle-checkable).
+
+    ``candidates='all_pairs'``: exact brute-force self-join — O(n²), only
+    for small corpora / recall measurement in tests.
+    """
+    if candidates not in ("lsh", "all_pairs"):
+        raise ValueError(f"unsupported candidates={candidates!r}")
     e = corpus.select(
         F.col(id_col).alias("id"),
         quantized(F.col(vec_col)).alias("v"),
         _norm2(quantized(F.col(vec_col))).alias("n2"),
     )
-    a = e.select(F.col("id").alias("id_1"), F.col("v").alias("v1"), F.col("n2").alias("n1"))
-    b = e.select(F.col("id").alias("id_2"), F.col("v").alias("v2"), F.col("n2").alias("n2"))
-    return (
-        a.join(b, F.col("id_1") < F.col("id_2"))
-        .select(
-            "id_1",
-            "id_2",
-            (
-                _dot(F.col("v1"), F.col("v2")).cast("double")
-                / (F.sqrt(F.col("n1").cast("double")) * F.sqrt(F.col("n2").cast("double")))
-            ).alias("cosine"),
+    if candidates == "all_pairs":
+        a = e.select(F.col("id").alias("id_1"), F.col("v").alias("v1"), F.col("n2").alias("n1"))
+        b = e.select(F.col("id").alias("id_2"), F.col("v").alias("v2"), F.col("n2").alias("n2"))
+        return (
+            a.join(b, F.col("id_1") < F.col("id_2"))
+            .select(
+                "id_1",
+                "id_2",
+                (
+                    _dot(F.col("v1"), F.col("v2")).cast("double")
+                    / (F.sqrt(F.col("n1").cast("double")) * F.sqrt(F.col("n2").cast("double")))
+                ).alias("cosine"),
+            )
+            .where(F.col("cosine") >= threshold)
         )
+
+    buckets = _buckets_batch()
+    eb = corpus.select(
+        F.col(id_col).alias("id"),
+        quantized(F.col(vec_col)).alias("v"),
+        buckets(F.col(vec_col)).alias("bkts"),
+    ).select(
+        "id", "v", *[F.col("bkts").getItem(t).alias(f"bkt{t}") for t in range(N_TABLES)]
+    )
+    cand = None
+    for t in range(N_TABLES):
+        at = eb.select(F.col("id").alias("id_1"), F.col(f"bkt{t}").alias("bucket"))
+        bt = eb.select(F.col("id").alias("id_2"), F.col(f"bkt{t}").alias("bucket"))
+        pairs = (
+            at.join(bt, "bucket")
+            .where(F.col("id_1") < F.col("id_2"))
+            .select("id_1", "id_2")
+        )
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    cand = cand.distinct()
+
+    cos = _cosine_batch()
+    return (
+        cand.join(eb.select(F.col("id").alias("id_1"), F.col("v").alias("v1")), "id_1")
+        .join(eb.select(F.col("id").alias("id_2"), F.col("v").alias("v2")), "id_2")
+        .select("id_1", "id_2", cos(F.col("v1"), F.col("v2")).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
 
@@ -123,50 +165,52 @@ IVF_ITERS = 2
 IVF_PROBES = 4
 
 
-def ivf_index(
-    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
-) -> DataFrame:
-    """IVF (inverted-file) assignment: deterministic integer k-means.
-
-    Seeds are the IVF_LISTS smallest ids; IVF_ITERS Lloyd iterations with
-    centroids kept as **floor-divided integer vectors** (sum div count) so
-    every step is exact integer arithmetic — the index is bit-reproducible
-    across runs/cluster sizes (no RNG, no float accumulation order).
-    Returns (id, list_id, v) — the corpus partitioned into inverted lists.
-    Centroid recomputation aggregates per-dimension sums (a groupBy over
-    exploded (list, dim, value) triples — one shuffle per iteration, tiny).
-    """
-    e = corpus.select(F.col(id_col).alias("id"), quantized(F.col(vec_col)).alias("v"))
-    w = Window.orderBy("id")
-    seeds = (
-        e.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= IVF_LISTS)
-        .select((F.col("rn") - 1).alias("list_id"), F.col("v").alias("c"))
+def _l2_int(a, b):
+    """Exact integer squared L2 between two bigint vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
     )
+
+
+def _nearest(e: DataFrame, centroids) -> DataFrame:
+    """Assign each vector to its nearest centroid (ties -> smallest
+    list_id); centroids is a tiny broadcast relation (list_id, c)."""
+    return (
+        e.crossJoin(centroids)
+        .withColumn("d2", _l2_int(F.col("v"), F.col("c")))
+        .withColumn(
+            "rk", F.row_number().over(Window.partitionBy("id").orderBy("d2", "list_id"))
+        )
+        .where(F.col("rk") == 1)
+        .select("id", "list_id", "v")
+    )
+
+
+def _ivf_build(e: DataFrame, n_lists: int, iters: int):
+    """(assignment, centroids) for a deterministic integer-k-means IVF.
+
+    Seeds are the ``n_lists`` smallest ids — picked with orderBy().limit()
+    (plans as TakeOrderedAndProject: a per-partition top-K plus a driver
+    merge, never a single-task global window over the corpus).  ``iters``
+    Lloyd iterations keep centroids as floor-divided integer vectors
+    (sum div count), so every step is exact integer arithmetic — the index
+    is bit-reproducible across runs/cluster sizes (no RNG, no float
+    accumulation order).  ``iters=0`` is the SQL-expressible seeded variant
+    (assignment to nearest seed) used by the oracle-gated driver query.
+    The returned centroids are the ones that PRODUCED the assignment, so
+    probing is consistent with list membership."""
+    seeds = e.orderBy("id").limit(n_lists)
+    # number the 16 seed rows (window over a tiny relation, not the corpus)
+    seeds = seeds.withColumn(
+        "list_id", F.row_number().over(Window.orderBy("id")) - 1
+    ).select("list_id", F.col("v").alias("c"))
     centroids = F.broadcast(seeds)
-    for _ in range(IVF_ITERS):
-        # nearest centroid by exact integer squared L2
-        dist = F.aggregate(
-            F.zip_with(F.col("v"), F.col("c"), lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        assigned = (
-            e.crossJoin(centroids)
-            .withColumn("d2", dist)
-            .withColumn(
-                "rk",
-                F.row_number().over(
-                    Window.partitionBy("id").orderBy("d2", "list_id")
-                ),
-            )
-            .where(F.col("rk") == 1)
-            .select("id", "list_id", "v")
-        )
+    for _ in range(iters):
+        assigned = _nearest(e, centroids)
         sums = (
-            assigned.select(
-                "list_id", F.posexplode(F.col("v")).alias("dim", "x")
-            )
+            assigned.select("list_id", F.posexplode(F.col("v")).alias("dim", "x"))
             .groupBy("list_id", "dim")
             .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
             .groupBy("list_id")
@@ -180,20 +224,23 @@ def ivf_index(
             )
         )
         centroids = F.broadcast(sums)
-    dist = F.aggregate(
-        F.zip_with(F.col("v"), F.col("c"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    return (
-        e.crossJoin(centroids)
-        .withColumn("d2", dist)
-        .withColumn(
-            "rk", F.row_number().over(Window.partitionBy("id").orderBy("d2", "list_id"))
-        )
-        .where(F.col("rk") == 1)
-        .select("id", "list_id", "v")
-    )
+    return _nearest(e, centroids), centroids
+
+
+def ivf_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = IVF_LISTS,
+    iters: int = IVF_ITERS,
+) -> DataFrame:
+    """IVF (inverted-file) assignment — see _ivf_build.  Returns
+    (id, list_id, v): the corpus partitioned into inverted lists.  Centroid
+    recomputation aggregates per-dimension sums (a groupBy over exploded
+    (list, dim, value) triples — one shuffle per iteration, tiny)."""
+    e = corpus.select(F.col(id_col).alias("id"), quantized(F.col(vec_col)).alias("v"))
+    assigned, _ = _ivf_build(e, n_lists, iters)
+    return assigned
 
 
 def ivf_topk(
@@ -203,34 +250,22 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_probes: int = IVF_PROBES,
+    n_lists: int = IVF_LISTS,
+    iters: int = IVF_ITERS,
 ) -> DataFrame:
     """IVF approximate top-k: each query probes its n_probes nearest
     inverted lists and scores only those lists' vectors (equi-join on
     list_id — candidate cost scales with probed-list occupancy, not corpus
-    size).  Deterministic end to end; recall tested against cosine_topk."""
-    index = ivf_index(corpus, id_col, vec_col).persist()
-    # reconstruct centroids from the final assignment (exact ints)
-    cents = (
-        index.select("list_id", F.posexplode("v").alias("dim", "x"))
-        .groupBy("list_id", "dim")
-        .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
-        .groupBy("list_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", F.expr("s div n").alias("m")))),
-                lambda t: t["m"],
-            ).alias("c")
-        )
-    )
+    size).  Deterministic end to end; recall tested against cosine_topk.
+    At real scale, materialize ivf_index once to parquet and reuse it
+    across query batches instead of rebuilding per call."""
+    e = corpus.select(F.col(id_col).alias("id"), quantized(F.col(vec_col)).alias("v"))
+    index, cents = _ivf_build(e, n_lists, iters)
+    cents = cents.select("list_id", F.col("c"))
     q = queries.select(F.col(id_col).alias("query_id"), quantized(F.col(vec_col)).alias("qv"))
-    dist = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("c"), lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
     probes = (
         q.crossJoin(F.broadcast(cents))
-        .withColumn("d2", dist)
+        .withColumn("d2", _l2_int(F.col("qv"), F.col("c")))
         .withColumn(
             "rk",
             F.row_number().over(Window.partitionBy("query_id").orderBy("d2", "list_id")),

@@ -120,6 +120,34 @@ def test_ivf_topk_deterministic_and_sane(spark, embs):
     assert hits >= max(1, len(exact1) // 3), (hits, len(exact1))
 
 
+def test_cosine_dup_pairs_lsh_plan_and_recall(spark, embs):
+    """The default (LSH-candidate) near-dup plan must contain no
+    nested-loop/cartesian node, and its verified pairs must be a subset of
+    the exact all-pairs result with decent recall at the test threshold."""
+    from sequila_spark.operators.similarity import cosine_dup_pairs
+
+    lsh = cosine_dup_pairs(embs, threshold=0.4)
+    plan = lsh._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan, plan
+    lsh_pairs = {(r["id_1"], r["id_2"]) for r in lsh.collect()}
+    exact_pairs = {
+        (r["id_1"], r["id_2"])
+        for r in cosine_dup_pairs(embs, threshold=0.4, candidates="all_pairs").collect()
+    }
+    assert lsh_pairs <= exact_pairs
+    assert len(lsh_pairs) >= len(exact_pairs) // 4, (len(lsh_pairs), len(exact_pairs))
+
+
+def test_ivf_no_global_single_partition_window(spark, embs):
+    """Seed picking must plan as TakeOrderedAndProject (per-partition top-K),
+    never a corpus-wide single-partition window."""
+    from sequila_spark.operators.similarity import ivf_topk
+
+    queries = embs.where(F.col("vec_id") % 100 == 0)
+    plan = ivf_topk(embs, queries, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+
+
 def test_text_features_empty_and_odd_inputs(spark):
     """Empty / whitespace-only / unicode text must not produce NaNs or
     errors."""
