@@ -3,7 +3,12 @@ from sequila_spark.sources.fastq import read_fastq
 from sequila_spark.sources.fasta import read_fasta, read_fasta_bases
 from sequila_spark.sources.vcf import read_vcf
 from sequila_spark.sources.adam import read_adam
-from sequila_spark.sources.bam import read_alignments, read_bam, write_alignments
+from sequila_spark.sources.bam import (
+    read_alignments,
+    read_bam,
+    read_bam_native,
+    write_alignments,
+)
 from sequila_spark.sources.sinks import write_result
 
 __all__ = [
@@ -15,6 +20,7 @@ __all__ = [
     "read_adam",
     "read_alignments",
     "read_bam",
+    "read_bam_native",
     "write_alignments",
     "write_result",
 ]

@@ -60,12 +60,20 @@ def read_alignments(spark: SparkSession, path: str) -> DataFrame:
 
 
 def _pysam_reader(path: str, ref_path: str | None, contig: str, start: int, end: int):
+    """Yield reads OWNED by the half-open chunk [start, end): pysam fetch
+    returns every read overlapping the range, so a read spanning two chunks
+    would be emitted by both tasks — each read is kept only by the chunk
+    containing its reference_start (owner-by-start rule; the reference
+    assigns each read to exactly one split,
+    datasources/BAM/AlignmentRelation.scala:298-393)."""
     import pysam  # noqa: F401 — gated import
 
     mode = "rc" if path.endswith(".cram") else "rb"
     kwargs = {"reference_filename": ref_path} if ref_path else {}
     with pysam.AlignmentFile(path, mode, **kwargs) as af:
         for read in af.fetch(contig, start, end):
+            if not (start <= (read.reference_start or 0) < end):
+                continue
             yield (
                 read.query_name,
                 read.flag,
@@ -79,20 +87,76 @@ def _pysam_reader(path: str, ref_path: str | None, contig: str, start: int, end:
             )
 
 
+def read_bam_native(
+    spark: SparkSession,
+    path: str,
+    chunk: int = 10_000_000,
+    with_tags: bool = True,
+) -> DataFrame:
+    """Decode BAM with the pure-Python BGZF/BAM/BAI codec (sources/bamcodec
+    — no pysam/htslib needed), partitioned by genomic chunk: the driver
+    reads only the header + index; each task seeks its chunk's virtual
+    offset from the BAI linear index and keeps exactly the reads whose
+    start falls in its half-open range (owner-by-start — no duplicates at
+    chunk boundaries; the reference assigns each read to one split the same
+    way, datasources/BAM/AlignmentRelation.scala:298-393).  Without a .bai
+    the whole file decodes in a single task (still correct; index it for
+    scale)."""
+    from sequila_spark.sources import bamcodec as B
+
+    with open(path, "rb") as f:
+        refs, _ = B.read_bam_header(B.BgzfReader(f))
+
+    bai = next(
+        (p for p in (path + ".bai", path[: path.rfind(".")] + ".bai") if os.path.exists(p)),
+        None,
+    )
+    spans: list = (
+        B.plan_spans(refs, B.read_bai_linear(bai), chunk) if bai else [None]
+    )
+
+    def gen(span):
+        with open(path, "rb") as fh:
+            if span is None:
+                st = B.BgzfReader(fh)
+                B.read_bam_header(st)  # skip to records
+                yield from B.parse_records(st, refs, with_tags=with_tags)
+            else:
+                rid, s0, e0, voff = span
+                st = B.BgzfReader(fh, voff)
+                yield from B.parse_records(
+                    st, refs, ref_id=rid, start0=s0, end0=e0, with_tags=with_tags
+                )
+
+    rdd = spark.sparkContext.parallelize(spans, max(len(spans), 1)).flatMap(gen)
+    df = rdd.toDF(
+        f"{S.QNAME} string, {S.FLAG} int, {S.CONTIG} string, {S.START} int, "
+        f"{S.END} int, {S.MAPQ} int, {S.CIGAR} string, {S.RNEXT} string, "
+        f"{S.PNEXT} int, {S.TLEN} int, {S.SEQUENCE} string, {S.BASEQ} string, "
+        "tags map<string,string>"
+    )
+    sample = os.path.basename(path).split(".")[0]
+    return df.select(F.lit(sample).alias(S.SAMPLE), "*").withColumn(
+        S.CONTIG, clean_contig(F.col(S.CONTIG))
+    )
+
+
 def read_bam(
     spark: SparkSession,
     path: str,
     ref_path: str | None = None,
     chunk: int = 10_000_000,
 ) -> DataFrame:
-    """Decode BAM/CRAM via pysam on the executors, partitioned by genomic
-    chunk (each task fetches one (contig, range) via the index — the same
-    interval-chunking idea as the reference's BGZF splits)."""
+    """Decode BAM/CRAM partitioned by genomic chunk.  Plain BAM goes
+    through the native pure-Python codec (read_bam_native); CRAM requires
+    pysam (reference-based decoding is htslib territory)."""
+    if not path.endswith(".cram"):
+        return read_bam_native(spark, path, chunk=chunk)
     try:
         import pysam
     except ImportError as e:
         raise ImportError(
-            "BAM/CRAM decoding needs pysam on driver and executors; "
+            "CRAM decoding needs pysam on driver and executors; "
             "store alignments as parquet and use read_alignments() instead"
         ) from e
 

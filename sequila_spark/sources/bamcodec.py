@@ -1,0 +1,272 @@
+"""Pure-Python BAM decoding — no htslib/pysam dependency.
+
+Implements the public hts-specs formats (SAM/BAM spec v1.6):
+
+ - **BGZF**: the container is a series of complete gzip members, each
+   carrying a ``BC`` extra subfield with the compressed block size; any
+   block is independently decompressible (``zlib``, wbits=31).  A *virtual
+   offset* packs (compressed block offset << 16 | in-block offset).
+ - **BAM**: binary alignment records (little-endian struct layout, 4-bit
+   packed seq, uint32 CIGAR ops, typed optional tags).
+ - **BAI**: the index; we use only its *linear index* (per 16 kb window,
+   the smallest virtual offset of a read overlapping it) to start each
+   genomic chunk's scan near its data — the same interval-chunking role as
+   the reference's BGZF split assignment
+   (datasources/BAM/AlignmentRelation.scala:298-393), expressed as
+   one task per genomic chunk.
+
+Scale design: the driver reads only the header + index (KBs); each task
+seeks its virtual offset and decodes one chunk's records, keeping a read
+iff its 0-based start falls inside the chunk's half-open range
+(owner-by-start — no duplicates across chunk boundaries, every read owned
+by exactly one task).  Coordinate-sorted input lets a task stop at the
+first record past its range.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import zlib
+from typing import BinaryIO, Iterator
+
+CIGAR_OPS = "MIDNSHP=X"
+SEQ_CODES = "=ACMGRSVTWYHKDBN"
+_REF_CONSUMING = frozenset("MDN=X")
+LINEAR_WINDOW = 16384
+
+
+class BgzfReader:
+    """Sequential reader over decompressed BGZF bytes, seekable to a
+    virtual offset.  Each BGZF block is one complete gzip member."""
+
+    def __init__(self, raw: BinaryIO, voffset: int = 0):
+        self._raw = raw
+        self._buf = b""
+        self._pos = 0
+        raw.seek(voffset >> 16)
+        skip = voffset & 0xFFFF
+        if skip:
+            self._fill()
+            self._pos = skip
+
+    def _fill(self) -> bool:
+        header = self._raw.read(18)
+        if len(header) < 18:
+            return False
+        if header[:2] != b"\x1f\x8b":
+            raise ValueError("not a BGZF stream (bad gzip magic)")
+        xlen = struct.unpack_from("<H", header, 10)[0]
+        if xlen < 6:
+            raise ValueError("BGZF block missing BC/BSIZE subfield")
+        extra = header[12:18] + (self._raw.read(xlen - 6) if xlen > 6 else b"")
+        # find the BC subfield holding BSIZE (total block size - 1)
+        bsize = None
+        off = 0
+        while off + 4 <= len(extra):
+            si1, si2, slen = extra[off], extra[off + 1], struct.unpack_from("<H", extra, off + 2)[0]
+            if si1 == 0x42 and si2 == 0x43 and slen == 2:
+                bsize = struct.unpack_from("<H", extra, off + 4)[0]
+                break
+            off += 4 + slen
+        if bsize is None:
+            raise ValueError("BGZF block missing BC/BSIZE subfield")
+        rest = self._raw.read(bsize + 1 - 12 - xlen)
+        block = header[:12] + extra + rest
+        self._buf = zlib.decompress(block, wbits=31)
+        self._pos = 0
+        return True
+
+    def read(self, n: int) -> bytes:
+        out = []
+        need = n
+        while need > 0:
+            if self._pos >= len(self._buf):
+                if not self._fill():
+                    break
+                if not self._buf:  # EOF marker block (empty payload)
+                    continue
+            take = self._buf[self._pos : self._pos + need]
+            self._pos += len(take)
+            need -= len(take)
+            out.append(take)
+        return b"".join(out)
+
+
+def read_bam_header(stream: BgzfReader) -> tuple[list[tuple[str, int]], str]:
+    """(references [(name, length)], SAM header text)."""
+    if stream.read(4) != b"BAM\x01":
+        raise ValueError("not a BAM file (bad magic)")
+    l_text = struct.unpack("<i", stream.read(4))[0]
+    text = stream.read(l_text).rstrip(b"\x00").decode("utf-8", "replace")
+    n_ref = struct.unpack("<i", stream.read(4))[0]
+    refs = []
+    for _ in range(n_ref):
+        l_name = struct.unpack("<i", stream.read(4))[0]
+        name = stream.read(l_name)[:-1].decode()
+        l_ref = struct.unpack("<i", stream.read(4))[0]
+        refs.append((name, l_ref))
+    return refs, text
+
+
+def _decode_tags(data: bytes) -> dict[str, str]:
+    tags: dict[str, str] = {}
+    off = 0
+    n = len(data)
+    while off + 3 <= n:
+        tag = data[off : off + 2].decode("ascii", "replace")
+        typ = chr(data[off + 2])
+        off += 3
+        if typ == "A":
+            tags[tag] = chr(data[off]); off += 1
+        elif typ in "cC":
+            v = struct.unpack_from("<b" if typ == "c" else "<B", data, off)[0]
+            tags[tag] = str(v); off += 1
+        elif typ in "sS":
+            v = struct.unpack_from("<h" if typ == "s" else "<H", data, off)[0]
+            tags[tag] = str(v); off += 2
+        elif typ in "iI":
+            v = struct.unpack_from("<i" if typ == "i" else "<I", data, off)[0]
+            tags[tag] = str(v); off += 4
+        elif typ == "f":
+            tags[tag] = repr(struct.unpack_from("<f", data, off)[0]); off += 4
+        elif typ in "ZH":
+            end = data.index(b"\x00", off)
+            tags[tag] = data[off:end].decode("ascii", "replace")
+            off = end + 1
+        elif typ == "B":
+            sub = chr(data[off]); cnt = struct.unpack_from("<i", data, off + 1)[0]
+            off += 5
+            fmt = {"c": "b", "C": "B", "s": "h", "S": "H", "i": "i", "I": "I", "f": "f"}[sub]
+            size = struct.calcsize("<" + fmt)
+            vals = struct.unpack_from(f"<{cnt}{fmt}", data, off)
+            off += cnt * size
+            tags[tag] = ",".join(repr(v) if sub == "f" else str(v) for v in vals)
+        else:
+            break  # unknown type: cannot advance safely
+    return tags
+
+
+def parse_records(
+    stream: BgzfReader,
+    refs: list[tuple[str, int]],
+    *,
+    ref_id: int | None = None,
+    start0: int = 0,
+    end0: int | None = None,
+    with_tags: bool = True,
+) -> Iterator[tuple]:
+    """Decode alignment records into canonical tuples
+    (qname, flag, contig, pos_start, pos_end, mapq, cigar, rnext, pnext,
+    tlen, seq, qual, tags).
+
+    Coordinates are converted 0-based -> 1-based; pos_end is the last
+    reference-consumed position.  With a (ref_id, start0, end0) region over
+    coordinate-sorted input: reads are kept by the owner-by-start rule
+    (start0 <= read start < end0) and the scan stops at the first record
+    past end0 (or on a later reference).
+    """
+    while True:
+        head = stream.read(4)
+        if len(head) < 4:
+            return
+        (block_size,) = struct.unpack("<i", head)
+        data = stream.read(block_size)
+        if len(data) < block_size:
+            return
+        (rid, pos0, l_qname, mapq, _bin, n_cigar, flag, l_seq, next_rid, next_pos0, tlen) = (
+            struct.unpack_from("<iiBBHHHiiii", data, 0)
+        )
+        if ref_id is not None:
+            if rid > ref_id or rid < 0:
+                return  # sorted: past our reference
+            if rid == ref_id and end0 is not None and pos0 >= end0:
+                return
+            if rid != ref_id or pos0 < start0:
+                continue  # owned by an earlier chunk (or earlier ref)
+        off = 32
+        qname = data[off : off + l_qname - 1].decode("ascii", "replace")
+        off += l_qname
+        cigar_ops = struct.unpack_from(f"<{n_cigar}I", data, off)
+        off += 4 * n_cigar
+        n_seq_bytes = (l_seq + 1) // 2
+        seq_packed = data[off : off + n_seq_bytes]
+        off += n_seq_bytes
+        qual_raw = data[off : off + l_seq]
+        off += l_seq
+        tags = _decode_tags(data[off:]) if with_tags else {}
+
+        cigar = "".join(f"{v >> 4}{CIGAR_OPS[v & 0xF]}" for v in cigar_ops) or "*"
+        ref_len = sum(v >> 4 for v in cigar_ops if CIGAR_OPS[v & 0xF] in _REF_CONSUMING)
+        seq_chars = []
+        for i in range(l_seq):
+            b = seq_packed[i // 2]
+            seq_chars.append(SEQ_CODES[(b >> 4) if i % 2 == 0 else (b & 0xF)])
+        seq = "".join(seq_chars)
+        qual = (
+            None
+            if l_seq == 0 or all(q == 0xFF for q in qual_raw)
+            else "".join(chr(q + 33) for q in qual_raw)
+        )
+        contig = refs[rid][0] if 0 <= rid < len(refs) else None
+        rnext = refs[next_rid][0] if 0 <= next_rid < len(refs) else None
+        yield (
+            qname,
+            flag,
+            contig,
+            pos0 + 1 if pos0 >= 0 else 0,
+            pos0 + ref_len if (pos0 >= 0 and ref_len > 0) else 0,
+            mapq,
+            cigar,
+            rnext,
+            next_pos0 + 1 if next_pos0 >= 0 else 0,
+            tlen,
+            seq or None,
+            qual,
+            tags,
+        )
+
+
+def read_bai_linear(path: str) -> list[list[int]]:
+    """Per-reference linear index: virtual offset of the first read
+    overlapping each 16 kb window (0 where absent)."""
+    with open(path, "rb") as f:
+        if f.read(4) != b"BAI\x01":
+            raise ValueError("not a BAI index (bad magic)")
+        (n_ref,) = struct.unpack("<i", f.read(4))
+        linear: list[list[int]] = []
+        for _ in range(n_ref):
+            (n_bin,) = struct.unpack("<i", f.read(4))
+            for _ in range(n_bin):
+                _bin_id, n_chunk = struct.unpack("<Ii", f.read(8))
+                f.seek(16 * n_chunk, os.SEEK_CUR)
+            (n_intv,) = struct.unpack("<i", f.read(4))
+            linear.append(list(struct.unpack(f"<{n_intv}Q", f.read(8 * n_intv))))
+        return linear
+
+
+def plan_spans(
+    refs: list[tuple[str, int]],
+    linear: list[list[int]],
+    chunk_bases: int,
+) -> list[tuple[int, int, int, int]]:
+    """(ref_id, start0, end0, voffset) chunk spans from the linear index:
+    chunks with no indexed data are skipped, every other chunk starts its
+    scan at the first nonzero window offset at/after its first window."""
+    spans = []
+    for rid, (_name, rlen) in enumerate(refs):
+        intv = linear[rid] if rid < len(linear) else []
+        if not intv:
+            continue  # no reads mapped to this reference
+        for s in range(0, rlen, chunk_bases):
+            e = min(s + chunk_bases, rlen)
+            w = s // LINEAR_WINDOW
+            voff = 0
+            for idx in range(min(w, len(intv)), len(intv)):
+                if intv[idx]:
+                    voff = intv[idx]
+                    break
+            if voff == 0:
+                continue  # no data at/after this chunk
+            spans.append((rid, s, e, voff))
+    return spans

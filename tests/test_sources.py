@@ -114,11 +114,12 @@ def test_read_alignments_parquet(spark, tmp_path):
     assert row["sample_id"] == "sampleA"
 
 
-def test_read_bam_requires_pysam(spark):
+def test_read_cram_requires_pysam(spark):
+    # plain BAM decodes natively (see test_bam_native); CRAM needs pysam
     from sequila_spark.sources import read_bam
 
     with pytest.raises(ImportError, match="pysam"):
-        read_bam(spark, "/nonexistent.bam")
+        read_bam(spark, "/nonexistent.cram")
 
 
 def test_sinks_roundtrip(spark, tmp_path):
