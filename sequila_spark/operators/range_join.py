@@ -41,6 +41,11 @@ from pyspark.sql import functions as F
 from sequila_spark import schemas as S
 
 _DEFAULT_BIN_SIZE = 5000
+# An interval wider than bin_cap * bin_size rows would explode into too many
+# bin rows (a 1 Mb nanopore alignment at bin_size=5000 -> 200 rows); such
+# rows are routed through the nested-loop side instead (rare by premise, so
+# the nested branches broadcast a tiny relation).
+_DEFAULT_BIN_CAP = 128
 
 
 def range_join(
@@ -56,6 +61,7 @@ def range_join(
     bin_size: int = _DEFAULT_BIN_SIZE,
     suffixes: tuple[str, str] = ("", "_r"),
     strategy: str = "binned",
+    bin_cap: int | None = _DEFAULT_BIN_CAP,
 ) -> DataFrame:
     """Join rows whose [start, end] intervals overlap (optionally also
     matching a contig/chromosome equality key).
@@ -67,6 +73,12 @@ def range_join(
 
     ``strategy='nested_loop'`` keeps the raw theta-join plan (used in tests to
     cross-check the binned plan; also the right call when one side is tiny).
+
+    ``bin_cap`` (binned strategy only): rows whose interval spans more than
+    ``bin_cap`` bins are routed through a nested-loop branch and unioned in,
+    so one multi-megabase interval cannot fan out into hundreds of bin rows.
+    The split costs one extra cheap-predicate pass per side; set
+    ``bin_cap=None`` to disable when the width distribution is known-bounded.
     """
     if how not in ("inner", "left_semi", "left_anti", "left_outer"):
         raise ValueError(f"unsupported how={how!r}")
@@ -119,12 +131,12 @@ def range_join(
 
     if how == "inner":
         return _inner(left, right, lc, rc, ls, le, rs, re,
-                      min_overlap, max_gap, bin_size, strategy)
+                      min_overlap, max_gap, bin_size, strategy, bin_cap)
 
     # Composed variants: run the inner core against a row-keyed left side.
     keyed = left.withColumn("__sq_rowid", F.monotonically_increasing_id())
     matched = _inner(keyed, right, lc, rc, ls, le, rs, re,
-                     min_overlap, max_gap, bin_size, strategy)
+                     min_overlap, max_gap, bin_size, strategy, bin_cap)
     matched_ids = matched.select("__sq_rowid").distinct()
     if how == "left_semi":
         return keyed.join(matched_ids, "__sq_rowid", "left_semi").drop("__sq_rowid")
@@ -152,6 +164,7 @@ def _inner(
     max_gap: int,
     bin_size: int,
     strategy: str,
+    bin_cap: int | None = None,
 ) -> DataFrame:
     lstart, lend = F.col(ls), F.col(le)
     # Widen the right (build) side by max_gap, as the reference widens the
@@ -169,6 +182,23 @@ def _inner(
     if strategy == "nested_loop":
         out = left.join(right, contig_eq & overlap, "inner")
         return out.drop(rc) if rc and lc != rc else out
+
+    if bin_cap:
+        # Route over-wide rows through nested-loop branches:
+        #   binned(L_short, R_short) ∪ nested(L_long, R) ∪ nested(L_short, R_long)
+        # — disjoint by construction, every pair covered once.  The long
+        # relations are tiny by premise (broadcast; with AQE an empty long
+        # side prunes its whole branch at runtime).
+        thresh = bin_cap * bin_size
+        l_long_pred = (lend - lstart) >= thresh
+        r_long_pred = (rend - rstart) >= thresh
+        l_short, l_long = left.where(~l_long_pred), left.where(l_long_pred)
+        r_short, r_long = right.where(~r_long_pred), right.where(r_long_pred)
+        args = (lc, rc, ls, le, rs, re, min_overlap, max_gap, bin_size)
+        out = _inner(l_short, r_short, *args, "binned", None)
+        out = out.unionByName(_inner(F.broadcast(l_long), right, *args, "nested_loop"))
+        out = out.unionByName(_inner(l_short, F.broadcast(r_long), *args, "nested_loop"))
+        return out
 
     lbin = F.explode(
         F.sequence(

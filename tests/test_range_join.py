@@ -125,6 +125,46 @@ def test_strategy_equivalence_random(spark):
         assert b == n, f"strategy divergence for {kwargs}"
 
 
+def test_bin_cap_routes_wide_intervals(spark):
+    """A multi-megabase interval (nanopore alignment / whole-gene
+    annotation) must not explode into hundreds of bin rows: with the
+    default bin_cap it routes through the nested-loop branch, and results
+    stay identical to the pure nested-loop join."""
+    left = mk(
+        spark,
+        [
+            ("nano", "1", 1_000, 1_201_000),   # 1.2 Mb: 241 bins at 5 kb
+            ("s1", "1", 5_000, 5_400),
+            ("s2", "1", 900_000, 900_300),
+            ("s3", "2", 5_000, 5_400),
+        ],
+    )
+    right = mk(
+        spark,
+        [
+            ("gene", "1", 800_000, 2_100_000),  # wide on the right side too
+            ("t1", "1", 5_100, 5_600),
+            ("t2", "1", 1_150_000, 1_160_000),
+            ("t3", "2", 1_000_000, 1_000_500),
+        ],
+    )
+    capped = range_join(left, right)
+    nested = range_join(left, right, strategy="nested_loop", bin_cap=None)
+    assert pairs(capped) == pairs(nested)
+    # capped plan = 3-branch union (binned core + two broadcast side
+    # branches for the wide rows — with a contig key those plan as
+    # broadcast-hash joins, not even nested loops)
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "Union" in plan and plan.count("Join") >= 3
+    # disabling the cap keeps the old single-branch binned plan
+    uncapped = range_join(left, right, bin_cap=None)
+    assert pairs(uncapped) == pairs(nested)
+    assert "Union" not in uncapped._jdf.queryExecution().executedPlan().toString()
+    # composed join types go through the same capped core
+    semi = range_join(left, right, how="left_semi")
+    assert sorted(r["id"] for r in semi.collect()) == ["nano", "s1", "s2"]
+
+
 def test_partitioning_invariance(spark):
     """Reference test pattern §5.2: identical results regardless of input
     partitioning."""
