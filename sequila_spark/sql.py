@@ -25,21 +25,116 @@ from pyspark.sql import functions as F
 
 from sequila_spark import schemas as S
 
-_TVF_RE = re.compile(r"\b(coverage|pileup|bdg_grange)\s*\(([^()]*)\)", re.IGNORECASE)
+_TVF_NAMES = ("coverage", "pileup", "bdg_grange")
+_NAME_RE = re.compile(r"(coverage|pileup|bdg_grange)\s*\(", re.IGNORECASE)
+_FROM_RE = re.compile(r"(?:\bfrom\b|\bjoin\b)\s*$", re.IGNORECASE)
 
 
-def _parse_args(raw: str) -> list:
-    args = []
-    for part in raw.split(","):
-        part = part.strip()
-        if not part:
+def _find_tvf_calls(query: str) -> list[tuple[int, int, str, str]]:
+    """(start, end, name, raw_args) for each TVF call in a FROM/JOIN
+    position.  The scanner tracks quote state (matches inside string
+    literals are ignored; '' doubling respected) and balances parentheses,
+    so TVF arguments may themselves contain calls and quoted commas."""
+    out = []
+    i, n = 0, len(query)
+    quote = None
+    while i < n:
+        ch = query[i]
+        if quote:
+            if ch == quote:
+                if i + 1 < n and query[i + 1] == quote:
+                    i += 2
+                    continue
+                quote = None
+            i += 1
             continue
-        if part.startswith(("'", '"')):
-            args.append(part[1:-1])
+        if ch in "'\"":
+            quote = ch
+            i += 1
+            continue
+        m = _NAME_RE.match(query, i)
+        if (
+            m
+            and (i == 0 or not (query[i - 1].isalnum() or query[i - 1] in "_."))
+            and _FROM_RE.search(query[:i])
+        ):
+            depth, j, q2 = 1, m.end(), None
+            while j < n and depth:
+                c = query[j]
+                if q2:
+                    if c == q2:
+                        if j + 1 < n and query[j + 1] == q2:
+                            j += 2
+                            continue
+                        q2 = None
+                elif c in "'\"":
+                    q2 = c
+                elif c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth -= 1
+                j += 1
+            if depth:
+                raise ValueError(f"unbalanced parentheses in TVF call at offset {i}")
+            out.append((i, j, m.group(1).lower(), query[m.end() : j - 1]))
+            i = j
+            continue
+        i += 1
+    return out
+
+
+def _split_args(raw: str) -> list[str]:
+    """Split on top-level commas (outside quotes and nested parens)."""
+    parts, buf, depth, quote = [], [], 0, None
+    for ch in raw:
+        if quote:
+            if ch == quote:
+                quote = None
+            buf.append(ch)
+            continue
+        if ch in "'\"":
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+            continue
+        buf.append(ch)
+    if buf and "".join(buf).strip():
+        parts.append("".join(buf))
+    return [p.strip() for p in parts if p.strip()]
+
+
+_STR_LIT = re.compile(r"^'((?:[^']|'')*)'$|^\"((?:[^\"]|\"\")*)\"$")
+
+
+def _parse_args(raw: str, spark: SparkSession | None = None) -> list:
+    """Literal fast paths (quoted string / int / bool); any other argument
+    expression (nested function calls, arithmetic) is evaluated by Spark as
+    a one-row SELECT — full SQL expression grammar, clear errors."""
+    args = []
+    for part in _split_args(raw):
+        m = _STR_LIT.match(part)
+        if m:
+            s = m.group(1) if m.group(1) is not None else m.group(2)
+            args.append(s.replace("''", "'") if m.group(1) is not None else s.replace('""', '"'))
         elif part.lower() in ("true", "false"):
             args.append(part.lower() == "true")
-        else:
+        elif re.fullmatch(r"[+-]?\d+", part):
             args.append(int(part))
+        elif spark is not None:
+            try:
+                args.append(spark.sql(f"SELECT {part}").collect()[0][0])
+            except Exception as e:
+                raise ValueError(
+                    f"unsupported TVF argument {part!r}: literals or "
+                    f"constant SQL expressions only"
+                ) from e
+        else:
+            raise ValueError(f"unsupported TVF argument {part!r}")
     return args
 
 
@@ -93,18 +188,20 @@ _TVFS = {"coverage": _tvf_coverage, "pileup": _tvf_pileup, "bdg_grange": _tvf_gr
 
 
 def sequila_sql(spark: SparkSession, query: str) -> DataFrame:
-    """Run SQL with sequila TVF support (see module docstring)."""
-    counter = 0
-
-    def substitute(m: re.Match) -> str:
-        nonlocal counter
-        name = m.group(1).lower()
-        args = _parse_args(m.group(2))
+    """Run SQL with sequila TVF support (see module docstring).  TVF calls
+    are recognized only in FROM/JOIN positions and never inside string
+    literals; arguments may be literals, or constant SQL expressions
+    (including nested function calls), which Spark evaluates first."""
+    calls = _find_tvf_calls(query)
+    pieces = []
+    last = 0
+    for counter, (start, end, name, raw) in enumerate(calls):
+        args = _parse_args(raw, spark)
         df = _TVFS[name](spark, args)
         view = f"__sequila_tvf_{counter}"
-        counter += 1
         df.createOrReplaceTempView(view)
-        return view
-
-    rewritten = _TVF_RE.sub(substitute, query)
-    return spark.sql(rewritten)
+        pieces.append(query[last:start])
+        pieces.append(view)
+        last = end
+    pieces.append(query[last:])
+    return spark.sql("".join(pieces))

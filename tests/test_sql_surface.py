@@ -66,6 +66,45 @@ def test_plain_sql_passthrough(spark):
     assert ss.sql("SELECT 1 + 1 AS x").first()["x"] == 2
 
 
+def test_tvf_robust_parsing(spark):
+    """Parser hardening: TVF names inside string literals and scalar-call
+    positions are untouched; arguments may be nested function calls,
+    arithmetic, and quoted strings containing commas/parens."""
+    import pytest
+
+    _reads_view(spark)
+    ss = SequilaSession(spark)
+    # TVF name inside a string literal: must NOT be rewritten
+    r = ss.sql("SELECT 'call coverage(1,2) here' AS s").first()
+    assert r["s"] == "call coverage(1,2) here"
+    # scalar position (not FROM/JOIN): left for Spark to resolve — the
+    # column named coverage still works
+    r = ss.sql(
+        "SELECT max(coverage) AS m FROM coverage('reads_sql_test') WHERE coverage > 0"
+    ).first()
+    assert r["m"] == 3
+    # nested function calls / arithmetic in TVF args
+    rows = ss.sql(
+        "SELECT * FROM coverage(lower('READS_SQL_TEST'), concat('s', '1'), 'blocks')"
+    ).collect()
+    assert len(rows) == 3
+    rows = ss.sql("SELECT * FROM bdg_grange('1', 2 + 3, 10 * 2)").collect()
+    assert rows[0]["pos_start"] == 5 and rows[0]["pos_end"] == 20
+    # quoted comma and parens in an argument survive splitting
+    spark.createDataFrame(
+        [("a,(b", "1", 1, 5, "ACGTA")],
+        "sample_id string, contig string, pos_start int, pos_end int, seq string",
+    ).createOrReplaceTempView("odd_sample_names")
+    rows = ss.sql("SELECT * FROM coverage('odd_sample_names', 'a,(b')").collect()
+    assert len(rows) == 1 and rows[0]["coverage"] == 1
+    # unbalanced parens -> clear error
+    with pytest.raises(ValueError, match="unbalanced"):
+        ss.sql("SELECT * FROM coverage('reads_sql_test'")
+    # non-constant argument -> clear error
+    with pytest.raises(ValueError, match="unsupported TVF argument"):
+        ss.sql("SELECT * FROM coverage(some_column)")
+
+
 def test_session_dataset_api(spark):
     """SequilaSession dataset-API entry points (SequilaSession.scala:89-112
     parity): coverage/pileup/range_join/grange as methods."""
