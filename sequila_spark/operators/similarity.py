@@ -131,30 +131,31 @@ def cosine_dup_pairs(
             .where(F.col("cosine") >= threshold)
         )
 
+    # One Arrow pass computes all table buckets; posexplode to
+    # (table, bucket) rows and self-equi-join on the pair — both join
+    # inputs are the identical subplan, so the shuffle is computed once and
+    # reused (ReusedExchange), not once per table.
     buckets = _buckets_batch()
-    eb = corpus.select(
+    ebt = corpus.select(
         F.col(id_col).alias("id"),
-        quantized(F.col(vec_col)).alias("v"),
-        buckets(F.col(vec_col)).alias("bkts"),
-    ).select(
-        "id", "v", *[F.col("bkts").getItem(t).alias(f"bkt{t}") for t in range(N_TABLES)]
+        F.posexplode(buckets(F.col(vec_col))).alias("table", "bucket"),
     )
-    cand = None
-    for t in range(N_TABLES):
-        at = eb.select(F.col("id").alias("id_1"), F.col(f"bkt{t}").alias("bucket"))
-        bt = eb.select(F.col("id").alias("id_2"), F.col(f"bkt{t}").alias("bucket"))
-        pairs = (
-            at.join(bt, "bucket")
-            .where(F.col("id_1") < F.col("id_2"))
-            .select("id_1", "id_2")
+    cand = (
+        ebt.select(F.col("id").alias("id_1"), "table", "bucket")
+        .join(
+            ebt.select(F.col("id").alias("id_2"), "table", "bucket"),
+            ["table", "bucket"],
         )
-        cand = pairs if cand is None else cand.unionByName(pairs)
-    cand = cand.distinct()
+        .where(F.col("id_1") < F.col("id_2"))
+        .select("id_1", "id_2")
+        .distinct()
+    )
 
+    ev = corpus.select(F.col(id_col).alias("id"), quantized(F.col(vec_col)).alias("v"))
     cos = _cosine_batch()
     return (
-        cand.join(eb.select(F.col("id").alias("id_1"), F.col("v").alias("v1")), "id_1")
-        .join(eb.select(F.col("id").alias("id_2"), F.col("v").alias("v2")), "id_2")
+        cand.join(ev.select(F.col("id").alias("id_1"), F.col("v").alias("v1")), "id_1")
+        .join(ev.select(F.col("id").alias("id_2"), F.col("v").alias("v2")), "id_2")
         .select("id_1", "id_2", cos(F.col("v1"), F.col("v2")).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
@@ -373,45 +374,35 @@ def ann_topk_lsh(
     scoring run as Arrow-batched numpy (integer-exact, so results match the
     declarative oracle bit-for-bit).  Recall is probabilistic; tested
     against cosine_topk."""
+    # Single Arrow pass per relation computes all table buckets; explode to
+    # (table, bucket) rows and one equi-join generates candidates for every
+    # table at once (the query side is tiny and broadcasts).
     buckets = _buckets_batch()
-    c = corpus.select(
+    ct = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        quantized(F.col(vec_col)).alias("cv"),
-        buckets(F.col(vec_col)).alias("bkts"),
-    ).select(
-        "neighbor_id",
-        "cv",
-        *[F.col("bkts").getItem(t).alias(f"bkt{t}") for t in range(N_TABLES)],
+        F.posexplode(buckets(F.col(vec_col))).alias("table", "bucket"),
+    )
+    qt = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.posexplode(buckets(F.col(vec_col))).alias("table", "bucket"),
+    )
+    cand = (
+        ct.join(F.broadcast(qt), ["table", "bucket"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), quantized(F.col(vec_col)).alias("cv")
     )
     q = queries.select(
-        F.col(id_col).alias("query_id"),
-        quantized(F.col(vec_col)).alias("qv"),
-        buckets(F.col(vec_col)).alias("bkts"),
-    ).select(
-        "query_id",
-        "qv",
-        *[F.col("bkts").getItem(t).alias(f"bkt{t}") for t in range(N_TABLES)],
+        F.col(id_col).alias("query_id"), quantized(F.col(vec_col)).alias("qv")
     )
-    cand = None
-    for t in range(N_TABLES):
-        qt = q.select(
-            "query_id",
-            F.lit(t).alias("table"),
-            F.col(f"bkt{t}").alias("bucket"),
-        )
-        ct = c.select(
-            "neighbor_id",
-            F.lit(t).alias("table"),
-            F.col(f"bkt{t}").alias("bucket"),
-        )
-        pairs = qt.join(ct, ["table", "bucket"]).select("query_id", "neighbor_id")
-        cand = pairs if cand is None else cand.unionByName(pairs)
-    cand = cand.where(F.col("query_id") != F.col("neighbor_id")).distinct()
-
     cos = _cosine_batch()
     scored = (
-        cand.join(q.select("query_id", "qv"), "query_id")
-        .join(c.select("neighbor_id", "cv"), "neighbor_id")
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
         .select("query_id", "neighbor_id", cos(F.col("qv"), F.col("cv")).alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(
