@@ -20,7 +20,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
-# Headline set: the flagship operators, heaviest first.
+# Headline set: the flagship operators, heaviest first, plus the queries
+# whose plans were rearchitected for scale (so regressions stay visible
+# round over round).
 BENCH_QUERIES = [
     "feature_counts",
     "range_join_pairs",
@@ -28,12 +30,17 @@ BENCH_QUERIES = [
     "coverage_blocks",
     "coverage_windows",
     "pileup_agg",
+    "pileup_quals_slice",
+    "pileup_indels_slice",
     "dedup_minhash_pairs",
     "dedup_ngram_jaccard",
+    "dedup_embedding",
     "similarity_topk",
     "similarity_ann_lsh",
+    "similarity_ivf",
     "text_features",
     "events_window_agg",
+    "events_asof",
 ]
 
 
