@@ -8,6 +8,7 @@ from sequila_spark.sources.bam import (
     read_bam,
     read_bam_native,
     write_alignments,
+    write_bam,
 )
 from sequila_spark.sources.sinks import write_result
 
@@ -21,6 +22,7 @@ __all__ = [
     "read_alignments",
     "read_bam",
     "read_bam_native",
+    "write_bam",
     "write_alignments",
     "write_result",
 ]

@@ -87,6 +87,76 @@ def _pysam_reader(path: str, ref_path: str | None, contig: str, start: int, end:
             )
 
 
+def write_bam(
+    df: DataFrame,
+    path: str,
+    refs: list[tuple[str, int]] | None = None,
+    header_text: str = "",
+    sort: bool = True,
+) -> None:
+    """Write an alignment relation as a BAM file with the native codec
+    (closes SURVEY §2.1's last row — the reference wraps
+    outputformats/BAMOutputFormat.scala around hadoop-BAM).
+
+    Each partition compresses its records into headerless BGZF fragments
+    (BGZF is concatenation-safe: every block is a complete gzip member);
+    the driver stitches header + fragments + EOF marker.  With
+    ``sort=True`` rows are range-partitioned and sorted by
+    (contig, pos_start) first, so the result is coordinate-sorted.  The
+    driver holds only compressed fragments; for outputs beyond driver
+    memory, write per-partition shards to shared storage and concatenate
+    there (BGZF needs no re-framing).
+
+    ``refs`` defaults to the observed contigs with max(pos_end) as length.
+    """
+    from sequila_spark.sources import bamcodec as B
+
+    if refs is None:
+        refs = [
+            (r[0], int(r[1]))
+            for r in df.where(F.col(S.CONTIG).isNotNull())
+            .groupBy(S.CONTIG)
+            .agg(F.max(S.END).cast("int"))
+            .orderBy(S.CONTIG)
+            .collect()
+        ]
+    ref_ids = {name: i for i, (name, _) in enumerate(refs)}
+
+    cols = [S.QNAME, S.FLAG, S.CONTIG, S.START, S.END, S.MAPQ, S.CIGAR,
+            S.RNEXT, S.PNEXT, S.TLEN, S.SEQUENCE, S.BASEQ, "tags"]
+    out = df
+    for c in cols:
+        if c not in out.columns:
+            out = out.withColumn(
+                c, F.lit(None).cast("map<string,string>" if c == "tags" else "string")
+            )
+    out = out.select(*cols)
+    if sort:
+        out = out.repartitionByRange(S.CONTIG, S.START).sortWithinPartitions(
+            S.CONTIG, S.START
+        )
+
+    def compress_partition(rows):
+        import io
+
+        buf = io.BytesIO()
+        w = B.BgzfWriter(buf)
+        for r in rows:
+            w.write(B.encode_record(tuple(r), ref_ids))
+        w.close(eof=False)
+        data = buf.getvalue()
+        return [data] if data else []
+
+    fragments = out.rdd.mapPartitions(compress_partition).collect()
+    with open(path, "wb") as f:
+        w = B.BgzfWriter(f)
+        B.write_bam_header(w, refs, header_text)
+        w.flush_blocks()
+        for frag in fragments:
+            f.write(frag)
+        f.write(B.BGZF_EOF)
+
+
 def read_bam_native(
     spark: SparkSession,
     path: str,

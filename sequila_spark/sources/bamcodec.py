@@ -227,6 +227,131 @@ def parse_records(
         )
 
 
+BGZF_EOF = bytes.fromhex(
+    "1f8b08040000000000ff0600424302001b0003000000000000000000"
+)
+
+
+def bgzf_compress_block(payload: bytes, level: int = 6) -> bytes:
+    """One BGZF block: a gzip member with the BC/BSIZE extra subfield.
+    Payload must be <= 65535 bytes (callers chunk)."""
+    comp = zlib.compressobj(level, zlib.DEFLATED, -15)
+    cdata = comp.compress(payload) + comp.flush()
+    bsize = len(cdata) + 25  # total = header 18 + cdata + footer 8; BSIZE = total-1
+    header = (
+        b"\x1f\x8b\x08\x04\x00\x00\x00\x00\x00\xff"
+        + struct.pack("<H", 6)
+        + b"BC"
+        + struct.pack("<HH", 2, bsize)
+    )
+    footer = struct.pack("<II", zlib.crc32(payload) & 0xFFFFFFFF, len(payload) & 0xFFFFFFFF)
+    return header + cdata + footer
+
+
+class BgzfWriter:
+    """Buffers bytes into <=64 KB BGZF blocks.  close() appends the
+    standard EOF marker block."""
+
+    def __init__(self, raw: BinaryIO, level: int = 6):
+        self._raw = raw
+        self._level = level
+        self._buf = bytearray()
+
+    def write(self, data: bytes) -> None:
+        self._buf += data
+        while len(self._buf) >= 0xFF00:
+            self._raw.write(bgzf_compress_block(bytes(self._buf[:0xFF00]), self._level))
+            del self._buf[:0xFF00]
+
+    def flush_blocks(self) -> None:
+        if self._buf:
+            self._raw.write(bgzf_compress_block(bytes(self._buf), self._level))
+            self._buf.clear()
+
+    def close(self, eof: bool = True) -> None:
+        self.flush_blocks()
+        if eof:
+            self._raw.write(BGZF_EOF)
+
+
+_SEQ_CODE = {c: i for i, c in enumerate(SEQ_CODES)}
+_CIGAR_CODE = {c: i for i, c in enumerate(CIGAR_OPS)}
+_CIGAR_RE_W = None  # compiled lazily (module kept import-light on executors)
+
+
+def encode_record(
+    rec: tuple,
+    ref_ids: dict[str, int],
+) -> bytes:
+    """Inverse of parse_records for one canonical tuple
+    (qname, flag, contig, pos_start, pos_end, mapq, cigar, rnext, pnext,
+    tlen, seq, qual, tags) — tags other than simple strings are written as
+    Z strings (lossless for the decode side of this codec)."""
+    import re as _re
+
+    (qname, flag, contig, pos1, _end, mapq, cigar, rnext, pnext1, tlen, seq, qual, tags) = rec
+    rid = ref_ids.get(contig, -1) if contig else -1
+    next_rid = ref_ids.get(rnext, -1) if rnext else -1
+    pos0 = (pos1 or 0) - 1
+    next_pos0 = (pnext1 or 0) - 1
+    seq = seq or ""
+    l_seq = len(seq)
+    qname_b = (qname or "*").encode() + b"\x00"
+    ops = (
+        []
+        if not cigar or cigar == "*"
+        else [
+            (int(n), _CIGAR_CODE[op])
+            for n, op in _re.findall(r"(\d+)([MIDNSHP=X])", cigar)
+        ]
+    )
+    cigar_b = b"".join(struct.pack("<I", (n << 4) | code) for n, code in ops)
+    seq_b = bytearray((l_seq + 1) // 2)
+    for i, ch in enumerate(seq):
+        code = _SEQ_CODE.get(ch.upper(), 15)
+        seq_b[i // 2] |= code << 4 if i % 2 == 0 else code
+    qual_b = (
+        bytes(ord(c) - 33 for c in qual) if qual and len(qual) == l_seq else b"\xff" * l_seq
+    )
+    tags_b = b"".join(
+        k[:2].encode() + b"Z" + str(v).encode() + b"\x00"
+        for k, v in (tags or {}).items()
+    )
+    # bin: legacy reg2bin over [pos0, pos0+1) — readers here ignore it
+    body = (
+        struct.pack(
+            "<iiBBHHHiiii",
+            rid,
+            pos0,
+            len(qname_b),
+            mapq or 0,
+            0,
+            len(ops),
+            flag or 0,
+            l_seq,
+            next_rid,
+            next_pos0,
+            tlen or 0,
+        )
+        + qname_b
+        + cigar_b
+        + bytes(seq_b)
+        + qual_b
+        + tags_b
+    )
+    return struct.pack("<i", len(body)) + body
+
+
+def write_bam_header(w: "BgzfWriter", refs: list[tuple[str, int]], text: str = "") -> None:
+    if not text:
+        text = "".join(f"@SQ\tSN:{n}\tLN:{ln}\n" for n, ln in refs)
+    tb = text.encode()
+    w.write(b"BAM\x01" + struct.pack("<i", len(tb)) + tb + struct.pack("<i", len(refs)))
+    for name, length in refs:
+        nb = name.encode() + b"\x00"
+        w.write(struct.pack("<i", len(nb)) + nb + struct.pack("<i", length))
+
+
 def read_bai_linear(path: str) -> list[list[int]]:
     """Per-reference linear index: virtual offset of the first read
     overlapping each 16 kb window (0 where absent)."""
