@@ -296,6 +296,16 @@ def _q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup_pairs(_docs(spark, sf_dir), threshold=0.8)
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering end to end: MinHash+LSH pairs -> connected
+    components -> (id, rep_id) keep-one-per-cluster assignment.  Oracle:
+    the same pair SQL + a recursive-CTE transitive closure."""
+    from sequila_spark.operators.dedup import dedup_components, minhash_dedup_pairs
+
+    pairs = minhash_dedup_pairs(_docs(spark, sf_dir), threshold=0.8)
+    return dedup_components(pairs)
+
+
 def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sequila_spark.operators.dedup import simhash
 
@@ -580,6 +590,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": _q_dedup_exact,
     "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
     "dedup_minhash_pairs": _q_dedup_minhash_pairs,
+    "dedup_clusters": _q_dedup_clusters,
     "dedup_simhash": _q_dedup_simhash,
     "similarity_topk": _q_similarity_topk,
     "similarity_ann_lsh": _q_similarity_ann_lsh,
@@ -851,6 +862,32 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM (
             SELECT j.id_1, j.id_2, j.jaccard
             FROM jac j JOIN cands USING (id_1, id_2)
             WHERE j.jaccard >= 0.8
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE {sh_cte},
+            sig AS (SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id),
+            bands AS ({band_selects}),
+            cands AS (
+              SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+            ),
+            pairs AS (
+              SELECT j.id_1, j.id_2
+              FROM jac j JOIN cands USING (id_1, id_2)
+              WHERE j.jaccard >= 0.8
+            ),
+            e AS (
+              SELECT id_1 AS a, id_2 AS b FROM pairs
+              UNION
+              SELECT id_2 AS a, id_1 AS b FROM pairs
+            ),
+            reach AS (
+              SELECT a AS src, a AS node FROM (SELECT DISTINCT a FROM e) __n
+              UNION
+              SELECT r.src, e.b AS node FROM reach r JOIN e ON e.a = r.node
+            )
+            SELECT src AS id, MIN(node) AS rep_id FROM reach GROUP BY src
         """,
         "dedup_simhash": f"""
             WITH sh AS (

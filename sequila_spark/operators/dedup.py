@@ -221,6 +221,68 @@ def _verify_jaccard(
     )
 
 
+def dedup_components(
+    pairs: DataFrame,
+    id_cols: tuple[str, str] = ("id_1", "id_2"),
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components of the near-dup pair graph: (id, rep_id) with
+    rep = the component's minimum id — the "keep one per cluster" step
+    that completes pairwise dedup.
+
+    Distributed min-label propagation: each round joins labels to the
+    (symmetrized) edge list, takes the min neighbor label, and stops when
+    no label changed (one count() of a pairs-sized relation per round —
+    near-dup graphs have tiny diameters, so this converges in a few
+    rounds; for web-scale graphs swap in the large-star/small-star
+    variant, same interface).  Labels are localCheckpoint()ed each round
+    to keep lineage flat.  Deterministic: min over ids.
+    """
+    a, b = id_cols
+    half = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    edges = (
+        half.unionByName(
+            half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()  # materialize once — every round re-joins edges
+    )
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct().withColumn("rep", F.col("id"))
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("id").alias("dst"), F.col("rep").alias("nrep")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nrep").alias("nbr_rep"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
+            .select(
+                "id",
+                F.least(F.col("rep"), F.coalesce(F.col("nbr_rep"), F.col("rep"))).alias(
+                    "rep"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.rep") != F.col("o.rep"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"dedup_components: no fixpoint after {max_iter} rounds")
+    return labels.select(F.col("id"), F.col("rep").alias("rep_id"))
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Column:
     """Per-doc 16-bit SimHash over shingle hashes: bit j set iff the majority
     of shingles have bit j set (strictly more ones than zeros)."""

@@ -120,6 +120,19 @@ def test_ivf_topk_deterministic_and_sane(spark, embs):
     assert hits >= max(1, len(exact1) // 3), (hits, len(exact1))
 
 
+def test_dedup_components_semantics(spark):
+    """Chains collapse to one component with the min id as representative;
+    disjoint clusters stay separate."""
+    from sequila_spark.operators.dedup import dedup_components
+
+    pairs = spark.createDataFrame(
+        [(5, 3), (3, 9), (9, 11), (20, 21), (30, 31), (31, 30)],
+        "id_1 long, id_2 long",
+    )
+    got = {r["id"]: r["rep_id"] for r in dedup_components(pairs).collect()}
+    assert got == {3: 3, 5: 3, 9: 3, 11: 3, 20: 20, 21: 20, 30: 30, 31: 30}
+
+
 def test_cosine_dup_pairs_lsh_plan_and_recall(spark, embs):
     """The default (LSH-candidate) near-dup plan must contain no
     nested-loop/cartesian node, and its verified pairs must be a subset of
