@@ -54,9 +54,11 @@ def read_vcf(
     info_map = F.map_from_entries(
         F.transform(
             F.split(field(7), ";"),
+            # flag entries (e.g. "DB") have no '=': value defaults to "" —
+            # F.get is OOB-tolerant where getItem raises
             lambda kv: F.struct(
                 F.split(kv, "=").getItem(0).alias("key"),
-                F.coalesce(F.split(kv, "=").getItem(1), F.lit("")).alias("value"),
+                F.coalesce(F.get(F.split(kv, "="), F.lit(1)), F.lit("")).alias("value"),
             ),
         )
     )
