@@ -312,6 +312,20 @@ def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_docs(spark, sf_dir))
 
 
+def _q_docs_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test split by id-hash bucket (portable
+    md5 arithmetic — stable across runs/engines); per-split integer sums
+    pin every assignment."""
+    from sequila_spark.operators.sampling import hash_split
+
+    d = _docs(spark, sf_dir)
+    s = hash_split(d, "doc_id", {"train": 0.9, "valid": 0.05, "test": 0.05})
+    return s.groupBy("split").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("doc_id").cast("long").alias("sum_ids"),
+    )
+
+
 def _q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sequila_spark.operators.similarity import cosine_topk
 
@@ -592,6 +606,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_pairs": _q_dedup_minhash_pairs,
     "dedup_clusters": _q_dedup_clusters,
     "dedup_simhash": _q_dedup_simhash,
+    "docs_split": _q_docs_split,
     "similarity_topk": _q_similarity_topk,
     "similarity_ann_lsh": _q_similarity_ann_lsh,
     "text_features": _q_text_features,
@@ -709,6 +724,7 @@ def _llm_oracles() -> dict[str, str]:
     """DuckDB replicas of the LLM-pipeline operators (deterministic
     arithmetic shared with sequila_spark.operators.dedup/similarity/text)."""
     from sequila_spark.operators import dedup as DD
+    from sequila_spark.operators import sampling as SP
     from sequila_spark.operators import similarity as SIM
     from sequila_spark.operators import text as TX
 
@@ -895,6 +911,22 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM (
             ),
             bits AS (SELECT doc_id, {bit_sums} FROM sh GROUP BY doc_id)
             SELECT doc_id, CAST({simhash_value} AS INT) AS simhash FROM bits
+        """,
+        "docs_split": f"""
+            WITH b AS (
+              SELECT doc_id, {SP.hash_bucket_sql('doc_id')} AS bkt
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id,
+                     CASE WHEN bkt < 9000 THEN 'train'
+                          WHEN bkt < 9500 THEN 'valid'
+                          ELSE 'test' END AS split
+              FROM b
+            )
+            SELECT split, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+            FROM s GROUP BY split
         """,
         "similarity_topk": f"""
             WITH q AS (

@@ -1,0 +1,76 @@
+"""Deterministic sampling / dataset splitting for training-data pipelines.
+
+Split assignment must be a pure function of the record id — stable across
+runs, cluster sizes, and engines (so held-out sets never leak when the
+pipeline is re-run on grown data).  The bucket is integer arithmetic over
+the md5 hex digest (md5 is the one hash both Spark and DuckDB implement
+identically — see the oracle gate), so every assignment is
+DuckDB-checkable: no rand(), no engine-specific hash functions.
+
+Map-side only: no shuffle, linear scaling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+N_BUCKETS = 10_000
+
+_HEXV = "(CASE WHEN ascii({c}) >= 97 THEN ascii({c}) - 87 ELSE ascii({c}) - 48 END)"
+
+
+def hash_bucket_sql(id_expr: str, buckets: int = N_BUCKETS) -> str:
+    """Portable SQL: bucket in [0, buckets) from the first 6 hex chars of
+    md5(id).  Identical text runs in Spark SQL and DuckDB."""
+    h = f"md5(CAST({id_expr} AS STRING))"
+    terms = " + ".join(
+        _HEXV.format(c=f"substr({h}, {i + 1}, 1)") + f" * {16 ** i}" for i in range(6)
+    )
+    return f"CAST(({terms}) % {buckets} AS INT)"
+
+
+def hash_bucket(id_col: Column, buckets: int = N_BUCKETS) -> Column:
+    h = F.md5(id_col.cast("string"))
+    val = F.lit(0)
+    for i in range(6):
+        c = F.ascii(F.substring(h, i + 1, 1))
+        val = val + F.when(c >= 97, c - 87).otherwise(c - 48) * (16 ** i)
+    return (val % buckets).cast("int")
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float],
+    buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """Add a ``split`` column assigning each row to a named split with the
+    given fractions (must sum to <= 1; remainder falls into the last
+    split).  Assignment is by id-hash bucket ranges — deterministic and
+    disjoint."""
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    b = hash_bucket(F.col(id_col), buckets)
+    bounds = []
+    acc = 0.0
+    for name, frac in fractions.items():
+        acc += frac
+        bounds.append((name, int(round(acc * buckets))))
+    expr = None
+    prev = 0
+    for name, hi in bounds[:-1]:
+        cond = b < hi
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+        prev = hi
+    last = bounds[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)
+
+
+def sample_fraction(
+    df: DataFrame, id_col: str, fraction: float, buckets: int = N_BUCKETS
+) -> DataFrame:
+    """Deterministic downsample: keep rows whose hash bucket falls under
+    fraction.  Re-running on appended data keeps previous members."""
+    return df.where(hash_bucket(F.col(id_col), buckets) < int(round(fraction * buckets)))

@@ -153,6 +153,24 @@ _OUT_SCHEMA = T.StructType(
 )
 
 
+def stream_exact_dedup(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact deduplication: keep the first occurrence of each key
+    within the watermark horizon (``dropDuplicatesWithinWatermark`` — state
+    is pruned as the watermark advances, so memory is bounded by the
+    duplicate-arrival window, not the stream length).  The batch
+    formulation of the same contract is ``dropDuplicates(keys)``.  This is
+    the streaming half of a training-data ingest pipeline's exact dedup
+    (the batch half is operators/dedup.exact_duplicates)."""
+    keys = keys or ["event_id"]
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+    return events.dropDuplicates(keys)
+
+
 def running_user_totals_stream(events: DataFrame) -> DataFrame:
     """Custom stateful operator: per-user running event count via
     applyInPandasWithState (the engine's template for arbitrary stateful

@@ -120,6 +120,25 @@ def test_ivf_topk_deterministic_and_sane(spark, embs):
     assert hits >= max(1, len(exact1) // 3), (hits, len(exact1))
 
 
+def test_hash_split_deterministic_and_disjoint(spark, docs):
+    from sequila_spark.operators.sampling import hash_split, sample_fraction
+
+    fr = {"train": 0.8, "valid": 0.1, "test": 0.1}
+    s1 = {r["doc_id"]: r["split"] for r in hash_split(docs, "doc_id", fr).collect()}
+    s2 = {r["doc_id"]: r["split"] for r in hash_split(docs, "doc_id", fr).collect()}
+    assert s1 == s2  # pure function of the id
+    n = len(s1)
+    from collections import Counter
+
+    c = Counter(s1.values())
+    assert set(c) == {"train", "valid", "test"}
+    assert abs(c["train"] / n - 0.8) < 0.1  # md5 buckets are near-uniform
+    # sample membership is monotone in the fraction (grow-safe resampling)
+    small = {r["doc_id"] for r in sample_fraction(docs, "doc_id", 0.2).collect()}
+    big = {r["doc_id"] for r in sample_fraction(docs, "doc_id", 0.5).collect()}
+    assert small <= big and 0 < len(small) < len(big) < n
+
+
 def test_dedup_components_semantics(spark):
     """Chains collapse to one component with the min id as representative;
     disjoint clusters stay separate."""

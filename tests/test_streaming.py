@@ -75,6 +75,30 @@ def test_stateful_running_totals(spark, sf_small):
     assert got == expect
 
 
+def test_stream_exact_dedup_equals_batch(spark, sf_small):
+    """Watermark-bounded streaming dedup must keep exactly one row per key
+    — same distinct key set as the batch dropDuplicates contract, no key
+    lost or duplicated."""
+    from sequila_spark.streaming.ops import (
+        read_events,
+        read_events_stream,
+        stream_exact_dedup,
+    )
+
+    # duplicate the stream source to create real duplicates
+    ev = read_events_stream(spark, sf_small)
+    dup = stream_exact_dedup(ev.unionByName(ev), keys=["event_id"])
+    _run_stream(dup, "dedup_stream", output_mode="append")
+    got = spark.sql("SELECT event_id, count(*) AS n FROM dedup_stream GROUP BY event_id")
+    counts = {r["event_id"]: r["n"] for r in got.collect()}
+    assert counts and set(counts.values()) == {1}
+    batch_keys = {
+        r["event_id"]
+        for r in stream_exact_dedup(read_events(spark, sf_small)).select("event_id").collect()
+    }
+    assert set(counts) == batch_keys
+
+
 def test_batch_sessionize_properties(spark, sf_small):
     from sequila_spark.streaming.ops import read_events, sessionize
 
