@@ -152,7 +152,9 @@ def _q_pileup_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sequila_spark.functions.maps import altmap_to_str
 
     reads = TD.reads_with_seq(spark, sf_dir)
-    p = pileup(reads, ref=TD.ref_base_col, alts=True)
+    # synthetic reads are all-M: gapless expansion is exact here (CIGAR-walk
+    # semantics are oracle-gated separately by pileup_indels*)
+    p = pileup(reads, ref=TD.ref_base_col, alts=True, use_cigar=False)
     return p.where((F.col(S.CONTIG) == "1") & F.col(S.START).between(1, 20000)).select(
         S.CONTIG,
         S.START,
@@ -169,7 +171,7 @@ def _q_pileup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-genome pileup digest per contig: pins every per-position value
     through exact integer sums."""
     reads = TD.reads_with_seq(spark, sf_dir)
-    p = pileup(reads, ref=TD.ref_base_col, alts=True)
+    p = pileup(reads, ref=TD.ref_base_col, alts=True, use_cigar=False)
     return p.groupBy(S.CONTIG).agg(
         F.count("*").alias("n_pos"),
         F.sum(S.COVERAGE).cast("long").alias("sum_cov"),
@@ -185,7 +187,7 @@ def _q_pileup_quals_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sequila_spark.functions.maps import qualsmap_to_str
 
     reads = TD.reads_with_seq(spark, sf_dir)
-    p = pileup(reads, ref=TD.ref_base_col, alts=True, quals=True)
+    p = pileup(reads, ref=TD.ref_base_col, alts=True, quals=True, use_cigar=False)
     return p.where((F.col(S.CONTIG) == "2") & F.col(S.START).between(1, 10000)).select(
         S.CONTIG,
         S.START,
@@ -201,7 +203,9 @@ def _q_pileup_quals_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sequila_spark.functions.maps import qualsmap_to_str
 
     reads = TD.reads_with_seq(spark, sf_dir)
-    p = pileup(reads, ref=TD.ref_base_col, alts=True, quals=True, qual_bin_size=10)
+    p = pileup(
+        reads, ref=TD.ref_base_col, alts=True, quals=True, qual_bin_size=10, use_cigar=False
+    )
     return p.where((F.col(S.CONTIG) == "4") & F.col(S.START).between(1, 10000)).select(
         S.CONTIG,
         S.START,

@@ -134,6 +134,12 @@ def range_join(
                       min_overlap, max_gap, bin_size, strategy, bin_cap)
 
     # Composed variants: run the inner core against a row-keyed left side.
+    # The rowid is evaluated twice (inside `matched` and on the re-join), so
+    # it must be stable across evaluations/retries: true for deterministic
+    # lineages (scans, projections) and for repartition() under Spark's
+    # default sortBeforeRepartition=true.  If your left side has a
+    # nondeterministic upstream (e.g. a sampled or rand()-derived relation),
+    # localCheckpoint() it before calling with how != 'inner'.
     keyed = left.withColumn("__sq_rowid", F.monotonically_increasing_id())
     matched = _inner(keyed, right, lc, rc, ls, le, rs, re,
                      min_overlap, max_gap, bin_size, strategy, bin_cap)
