@@ -25,12 +25,22 @@ def _spark(app: str) -> SparkSession:
     return get_spark(app_name=app)
 
 
+def _read_reads(spark: SparkSession, path: str):
+    """Alignment input dispatch: .bam decodes through the native codec,
+    .cram through pysam, anything else is a parquet alignment relation."""
+    from sequila_spark.sources import read_alignments, read_bam
+
+    if path.endswith((".bam", ".cram")):
+        return read_bam(spark, path)
+    return read_alignments(spark, path)
+
+
 def _read_intervals(spark: SparkSession, path: str):
-    from sequila_spark.sources import read_alignments, read_bed
+    from sequila_spark.sources import read_bed
 
     if path.endswith(".bed"):
         return read_bed(spark, path)
-    return read_alignments(spark, path)
+    return _read_reads(spark, path)
 
 
 def feature_counts(args: argparse.Namespace) -> None:
@@ -53,10 +63,10 @@ def feature_counts(args: argparse.Namespace) -> None:
 
 def depth_of_coverage(args: argparse.Namespace) -> None:
     from sequila_spark.operators.coverage import coverage
-    from sequila_spark.sources import read_alignments, write_result
+    from sequila_spark.sources import write_result
 
     spark = _spark("depth_of_coverage")
-    reads = read_alignments(spark, args.reads)
+    reads = _read_reads(spark, args.reads)
     cov = coverage(
         reads,
         mode=args.mode,
@@ -69,10 +79,10 @@ def depth_of_coverage(args: argparse.Namespace) -> None:
 
 def pileup_app(args: argparse.Namespace) -> None:
     from sequila_spark.operators.pileup import pileup
-    from sequila_spark.sources import read_alignments, read_fasta_bases, write_result
+    from sequila_spark.sources import read_fasta_bases, write_result
 
     spark = _spark("pileup")
-    reads = read_alignments(spark, args.reads)
+    reads = _read_reads(spark, args.reads)
     ref = read_fasta_bases(spark, args.ref) if args.ref else None
     p = pileup(
         reads,
@@ -83,6 +93,16 @@ def pileup_app(args: argparse.Namespace) -> None:
         min_mapq=args.min_mapq,
     )
     write_result(p, args.output, fmt=args.format, single_file=args.single_file)
+
+
+def bam_to_parquet(args: argparse.Namespace) -> None:
+    """Canonical ingest: decode a BAM once with the native codec and store
+    as sample-partitioned, coordinate-sorted parquet (write_alignments) —
+    every later query gets partition pruning + row-group skipping."""
+    from sequila_spark.sources import write_alignments
+
+    spark = _spark("bam_to_parquet")
+    write_alignments(_read_reads(spark, args.reads), args.output)
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -115,6 +135,11 @@ def main(argv: list[str] | None = None) -> None:
     pu.add_argument("--ref", default=None)
     pu.add_argument("--quals", action="store_true")
     pu.set_defaults(fn=pileup_app)
+
+    b2p = sub.add_parser("bam-to-parquet")
+    b2p.add_argument("--reads", required=True)
+    b2p.add_argument("--output", required=True)
+    b2p.set_defaults(fn=bam_to_parquet)
 
     args = parser.parse_args(argv)
     args.fn(args)

@@ -82,3 +82,26 @@ def test_pileup_app(spark, tmp_path):
     assert len(rows) == 10
     # fixture contig 1 is ACGTACGTAC... -> every base matches the reference
     assert all(r["countRef"] == 1 and r["countNonRef"] == 0 for r in rows)
+
+
+def test_bam_input_and_bam_to_parquet(spark, tmp_path):
+    """Apps accept raw BAM via the native codec; bam-to-parquet produces
+    the partitioned layout read_alignments consumes."""
+    import pytest
+
+    bam = "/root/reference/src/test/resources/NA12878.slice.bam"
+    if not os.path.exists(bam):
+        pytest.skip("no reference BAM")
+    store = str(tmp_path / "aln")
+    main(["bam-to-parquet", "--reads", bam, "--output", store])
+    from sequila_spark.sources import read_alignments
+
+    assert read_alignments(spark, store).count() > 3000
+
+    out = str(tmp_path / "cov_out")
+    main([
+        "depth-of-coverage", "--reads", bam, "--output", out,
+        "--mode", "blocks", "--format", "parquet",
+    ])
+    cov = spark.read.parquet(out)
+    assert cov.count() > 0 and cov.select("coverage").groupBy().max().first()[0] >= 1
