@@ -159,56 +159,79 @@ def write_bam(
 
 def read_bam_native(
     spark: SparkSession,
-    path: str,
+    path: str | list[str],
     chunk: int = 10_000_000,
     with_tags: bool = True,
 ) -> DataFrame:
     """Decode BAM with the pure-Python BGZF/BAM/BAI codec (sources/bamcodec
     — no pysam/htslib needed), partitioned by genomic chunk: the driver
-    reads only the header + index; each task seeks its chunk's virtual
+    reads only headers + indexes; each task seeks its chunk's virtual
     offset from the BAI linear index and keeps exactly the reads whose
     start falls in its half-open range (owner-by-start — no duplicates at
     chunk boundaries; the reference assigns each read to one split the same
     way, datasources/BAM/AlignmentRelation.scala:298-393).  Without a .bai
-    the whole file decodes in a single task (still correct; index it for
-    scale)."""
+    a file decodes in a single task (still correct; index it for scale).
+
+    ``path`` may be a single file, a glob ('dir/*.bam'), a directory, or a
+    list — multi-sample tables exactly like the reference's
+    ``OPTIONS(path '.../*.bam')``; sample_id derives from each file name
+    (AlignmentRelation.scala:311-324)."""
+    import glob as _glob
+
     from sequila_spark.sources import bamcodec as B
 
-    with open(path, "rb") as f:
-        refs, _ = B.read_bam_header(B.BgzfReader(f))
+    if isinstance(path, (list, tuple)):
+        paths = list(path)
+    elif os.path.isdir(path):
+        paths = sorted(_glob.glob(os.path.join(path, "*.bam")))
+    elif any(ch in path for ch in "*?["):
+        paths = sorted(_glob.glob(path))
+    else:
+        paths = [path]
+    if not paths:
+        raise FileNotFoundError(f"no BAM files match {path!r}")
 
-    bai = next(
-        (p for p in (path + ".bai", path[: path.rfind(".")] + ".bai") if os.path.exists(p)),
-        None,
-    )
-    spans: list = (
-        B.plan_spans(refs, B.read_bai_linear(bai), chunk) if bai else [None]
-    )
+    refs_by_path: dict[str, list[tuple[str, int]]] = {}
+    spans: list[tuple] = []  # (path, sample, span-or-None)
+    for p in paths:
+        with open(p, "rb") as f:
+            refs_by_path[p], _ = B.read_bam_header(B.BgzfReader(f))
+        sample = os.path.basename(p).split(".")[0]
+        bai = next(
+            (c for c in (p + ".bai", p[: p.rfind(".")] + ".bai") if os.path.exists(c)),
+            None,
+        )
+        if bai:
+            for sp in B.plan_spans(refs_by_path[p], B.read_bai_linear(bai), chunk):
+                spans.append((p, sample, sp))
+        else:
+            spans.append((p, sample, None))
 
-    def gen(span):
-        with open(path, "rb") as fh:
+    def gen(task):
+        p, sample, span = task
+        refs = refs_by_path[p]
+        with open(p, "rb") as fh:
             if span is None:
                 st = B.BgzfReader(fh)
                 B.read_bam_header(st)  # skip to records
-                yield from B.parse_records(st, refs, with_tags=with_tags)
+                it = B.parse_records(st, refs, with_tags=with_tags)
             else:
                 rid, s0, e0, voff = span
                 st = B.BgzfReader(fh, voff)
-                yield from B.parse_records(
+                it = B.parse_records(
                     st, refs, ref_id=rid, start0=s0, end0=e0, with_tags=with_tags
                 )
+            for rec in it:
+                yield (sample, *rec)
 
     rdd = spark.sparkContext.parallelize(spans, max(len(spans), 1)).flatMap(gen)
     df = rdd.toDF(
-        f"{S.QNAME} string, {S.FLAG} int, {S.CONTIG} string, {S.START} int, "
-        f"{S.END} int, {S.MAPQ} int, {S.CIGAR} string, {S.RNEXT} string, "
-        f"{S.PNEXT} int, {S.TLEN} int, {S.SEQUENCE} string, {S.BASEQ} string, "
-        "tags map<string,string>"
+        f"{S.SAMPLE} string, {S.QNAME} string, {S.FLAG} int, {S.CONTIG} string, "
+        f"{S.START} int, {S.END} int, {S.MAPQ} int, {S.CIGAR} string, "
+        f"{S.RNEXT} string, {S.PNEXT} int, {S.TLEN} int, {S.SEQUENCE} string, "
+        f"{S.BASEQ} string, tags map<string,string>"
     )
-    sample = os.path.basename(path).split(".")[0]
-    return df.select(F.lit(sample).alias(S.SAMPLE), "*").withColumn(
-        S.CONTIG, clean_contig(F.col(S.CONTIG))
-    )
+    return df.withColumn(S.CONTIG, clean_contig(F.col(S.CONTIG)))
 
 
 def read_bam(

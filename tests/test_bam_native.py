@@ -79,6 +79,23 @@ def test_read_bam_native_spark(spark, tmp_path):
     assert read_bam_native(spark, str(unindexed)).count() == 3172
 
 
+MULTISAMPLE = "/root/reference/src/test/resources/multisample"
+
+
+@pytest.mark.skipif(not os.path.isdir(MULTISAMPLE), reason="no multisample dir")
+def test_multisample_glob(spark):
+    """OPTIONS(path '*.bam') parity: a glob yields one unioned relation
+    with per-file sample_id (AlignmentRelation.scala:311-324)."""
+    from sequila_spark.sources import read_bam_native
+
+    df = read_bam_native(spark, f"{MULTISAMPLE}/*.bam")
+    per_sample = {r["sample_id"]: r["count"] for r in df.groupBy("sample_id").count().collect()}
+    assert set(per_sample) == {"NA12877", "NA12878", "NA12879"}
+    assert all(v > 1000 for v in per_sample.values())
+    # directory form and DISTINCT-sample fast path shape
+    assert read_bam_native(spark, MULTISAMPLE).count() == sum(per_sample.values())
+
+
 @needs_slice
 def test_write_bam_roundtrip(spark, tmp_path):
     """BAM write (SURVEY §2.1 last row): decode the real slice, write it
