@@ -4,6 +4,7 @@ from sequila_spark.sources.fasta import read_fasta, read_fasta_bases
 from sequila_spark.sources.vcf import read_vcf
 from sequila_spark.sources.adam import read_adam
 from sequila_spark.sources.bam import (
+    list_samples,
     read_alignments,
     read_bam,
     read_bam_native,
@@ -20,6 +21,7 @@ __all__ = [
     "read_vcf",
     "read_adam",
     "read_alignments",
+    "list_samples",
     "read_bam",
     "read_bam_native",
     "write_bam",

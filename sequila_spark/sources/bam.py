@@ -87,6 +87,30 @@ def _pysam_reader(path: str, ref_path: str | None, contig: str, start: int, end:
             )
 
 
+def list_samples(path: str) -> list[str]:
+    """DISTINCT sample_id WITHOUT reading any data — the reference's scan
+    elision (SequilaDataSourceStrategy.scala:38-54, TableFuncs.scala:39-49
+    answer it from file names).  Works on BAM globs/directories (file-name
+    stems) and on write_alignments parquet stores (sample_id=... partition
+    directories)."""
+    import glob as _glob
+
+    if os.path.isdir(path):
+        parts = sorted(
+            e.split("=", 1)[1]
+            for e in os.listdir(path)
+            if e.startswith(f"{S.SAMPLE}=") and os.path.isdir(os.path.join(path, e))
+        )
+        if parts:
+            return parts
+        files = sorted(_glob.glob(os.path.join(path, "*.bam")))
+    elif any(ch in path for ch in "*?["):
+        files = sorted(_glob.glob(path))
+    else:
+        files = [path]
+    return sorted({os.path.basename(p).split(".")[0] for p in files})
+
+
 def write_bam(
     df: DataFrame,
     path: str,

@@ -96,6 +96,19 @@ def test_multisample_glob(spark):
     assert read_bam_native(spark, MULTISAMPLE).count() == sum(per_sample.values())
 
 
+@pytest.mark.skipif(not os.path.isdir(MULTISAMPLE), reason="no multisample dir")
+def test_list_samples_scan_elision(spark, tmp_path):
+    """DISTINCT sample_id from metadata only: BAM file names and parquet
+    partition directories, no data read."""
+    from sequila_spark.sources import list_samples, read_bam_native, write_alignments
+
+    assert list_samples(f"{MULTISAMPLE}/*.bam") == ["NA12877", "NA12878", "NA12879"]
+    assert list_samples(MULTISAMPLE) == ["NA12877", "NA12878", "NA12879"]
+    store = str(tmp_path / "aln_store")
+    write_alignments(read_bam_native(spark, SLICE), store)
+    assert list_samples(store) == ["NA12878"]
+
+
 @needs_slice
 def test_write_bam_roundtrip(spark, tmp_path):
     """BAM write (SURVEY §2.1 last row): decode the real slice, write it
