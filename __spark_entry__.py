@@ -330,6 +330,27 @@ def _q_docs_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing sampler: per-stratum deterministic rates (view 10%,
+    click 50%, purchase 100%, everything else 20%) — the mixture-control
+    primitive of a training-data pipeline, reproducible by id hash."""
+    from sequila_spark.operators.sampling import stratified_sample
+    from sequila_spark.streaming.ops import read_events
+
+    e = read_events(spark, sf_dir)
+    s = stratified_sample(
+        e,
+        "event_id",
+        "event_type",
+        {"view": 0.1, "click": 0.5, "purchase": 1.0},
+        default=0.2,
+    )
+    return s.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("event_id").cast("long").alias("sum_ids"),
+    )
+
+
 def _q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sequila_spark.operators.similarity import cosine_topk
 
@@ -611,6 +632,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": _q_dedup_clusters,
     "dedup_simhash": _q_dedup_simhash,
     "docs_split": _q_docs_split,
+    "events_stratified": _q_events_stratified,
     "similarity_topk": _q_similarity_topk,
     "similarity_ann_lsh": _q_similarity_ann_lsh,
     "text_features": _q_text_features,
@@ -931,6 +953,22 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, cosine FROM (
             SELECT split, CAST(COUNT(*) AS BIGINT) AS n,
                    CAST(SUM(doc_id) AS BIGINT) AS sum_ids
             FROM s GROUP BY split
+        """,
+        "events_stratified": f"""
+            WITH b AS (
+              SELECT event_type, event_id, {SP.hash_bucket_sql('event_id')} AS bkt
+              FROM events
+            ),
+            k AS (
+              SELECT * FROM b
+              WHERE bkt < CASE event_type WHEN 'view' THEN 1000
+                                          WHEN 'click' THEN 5000
+                                          WHEN 'purchase' THEN 10000
+                                          ELSE 2000 END
+            )
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(event_id) AS BIGINT) AS sum_ids
+            FROM k GROUP BY event_type
         """,
         "similarity_topk": f"""
             WITH q AS (

@@ -74,3 +74,30 @@ def sample_fraction(
     """Deterministic downsample: keep rows whose hash bucket falls under
     fraction.  Re-running on appended data keeps previous members."""
     return df.where(hash_bucket(F.col(id_col), buckets) < int(round(fraction * buckets)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default: float = 0.0,
+    buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """Domain-mixing sampler: keep each stratum (domain/source/language) at
+    its own rate — per-id deterministic, so mixtures are reproducible and
+    grow-safe.  Strata missing from ``fractions`` keep ``default``.
+    Map-side only (the fractions map compiles into a literal CASE)."""
+    b = hash_bucket(F.col(id_col), buckets)
+    thr = None
+    for name, frac in fractions.items():
+        hi = F.lit(int(round(frac * buckets)))
+        thr = F.when(F.col(strata_col) == name, hi) if thr is None else thr.when(
+            F.col(strata_col) == name, hi
+        )
+    thr = (
+        F.lit(int(round(default * buckets)))
+        if thr is None
+        else thr.otherwise(int(round(default * buckets)))
+    )
+    return df.where(b < thr)
