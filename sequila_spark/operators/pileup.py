@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from typing import Callable
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from sequila_spark import schemas as S
@@ -337,6 +337,123 @@ def pileup(
     if quals:
         cols.append(F.col(S.QUALS))
     return out.select(*cols)
+
+
+def pileup_blocks(p: DataFrame, chunk_size: int = 100_000) -> DataFrame:
+    """Block-compress per-position pileup rows into the reference's native
+    output shape (CommonPileupFormat; SamtoolsConverter.generateCompressed
+    Output semantics; golden: the reference's own sequila.csv dump):
+    maximal runs of consecutive positions with equal coverage and no
+    mismatches merge into one row whose ``ref`` is the run's reference
+    bases concatenated; mismatch positions stay single rows carrying their
+    alts (and quals when present).
+
+    Scalable stitching, same design as coverage's prefix sum: run breaks
+    are detected inside (contig, chunk) windows in parallel; a tiny
+    per-chunk relation decides which chunk-initial runs continue the
+    previous chunk's last run and assigns global run offsets — no
+    single-task-per-contig window.
+    """
+    has_quals = S.QUALS in p.columns
+    has_alts = F.coalesce(F.col(S.COUNT_NONREF), F.lit(0)) > 0
+    alt_rows = p.where(has_alts)
+    af = (
+        p.where(~has_alts)
+        .select(S.CONTIG, F.col(S.START).alias("pos"), S.REF, S.COVERAGE)
+        .withColumn("chunk", F.floor(F.col("pos") / chunk_size))
+    )
+
+    w_local = Window.partitionBy(S.CONTIG, "chunk").orderBy("pos")
+    prev_pos = F.lag("pos").over(w_local)
+    prev_cov = F.lag(S.COVERAGE).over(w_local)
+    brk = (
+        prev_pos.isNull()
+        | (F.col("pos") != prev_pos + 1)
+        | (F.col(S.COVERAGE) != prev_cov)
+    ).cast("long")
+    # two projections: a window function result cannot feed another window
+    # function within one select
+    loc = af.withColumn("brk", brk).withColumn("lrun", F.sum("brk").over(w_local))
+
+    # Tiny per-chunk relation: boundary positions/coverages + local run count.
+    ci = af.groupBy(S.CONTIG, "chunk").agg(
+        F.min("pos").alias("first_pos"),
+        F.max("pos").alias("last_pos"),
+        F.min_by(S.COVERAGE, "pos").alias("first_cov"),
+        F.max_by(S.COVERAGE, "pos").alias("last_cov"),
+    )
+    m = loc.groupBy(S.CONTIG, "chunk").agg(F.max("lrun").alias("m"))
+    w_chunks = Window.partitionBy(S.CONTIG).orderBy("chunk")
+    info = (
+        ci.join(m, [S.CONTIG, "chunk"])
+        .withColumn(
+            "cont",
+            (
+                (F.lag("chunk").over(w_chunks) == F.col("chunk") - 1)
+                & (F.lag("last_pos").over(w_chunks) == F.col("first_pos") - 1)
+                & (F.lag("last_cov").over(w_chunks) == F.col("first_cov"))
+            ).cast("long"),
+        )
+        .withColumn("cont", F.coalesce(F.col("cont"), F.lit(0)))
+        .withColumn(
+            "adj_offset",
+            F.coalesce(
+                F.sum("m").over(w_chunks.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            )
+            - F.sum("cont").over(w_chunks.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .select(S.CONTIG, "chunk", "adj_offset")
+    )
+
+    runs = (
+        loc.join(F.broadcast(info), [S.CONTIG, "chunk"])
+        .withColumn("run", F.col("adj_offset") + F.col("lrun"))
+        .groupBy(S.CONTIG, "run")
+        .agg(
+            F.min("pos").cast("int").alias(S.START),
+            F.max("pos").cast("int").alias(S.END),
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("pos"), F.coalesce(F.col(S.REF), F.lit("")).alias("r"))
+                        )
+                    ),
+                    lambda x: x["r"],
+                ),
+            ).alias(S.REF),
+            F.min(S.COVERAGE).cast("int").alias(S.COVERAGE),
+        )
+        .select(
+            S.CONTIG,
+            S.START,
+            S.END,
+            S.REF,
+            S.COVERAGE,
+            F.lit(None).cast("map<string,int>").alias(S.ALTS),
+            *(
+                [F.lit(None).cast("map<string,array<int>>").alias(S.QUALS)]
+                if has_quals
+                else []
+            ),
+        )
+    )
+    singles = alt_rows.select(
+        S.CONTIG,
+        S.START,
+        S.END,
+        S.REF,
+        S.COVERAGE,
+        (
+            F.col(S.ALTS)
+            if S.ALTS in p.columns
+            else F.lit(None).cast("map<string,int>").alias(S.ALTS)
+        ),
+        *([F.col(S.QUALS)] if has_quals else []),
+    )
+    return runs.unionByName(singles)
 
 
 def _pileup_sparse(
