@@ -99,10 +99,14 @@ class SequilaSession:
 
         return coverage(self._df(reads), **kwargs)
 
-    def pileup(self, reads: DataFrame | str, **kwargs) -> DataFrame:
-        from sequila_spark.operators.pileup import pileup
+    def pileup(self, reads: DataFrame | str, blocks: bool = False, **kwargs) -> DataFrame:
+        """``blocks=True`` returns the reference's native block-compressed
+        output shape (alt-free equal-coverage runs merged, ref
+        concatenated) instead of per-position rows."""
+        from sequila_spark.operators.pileup import pileup, pileup_blocks
 
-        return pileup(self._df(reads), **kwargs)
+        p = pileup(self._df(reads), **kwargs)
+        return pileup_blocks(p) if blocks else p
 
     def range_join(self, left, right, **kwargs) -> DataFrame:
         from sequila_spark.operators.range_join import range_join
