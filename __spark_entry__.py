@@ -256,6 +256,28 @@ def _q_pileup_indels_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pileup_blocks_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-compressed pileup (the reference TVF's native output shape —
+    CommonPileupFormat): alt-free equal-coverage runs merged with
+    concatenated ref, mismatch positions as singleton rows.  Over the
+    mixed-CIGAR reads so block boundaries interact with indels."""
+    from sequila_spark.functions.maps import altmap_to_str
+    from sequila_spark.operators.pileup import pileup_blocks
+
+    reads = TD.reads_indel(spark, sf_dir)
+    p = pileup(reads, ref=TD.ref_base_col, alts=True)
+    sliced = p.where((F.col(S.CONTIG) == "2") & F.col(S.START).between(1, 30000))
+    b = pileup_blocks(sliced)
+    return b.select(
+        S.CONTIG,
+        S.START,
+        S.END,
+        S.REF,
+        S.COVERAGE,
+        F.nullif(altmap_to_str(F.col(S.ALTS)), F.lit("")).alias("alts_str"),
+    )
+
+
 def _q_distinct_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTINCT sample_id fast path (SequilaDataSourceStrategy.scala:38-54);
     with partitioned storage this is partition listing — here the aggregate."""
@@ -626,6 +648,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pileup_quals_binned": _q_pileup_quals_binned,
     "pileup_indels": _q_pileup_indels,
     "pileup_indels_slice": _q_pileup_indels_slice,
+    "pileup_blocks_slice": _q_pileup_blocks_slice,
     "dedup_exact": _q_dedup_exact,
     "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
     "dedup_minhash_pairs": _q_dedup_minhash_pairs,
@@ -1276,6 +1299,39 @@ def oracle_sql() -> dict[str, str]:
                    STRING_AGG(CASE WHEN base <> ref THEN base || ':' || CAST(cnt AS STRING) END,
                               '|' ORDER BY base) AS alts_str
             FROM icnts GROUP BY contig, pos, ref
+        """,
+        "pileup_blocks_slice": f"""
+            {cte('reads_indel')}, {_indel_base_cte("contig = '2' AND pos BETWEEN 1 AND 30000")},
+            pos_level AS (
+              SELECT contig, pos, ref,
+                     CAST(SUM(cnt) AS INT) AS cov,
+                     CAST(SUM(CASE WHEN base <> ref THEN cnt ELSE 0 END) AS INT) AS cnonref,
+                     STRING_AGG(CASE WHEN base <> ref THEN base || ':' || CAST(cnt AS STRING) END,
+                                '|' ORDER BY base) AS alts_str
+              FROM icnts GROUP BY contig, pos, ref
+            ),
+            lagged AS (
+              SELECT *, CASE WHEN cnonref > 0 THEN 1 ELSE 0 END AS is_alt,
+                     LAG(pos) OVER w AS prev_pos,
+                     LAG(cov) OVER w AS prev_cov,
+                     LAG(CASE WHEN cnonref > 0 THEN 1 ELSE 0 END) OVER w AS prev_alt
+              FROM pos_level
+              WINDOW w AS (PARTITION BY contig ORDER BY pos)
+            ),
+            runs AS (
+              SELECT *, SUM(CASE WHEN prev_pos IS NULL OR pos <> prev_pos + 1
+                                   OR cov <> prev_cov OR is_alt = 1 OR prev_alt = 1
+                                 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY contig ORDER BY pos) AS run
+              FROM lagged
+            )
+            SELECT contig,
+                   CAST(MIN(pos) AS INT) AS pos_start,
+                   CAST(MAX(pos) AS INT) AS pos_end,
+                   STRING_AGG(ref, '' ORDER BY pos) AS ref,
+                   CAST(MIN(cov) AS INT) AS coverage,
+                   MAX(alts_str) AS alts_str
+            FROM runs GROUP BY contig, run
         """,
         **_llm_oracles(),
         "events_window_agg": """
