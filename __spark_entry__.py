@@ -93,6 +93,15 @@ def _q_interval_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_targets_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of intervals (bedtools-merge / GRanges reduce analog):
+    overlapping-or-touching targets collapse into maximal islands with the
+    source-interval count — event-based prefix sum + chunked run
+    stitching, no per-contig serial window."""
+    t = TD.targets(spark, sf_dir)
+    return IV.merge_intervals(t)
+
+
 def _q_read_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read quality filter (AlignmentsRDD.scala:132-145)."""
     reads = TD.reads(spark, sf_dir)
@@ -635,6 +644,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_join_maxgap": _q_range_join_maxgap,
     "range_join_semi": _q_range_join_semi,
     "interval_ops": _q_interval_ops,
+    "targets_merged": _q_targets_merged,
     "read_filter": _q_read_filter,
     "coverage_blocks": _q_coverage_blocks,
     "coverage_bases_agg": _q_coverage_bases_agg,
@@ -1152,6 +1162,29 @@ def oracle_sql() -> dict[str, str]:
               2 * 1 + (200000 - 1) - pos_end AS refl_start,
               2 * 1 + (200000 - 1) - pos_end + (pos_end - pos_start) AS refl_end
             FROM targets
+        """,
+        "targets_merged": f"""
+            {cte('targets')},
+            o AS (
+              SELECT *, MAX(pos_end) OVER (PARTITION BY contig ORDER BY pos_start, pos_end
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+              FROM targets
+            ),
+            f AS (
+              SELECT *, CASE WHEN prev_max IS NULL OR pos_start > prev_max + 1
+                             THEN 1 ELSE 0 END AS brk
+              FROM o
+            ),
+            g AS (
+              SELECT *, SUM(brk) OVER (PARTITION BY contig ORDER BY pos_start, pos_end
+                        ROWS UNBOUNDED PRECEDING) AS island
+              FROM f
+            )
+            SELECT contig,
+                   CAST(MIN(pos_start) AS INT) AS pos_start,
+                   CAST(MAX(pos_end) AS INT) AS pos_end,
+                   CAST(COUNT(*) AS BIGINT) AS n_intervals
+            FROM g GROUP BY contig, island
         """,
         "read_filter": f"""
             {cte('reads')}

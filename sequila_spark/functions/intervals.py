@@ -105,6 +105,61 @@ def reflect(start, end, bound_start, bound_end) -> Column:
 
 # --- contig normalization (utils/DataQualityFuncs.scala:9-41) ----------------
 
+def merge_intervals(
+    df,
+    on_contig: str = "contig",
+    start_col: str = "pos_start",
+    end_col: str = "pos_end",
+    max_gap: int = 0,
+    chunk_size: int = 1_000_000,
+):
+    """Union of intervals (bedtools-merge / GRanges reduce analog): merge
+    intervals whose gaps are <= max_gap into maximal islands, with the
+    number of source intervals per island.
+
+    Scalable shape: islands fall out of the event-based prefix sum (the
+    coverage machinery's two-phase chunked design — no per-contig serial
+    window): widen each interval's end by max_gap, take covered runs, then
+    trim the trailing widening.  Interval counts come from a broadcast-free
+    second aggregation keyed by island via a range join on containment of
+    the interval start.
+    """
+    from pyspark.sql import functions as F
+
+    from sequila_spark import schemas as S
+    from sequila_spark.operators.coverage import coverage
+    from sequila_spark.operators.range_join import range_join
+
+    reads_shape = df.select(
+        F.col(on_contig).alias(S.CONTIG),
+        F.col(start_col).alias(S.START),
+        (F.col(end_col) + max_gap).alias(S.END),
+    )
+    from sequila_spark.operators.coverage import merge_touching_blocks
+
+    blocks = coverage(reads_shape, mode="blocks", use_cigar=False, chunk_size=chunk_size)
+    # consecutive covered blocks touch exactly (equal-cov runs partition the
+    # covered region); islands = runs of blocks with no gap between them.
+    islands = merge_touching_blocks(blocks, chunk_size=chunk_size).select(
+        S.CONTIG,
+        F.col(S.START),
+        (F.col(S.END) - max_gap).cast("int").alias(S.END),  # trim widening
+    )
+    counts = range_join(
+        islands,
+        df.select(
+            F.col(on_contig).alias(S.CONTIG),
+            F.col(start_col).alias(S.START),
+            F.col(start_col).alias(S.END),  # count each interval once, by its start
+        ),
+        how="inner",
+    )
+    return (
+        counts.groupBy(S.CONTIG, S.START, S.END)
+        .agg(F.count("*").cast("long").alias("n_intervals"))
+    )
+
+
 def clean_contig(contig) -> Column:
     """chr1->1, chrM/chrMT/M->MT, generic 'chr' prefix stripped."""
     c = _c(contig)

@@ -122,6 +122,59 @@ def aligned_blocks(reads: DataFrame, use_cigar: bool | None = None) -> DataFrame
     ).drop("__sq_blk")
 
 
+def merge_touching_blocks(blocks: DataFrame, chunk_size: int = DEFAULT_CHUNK) -> DataFrame:
+    """Merge consecutive blocks that touch (next start == prev end + 1)
+    into maximal islands, ignoring coverage values — the union-of-intervals
+    primitive.  Two-phase chunked stitching (same design as the prefix
+    sum): per-(contig, chunk) run breaks in parallel, a tiny per-chunk
+    relation carries offsets and cross-chunk continuation (by boundary
+    coordinates of the previous non-empty chunk, so blocks spanning many
+    chunks stitch correctly)."""
+    b = blocks.select(S.CONTIG, S.START, S.END).withColumn(
+        "chunk", F.floor(F.col(S.START) / chunk_size)
+    )
+    w_local = Window.partitionBy(S.CONTIG, "chunk").orderBy(S.START)
+    prev_end = F.lag(S.END).over(w_local)
+    brk = (prev_end.isNull() | (F.col(S.START) != prev_end + 1)).cast("long")
+    loc = b.withColumn("brk", brk).withColumn("lrun", F.sum("brk").over(w_local))
+
+    ci = b.groupBy(S.CONTIG, "chunk").agg(
+        F.min(S.START).alias("first_start"),
+        F.max(S.END).alias("last_end"),
+    )
+    m = loc.groupBy(S.CONTIG, "chunk").agg(F.max("lrun").alias("m"))
+    w_chunks = Window.partitionBy(S.CONTIG).orderBy("chunk")
+    info = (
+        ci.join(m, [S.CONTIG, "chunk"])
+        .withColumn(
+            "cont",
+            F.coalesce(
+                (F.lag("last_end").over(w_chunks) + 1 == F.col("first_start")).cast("long"),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "adj_offset",
+            F.coalesce(
+                F.sum("m").over(w_chunks.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            )
+            - F.sum("cont").over(w_chunks.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .select(S.CONTIG, "chunk", "adj_offset")
+    )
+    return (
+        loc.join(F.broadcast(info), [S.CONTIG, "chunk"])
+        .withColumn("run", F.col("adj_offset") + F.col("lrun"))
+        .groupBy(S.CONTIG, "run")
+        .agg(
+            F.min(S.START).cast("int").alias(S.START),
+            F.max(S.END).cast("int").alias(S.END),
+        )
+        .select(S.CONTIG, S.START, S.END)
+    )
+
+
 def coverage(
     reads: DataFrame,
     *,

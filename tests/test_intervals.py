@@ -106,3 +106,45 @@ def test_sql_promoters_negative_raises(spark):
 
     with pytest.raises(Exception, match="Upstream and downstream"):
         spark.sql("SELECT promoters(10, 20, -1, 5)").collect()
+
+
+def test_merge_intervals_semantics(spark):
+    from sequila_spark.functions.intervals import merge_intervals
+
+    df = spark.createDataFrame(
+        [
+            ("1", 10, 20), ("1", 15, 30),   # overlap -> one island
+            ("1", 31, 40),                  # touching -> merges
+            ("1", 45, 50),                  # gap 4 -> separate (max_gap=0)
+            ("2", 5, 9),
+        ],
+        "contig string, pos_start int, pos_end int",
+    )
+    got = {
+        (r["contig"], r["pos_start"]): (r["pos_end"], r["n_intervals"])
+        for r in merge_intervals(df).collect()
+    }
+    assert got == {("1", 10): (40, 3), ("1", 45): (50, 1), ("2", 5): (9, 1)}
+    # max_gap bridges gaps up to g (gap 4 merges at g=4, not at g=3)
+    g4 = {(r["contig"], r["pos_start"]): (r["pos_end"], r["n_intervals"])
+          for r in merge_intervals(df, max_gap=4).collect()}
+    assert g4 == {("1", 10): (50, 4), ("2", 5): (9, 1)}
+    g3 = {(r["contig"], r["pos_start"]) for r in merge_intervals(df, max_gap=3).collect()}
+    assert ("1", 45) in g3
+
+
+def test_merge_intervals_chunk_stitching(spark):
+    """Islands spanning many chunks must stitch into one row (tiny
+    chunk_size forces cross-chunk runs, including empty chunks under a
+    long interval)."""
+    from sequila_spark.functions.intervals import merge_intervals
+
+    df = spark.createDataFrame(
+        [("1", 1, 5000), ("1", 5001, 5200), ("1", 4000, 9000), ("1", 20000, 20010)],
+        "contig string, pos_start int, pos_end int",
+    )
+    got = sorted(
+        (r["pos_start"], r["pos_end"], r["n_intervals"])
+        for r in merge_intervals(df, chunk_size=100).collect()
+    )
+    assert got == [(1, 9000, 3), (20000, 20010, 1)]
