@@ -85,15 +85,23 @@ def main() -> None:
     cold: dict[str, float] = {}
     for name in names:
         best = float("inf")
+        measured = []
         for i in range(runs):
             t0 = time.perf_counter()
             qmap[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
             if i == 0:
                 cold[name] = round(dt, 3)
+            measured.append(dt)
             best = min(best, dt)
             if dt > 30:  # long query: one measurement, keep total bounded
                 break
+        # adaptive extra run when the measurements disagree wildly (GC /
+        # machine-state noise): one more attempt, still bounded
+        if len(measured) >= 2 and max(measured) > 2 * min(measured) and best <= 30:
+            t0 = time.perf_counter()
+            qmap[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
         times[name] = round(best, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
