@@ -32,10 +32,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # Query implementations (Spark side)
 # ---------------------------------------------------------------------------
 
+# Interval-width bound for the synthetic genomic views, known by
+# construction (testdata.READS_SQL: read_len <= 500 -> width <= 499;
+# testdata.TARGETS_SQL: width <= 200 + 1800 = 2000).  Passing it as the
+# range_join max_width hint skips the per-call statistics probe — the
+# intended production pattern when the caller knows the width distribution
+# (sequila_spark/operators/range_join.py docstring).
+_SYNTH_MAX_WIDTH = 2000
+
 def _q_feature_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     reads = TD.reads(spark, sf_dir)
     targets = TD.targets(spark, sf_dir)
-    joined = range_join(reads, targets, how="inner")
+    joined = range_join(reads, targets, how="inner", max_width=_SYNTH_MAX_WIDTH)
     return (
         joined.groupBy("target_id")
         .agg(F.count("*").alias("read_count"))
@@ -45,7 +53,7 @@ def _q_feature_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_range_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     reads = TD.reads(spark, sf_dir)
     targets = TD.targets(spark, sf_dir)
-    j = range_join(reads, targets, how="inner")
+    j = range_join(reads, targets, how="inner", max_width=_SYNTH_MAX_WIDTH)
     return j.select(
         "qname",
         "target_id",
@@ -56,14 +64,14 @@ def _q_range_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_range_join_minoverlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     reads = TD.reads(spark, sf_dir)
     targets = TD.targets(spark, sf_dir)
-    j = range_join(reads, targets, how="inner", min_overlap=100)
+    j = range_join(reads, targets, how="inner", min_overlap=100, max_width=_SYNTH_MAX_WIDTH)
     return j.select("qname", "target_id")
 
 
 def _q_range_join_maxgap(spark: SparkSession, sf_dir: str) -> DataFrame:
     reads = TD.reads(spark, sf_dir)
     targets = TD.targets(spark, sf_dir)
-    j = range_join(reads, targets, how="inner", max_gap=1000)
+    j = range_join(reads, targets, how="inner", max_gap=1000, max_width=_SYNTH_MAX_WIDTH)
     return j.select("qname", "target_id")
 
 
@@ -71,7 +79,7 @@ def _q_range_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """subsetByOverlaps analog (GRangesTestSuite distinct-overlap case)."""
     reads = TD.reads(spark, sf_dir)
     targets = TD.targets(spark, sf_dir)
-    return range_join(targets, reads, how="left_semi").select(
+    return range_join(targets, reads, how="left_semi", max_width=_SYNTH_MAX_WIDTH).select(
         "target_id", S.CONTIG, S.START, S.END
     )
 
@@ -150,7 +158,7 @@ def _q_grange_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ss = SequilaSession(spark)
     targets = TD.targets(spark, sf_dir)
     iv = ss.grange("3", 10_000, 40_000)
-    j = range_join(targets, iv, how="inner")
+    j = range_join(targets, iv, how="inner", max_width=30_001)
     return j.select("target_id", S.CONTIG, S.START, S.END)
 
 

@@ -62,6 +62,7 @@ def range_join(
     suffixes: tuple[str, str] = ("", "_r"),
     strategy: str = "binned",
     bin_cap: int | None = _DEFAULT_BIN_CAP,
+    max_width: int | str | None = "auto",
 ) -> DataFrame:
     """Join rows whose [start, end] intervals overlap (optionally also
     matching a contig/chromosome equality key).
@@ -77,8 +78,25 @@ def range_join(
     ``bin_cap`` (binned strategy only): rows whose interval spans more than
     ``bin_cap`` bins are routed through a nested-loop branch and unioned in,
     so one multi-megabase interval cannot fan out into hundreds of bin rows.
-    The split costs one extra cheap-predicate pass per side; set
-    ``bin_cap=None`` to disable when the width distribution is known-bounded.
+    Set ``bin_cap=None`` to disable when the width distribution is
+    known-bounded.
+
+    ``max_width`` controls how the cap decides, at *plan* time, whether any
+    over-wide rows can exist (the long branches re-scan both inputs, so
+    building them when provably empty costs real time):
+
+    - ``"auto"`` (default): run one tiny statistics job — ``max(end - start)``
+      per side, column-pruned to the two interval columns — and build a long
+      branch only for sides that actually contain over-wide rows.  Short-read
+      data gets the plain binned plan (zero extra passes); the probe's cost
+      is one 2-row aggregation.  Note the probe executes each input's lineage
+      once; if an input is an *expensive computed* relation (not a
+      scan/filter/projection), pass an explicit int or ``None`` instead.
+    - int: a caller-known bound on ``end - start`` for both sides — no probe,
+      branches built only if ``max_width`` (plus gap widening) reaches the
+      cap.
+    - ``None``: unknown — always build all three branches (safe for any
+      lineage, costs ~2 extra scans per side even on short-read data).
     """
     if how not in ("inner", "left_semi", "left_anti", "left_outer"):
         raise ValueError(f"unsupported how={how!r}")
@@ -131,7 +149,7 @@ def range_join(
 
     if how == "inner":
         return _inner(left, right, lc, rc, ls, le, rs, re,
-                      min_overlap, max_gap, bin_size, strategy, bin_cap)
+                      min_overlap, max_gap, bin_size, strategy, bin_cap, max_width)
 
     # Composed variants: run the inner core against a row-keyed left side.
     # The rowid is evaluated twice (inside `matched` and on the re-join), so
@@ -142,7 +160,7 @@ def range_join(
     # localCheckpoint() it before calling with how != 'inner'.
     keyed = left.withColumn("__sq_rowid", F.monotonically_increasing_id())
     matched = _inner(keyed, right, lc, rc, ls, le, rs, re,
-                     min_overlap, max_gap, bin_size, strategy, bin_cap)
+                     min_overlap, max_gap, bin_size, strategy, bin_cap, max_width)
     matched_ids = matched.select("__sq_rowid").distinct()
     if how == "left_semi":
         return keyed.join(matched_ids, "__sq_rowid", "left_semi").drop("__sq_rowid")
@@ -171,6 +189,7 @@ def _inner(
     bin_size: int,
     strategy: str,
     bin_cap: int | None = None,
+    max_width: int | str | None = "auto",
 ) -> DataFrame:
     lstart, lend = F.col(ls), F.col(le)
     # Widen the right (build) side by max_gap, as the reference widens the
@@ -193,18 +212,40 @@ def _inner(
         # Route over-wide rows through nested-loop branches:
         #   binned(L_short, R_short) ∪ nested(L_long, R) ∪ nested(L_short, R_long)
         # — disjoint by construction, every pair covered once.  The long
-        # relations are tiny by premise (broadcast; with AQE an empty long
-        # side prunes its whole branch at runtime).
+        # relations are tiny by premise (broadcast).  Each extra branch
+        # re-scans its inputs, so branches are built per side only when
+        # over-wide rows can actually exist (max_width probe / hint); on
+        # short-read data this collapses to the plain binned plan.
         thresh = bin_cap * bin_size
-        l_long_pred = (lend - lstart) >= thresh
-        r_long_pred = (rend - rstart) >= thresh
-        l_short, l_long = left.where(~l_long_pred), left.where(l_long_pred)
-        r_short, r_long = right.where(~r_long_pred), right.where(r_long_pred)
-        args = (lc, rc, ls, le, rs, re, min_overlap, max_gap, bin_size)
-        out = _inner(l_short, r_short, *args, "binned", None)
-        out = out.unionByName(_inner(F.broadcast(l_long), right, *args, "nested_loop"))
-        out = out.unionByName(_inner(l_short, F.broadcast(r_long), *args, "nested_loop"))
-        return out
+        if max_width == "auto":
+            lmax, rmax = _probe_max_widths(left, right, ls, le, rs, re)
+            l_may_long = lmax is not None and lmax >= thresh
+            r_may_long = rmax is not None and rmax + 2 * max_gap >= thresh
+        elif max_width is None:
+            l_may_long = r_may_long = True
+        else:
+            l_may_long = max_width >= thresh
+            r_may_long = max_width + 2 * max_gap >= thresh
+        if l_may_long or r_may_long:
+            l_long_pred = (lend - lstart) >= thresh
+            r_long_pred = (rend - rstart) >= thresh
+            args = (lc, rc, ls, le, rs, re, min_overlap, max_gap, bin_size)
+            if l_may_long and r_may_long:
+                l_short, l_long = left.where(~l_long_pred), left.where(l_long_pred)
+                r_short, r_long = right.where(~r_long_pred), right.where(r_long_pred)
+                out = _inner(l_short, r_short, *args, "binned", None)
+                out = out.unionByName(_inner(F.broadcast(l_long), right, *args, "nested_loop"))
+                out = out.unionByName(_inner(l_short, F.broadcast(r_long), *args, "nested_loop"))
+            elif l_may_long:
+                l_short, l_long = left.where(~l_long_pred), left.where(l_long_pred)
+                out = _inner(l_short, right, *args, "binned", None)
+                out = out.unionByName(_inner(F.broadcast(l_long), right, *args, "nested_loop"))
+            else:
+                r_short, r_long = right.where(~r_long_pred), right.where(r_long_pred)
+                out = _inner(left, r_short, *args, "binned", None)
+                out = out.unionByName(_inner(left, F.broadcast(r_long), *args, "nested_loop"))
+            return out
+        # else: no side can contain an over-wide row — plain binned plan.
 
     lbin = F.explode(
         F.sequence(
@@ -236,6 +277,20 @@ def _inner(
         .drop("__sq_bin_l", "__sq_bin_r")
     )
     return out.drop(rc) if rc and lc != rc else out
+
+
+def _probe_max_widths(
+    left: DataFrame, right: DataFrame, ls: str, le: str, rs: str, re: str
+) -> tuple[int | None, int | None]:
+    """Plan-time statistics probe: max raw interval width (end - start) per
+    side, as one 2-row Spark job.  The selects prune to the two interval
+    columns, so over parquet this reads two int columns and nothing else.
+    (This is a deliberate driver-side collect of *statistics*, not data —
+    2 rows, run once per join construction.)"""
+    lw = left.select(F.max(F.col(le) - F.col(ls)).alias("w"))
+    rw = right.select(F.max(F.col(re) - F.col(rs)).alias("w"))
+    rows = lw.unionAll(rw).collect()
+    return rows[0]["w"], rows[1]["w"]
 
 
 def overlap_condition(

@@ -165,6 +165,44 @@ def test_bin_cap_routes_wide_intervals(spark):
     assert sorted(r["id"] for r in semi.collect()) == ["nano", "s1", "s2"]
 
 
+def test_max_width_prunes_long_branches(spark):
+    """Short-read data must get the plain single-branch binned plan: the
+    max_width probe (default 'auto') sees no over-wide row and skips both
+    nested-loop branches, so there is no Union and no extra input scans."""
+    left = mk(spark, [(f"L{i}", "1", 1 + i * 101, 150 + i * 101) for i in range(50)])
+    right = mk(spark, [(f"R{i}", "1", 1 + i * 97, 300 + i * 97) for i in range(50)])
+    auto = range_join(left, right)
+    assert "Union" not in auto._jdf.queryExecution().executedPlan().toString()
+    # an explicit small hint does the same with no probe job
+    hinted = range_join(left, right, max_width=400)
+    assert "Union" not in hinted._jdf.queryExecution().executedPlan().toString()
+    # max_width=None restores the round-2 always-branch plan
+    forced = range_join(left, right, max_width=None)
+    assert "Union" in forced._jdf.queryExecution().executedPlan().toString()
+    assert pairs(auto) == pairs(hinted) == pairs(forced) == pairs(
+        range_join(left, right, strategy="nested_loop")
+    )
+
+
+def test_max_width_one_sided_branch(spark):
+    """When only one side contains over-wide rows, only that side's branch
+    is built (one Union, not two) and results still match nested-loop."""
+    left = mk(
+        spark,
+        [("nano", "1", 1_000, 2_000_000), ("s1", "1", 5_000, 5_400)],
+    )
+    right = mk(spark, [(f"R{i}", "1", 1 + i * 9_000, 500 + i * 9_000) for i in range(100)])
+    out = range_join(left, right)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Union") == 1
+    assert pairs(out) == pairs(range_join(left, right, strategy="nested_loop"))
+    # hint path: a bound that only the gap-widened right side can exceed
+    gap = range_join(left, right, max_width=600_000, max_gap=30_000)
+    assert pairs(gap) == pairs(
+        range_join(left, right, strategy="nested_loop", max_gap=30_000)
+    )
+
+
 def test_partitioning_invariance(spark):
     """Reference test pattern §5.2: identical results regardless of input
     partitioning."""
