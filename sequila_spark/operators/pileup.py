@@ -492,7 +492,7 @@ def _pileup_sparse(
         reads, with_quals=False, use_cigar=use_cigar, strand_case=strand_case
     )
     mism = per_base.withColumn("ref_base", ref(F.col(S.CONTIG), F.col("pos"))).where(
-        F.upper(F.col("base")) != F.col("ref_base")
+        F.upper(F.col("base")) != F.upper(F.col("ref_base"))
     )
     g1 = mism.groupBy(S.CONTIG, "pos", "base").agg(F.count("*").cast("int").alias("cnt"))
     alt_agg = [

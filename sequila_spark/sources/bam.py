@@ -125,8 +125,11 @@ def write_bam(
     Each partition compresses its records into headerless BGZF fragments
     (BGZF is concatenation-safe: every block is a complete gzip member);
     the driver stitches header + fragments + EOF marker.  With
-    ``sort=True`` rows are range-partitioned and sorted by
-    (contig, pos_start) first, so the result is coordinate-sorted.  The
+    ``sort=True`` rows are range-partitioned and sorted by (header ref_id,
+    pos_start) — the spec's coordinate order, which follows the @SQ
+    sequence order (not contig-string lexicographic: '10' sorts after '9',
+    and null-contig/unknown rows go last, where the spec places unmapped
+    records).  The
     driver holds only compressed fragments; for outputs beyond driver
     memory, write per-partition shards to shared storage and concatenate
     there (BGZF needs no re-framing).
@@ -156,8 +159,17 @@ def write_bam(
             )
     out = out.select(*cols)
     if sort:
-        out = out.repartitionByRange(S.CONTIG, S.START).sortWithinPartitions(
-            S.CONTIG, S.START
+        rid_map = F.create_map(
+            *[F.lit(x) for name, rid in ref_ids.items() for x in (name, rid)]
+        )
+        rid = F.when(
+            F.col(S.CONTIG).isNull(), F.lit(2**31 - 1)
+        ).otherwise(F.coalesce(rid_map[F.col(S.CONTIG)], F.lit(2**31 - 2)))
+        out = (
+            out.withColumn("__sq_rid", rid)
+            .repartitionByRange("__sq_rid", S.START)
+            .sortWithinPartitions("__sq_rid", S.START)
+            .drop("__sq_rid")
         )
 
     def compress_partition(rows):
@@ -195,6 +207,9 @@ def read_bam_native(
     chunk boundaries; the reference assigns each read to one split the same
     way, datasources/BAM/AlignmentRelation.scala:298-393).  Without a .bai
     a file decodes in a single task (still correct; index it for scale).
+    Indexed and unindexed reads of the same file yield the same rows: the
+    trailing no-coordinate region (unmapped, ref_id -1) gets its own span
+    when an index is present.
 
     ``path`` may be a single file, a glob ('dir/*.bam'), a directory, or a
     list — multi-sample tables exactly like the reference's
@@ -226,8 +241,20 @@ def read_bam_native(
             None,
         )
         if bai:
-            for sp in B.plan_spans(refs_by_path[p], B.read_bai_linear(bai), chunk):
+            linear, n_no_coor = B.read_bai(bai)
+            for sp in B.plan_spans(refs_by_path[p], linear, chunk):
                 spans.append((p, sample, sp))
+            # Trailing no-coordinate region: a sorted BAM stores records
+            # with ref_id -1 after every mapped record, a region the
+            # per-reference spans never reach — without this span an
+            # indexed file would silently drop reads the unindexed
+            # single-task path yields.  Scan from the last indexed virtual
+            # offset, keeping only ref_id < 0 records (mapped records seen
+            # on the way are owned by their mapped span).  Skipped only
+            # when the index states n_no_coor == 0.
+            if n_no_coor is None or n_no_coor > 0:
+                last_voff = max((v for il in linear for v in il if v), default=0)
+                spans.append((p, sample, ("__unmapped__", last_voff)))
         else:
             spans.append((p, sample, None))
 
@@ -239,6 +266,16 @@ def read_bam_native(
                 st = B.BgzfReader(fh)
                 B.read_bam_header(st)  # skip to records
                 it = B.parse_records(st, refs, with_tags=with_tags)
+            elif span[0] == "__unmapped__":
+                voff = span[1]
+                if voff:
+                    st = B.BgzfReader(fh, voff)
+                else:  # index exists but no mapped reads: scan from header
+                    st = B.BgzfReader(fh)
+                    B.read_bam_header(st)
+                it = B.parse_records(
+                    st, refs, with_tags=with_tags, unmapped_only=True
+                )
             else:
                 rid, s0, e0, voff = span
                 st = B.BgzfReader(fh, voff)

@@ -155,6 +155,7 @@ def parse_records(
     start0: int = 0,
     end0: int | None = None,
     with_tags: bool = True,
+    unmapped_only: bool = False,
 ) -> Iterator[tuple]:
     """Decode alignment records into canonical tuples
     (qname, flag, contig, pos_start, pos_end, mapq, cigar, rnext, pnext,
@@ -165,6 +166,10 @@ def parse_records(
     coordinate-sorted input: reads are kept by the owner-by-start rule
     (start0 <= read start < end0) and the scan stops at the first record
     past end0 (or on a later reference).
+
+    ``unmapped_only`` keeps only placement-less records (ref_id < 0 — the
+    trailing no-coordinate region of a sorted BAM); mapped records are
+    skipped without decoding.
     """
     while True:
         head = stream.read(4)
@@ -177,6 +182,8 @@ def parse_records(
         (rid, pos0, l_qname, mapq, _bin, n_cigar, flag, l_seq, next_rid, next_pos0, tlen) = (
             struct.unpack_from("<iiBBHHHiiii", data, 0)
         )
+        if unmapped_only and rid >= 0:
+            continue
         if ref_id is not None:
             if rid > ref_id or rid < 0:
                 return  # sorted: past our reference
@@ -352,9 +359,11 @@ def write_bam_header(w: "BgzfWriter", refs: list[tuple[str, int]], text: str = "
         w.write(struct.pack("<i", len(nb)) + nb + struct.pack("<i", length))
 
 
-def read_bai_linear(path: str) -> list[list[int]]:
-    """Per-reference linear index: virtual offset of the first read
-    overlapping each 16 kb window (0 where absent)."""
+def read_bai(path: str) -> tuple[list[list[int]], int | None]:
+    """(linear, n_no_coor) from a BAI index: the per-reference linear index
+    (virtual offset of the first read overlapping each 16 kb window, 0 where
+    absent) and the optional trailing count of placement-less records (None
+    when the writer omitted the field)."""
     with open(path, "rb") as f:
         if f.read(4) != b"BAI\x01":
             raise ValueError("not a BAI index (bad magic)")
@@ -367,7 +376,14 @@ def read_bai_linear(path: str) -> list[list[int]]:
                 f.seek(16 * n_chunk, os.SEEK_CUR)
             (n_intv,) = struct.unpack("<i", f.read(4))
             linear.append(list(struct.unpack(f"<{n_intv}Q", f.read(8 * n_intv))))
-        return linear
+        tail = f.read(8)
+        n_no_coor = struct.unpack("<Q", tail)[0] if len(tail) == 8 else None
+        return linear, n_no_coor
+
+
+def read_bai_linear(path: str) -> list[list[int]]:
+    """Per-reference linear index (see read_bai)."""
+    return read_bai(path)[0]
 
 
 def plan_spans(

@@ -27,14 +27,61 @@ from sequila_spark import schemas as S
 
 _TVF_NAMES = ("coverage", "pileup", "bdg_grange")
 _NAME_RE = re.compile(r"(coverage|pileup|bdg_grange)\s*\(", re.IGNORECASE)
-_FROM_RE = re.compile(r"(?:\bfrom\b|\bjoin\b)\s*$", re.IGNORECASE)
+_FROM_RE = re.compile(r"(?:\bfrom\b|\bjoin\b)$", re.IGNORECASE)
+_HAS_FROM_RE = re.compile(r"\bfrom\b", re.IGNORECASE)
+
+
+def _mask_comments(query: str) -> str:
+    """Replace SQL comments (``-- ...`` to end-of-line, ``/* ... */``) with
+    spaces, respecting string literals.  Length-preserving, so offsets into
+    the masked text are valid offsets into the original."""
+    out = list(query)
+    i, n = 0, len(query)
+    quote = None
+    while i < n:
+        ch = query[i]
+        if quote:
+            if ch == quote:
+                if i + 1 < n and query[i + 1] == quote:
+                    i += 2
+                    continue
+                quote = None
+            i += 1
+        elif ch in "'\"":
+            quote = ch
+            i += 1
+        elif ch == "-" and query.startswith("--", i):
+            j = query.find("\n", i)
+            j = n if j < 0 else j
+            out[i:j] = " " * (j - i)
+            i = j
+        elif ch == "/" and query.startswith("/*", i):
+            j = query.find("*/", i + 2)
+            j = n if j < 0 else j + 2
+            out[i:j] = " " * (j - i)
+            i = j
+        else:
+            i += 1
+    return "".join(out)
+
+
+def _in_from_position(prefix: str) -> bool:
+    """True when a call at the end of ``prefix`` (comment-masked) sits in a
+    FROM-clause position: directly after FROM/JOIN, or after a top-level
+    comma / opening paren of a FROM list (``FROM t, coverage(...)``,
+    ``FROM (coverage(...))``)."""
+    pre = prefix.rstrip()
+    if _FROM_RE.search(pre):
+        return True
+    return pre.endswith((",", "(")) and bool(_HAS_FROM_RE.search(pre))
 
 
 def _find_tvf_calls(query: str) -> list[tuple[int, int, str, str]]:
     """(start, end, name, raw_args) for each TVF call in a FROM/JOIN
-    position.  The scanner tracks quote state (matches inside string
-    literals are ignored; '' doubling respected) and balances parentheses,
-    so TVF arguments may themselves contain calls and quoted commas."""
+    position.  ``query`` should be comment-masked first.  The scanner tracks
+    quote state (matches inside string literals are ignored; '' doubling
+    respected) and balances parentheses, so TVF arguments may themselves
+    contain calls and quoted commas."""
     out = []
     i, n = 0, len(query)
     quote = None
@@ -56,7 +103,7 @@ def _find_tvf_calls(query: str) -> list[tuple[int, int, str, str]]:
         if (
             m
             and (i == 0 or not (query[i - 1].isalnum() or query[i - 1] in "_."))
-            and _FROM_RE.search(query[:i])
+            and _in_from_position(query[:i])
         ):
             depth, j, q2 = 1, m.end(), None
             while j < n and depth:
@@ -192,7 +239,8 @@ def sequila_sql(spark: SparkSession, query: str) -> DataFrame:
     are recognized only in FROM/JOIN positions and never inside string
     literals; arguments may be literals, or constant SQL expressions
     (including nested function calls), which Spark evaluates first."""
-    calls = _find_tvf_calls(query)
+    masked = _mask_comments(query)
+    calls = _find_tvf_calls(masked)
     pieces = []
     last = 0
     for counter, (start, end, name, raw) in enumerate(calls):
@@ -204,4 +252,24 @@ def sequila_sql(spark: SparkSession, query: str) -> DataFrame:
         pieces.append(view)
         last = end
     pieces.append(query[last:])
-    return spark.sql("".join(pieces))
+    rewritten = "".join(pieces)
+    try:
+        return spark.sql(rewritten)
+    except Exception as e:
+        # A TVF name left unrewritten (e.g. used outside a FROM/JOIN
+        # position the scanner recognizes) surfaces from Spark as a
+        # confusing unresolved-function error; point at the real cause.
+        no_strings = re.sub(
+            r"'(?:[^']|'')*'|\"(?:[^\"]|\"\")*\"",
+            lambda m: " " * len(m.group()),
+            _mask_comments(rewritten),
+        )
+        leftover = _NAME_RE.search(no_strings)
+        if leftover:
+            raise ValueError(
+                f"TVF call {leftover.group(1)!r}(...) at offset "
+                f"{leftover.start()} was not rewritten — sequila TVFs are "
+                f"only supported in FROM/JOIN positions (module docstring); "
+                f"Spark error: {e}"
+            ) from e
+        raise

@@ -180,3 +180,95 @@ def test_pysam_owner_by_start_rule(monkeypatch):
     assert chunk1 == ["a"]          # 'b' overlaps chunk1 but starts at its end
     assert chunk2 == ["b", "c"]     # each read owned by exactly one chunk
     assert not (set(chunk1) & set(chunk2))
+
+
+def _synth_bam(path, refs, recs, rec_off_out=None):
+    """Write a BAM by hand with codec primitives, returning the compressed
+    file offset where records begin (== the records-start virtual offset
+    with uoffset 0, since the header is flushed on a block boundary)."""
+    ref_ids = {name: i for i, (name, _) in enumerate(refs)}
+    with open(path, "wb") as f:
+        w = B.BgzfWriter(f)
+        B.write_bam_header(w, refs, "")
+        w.flush_blocks()
+        rec_off = f.tell()
+        for rec in recs:
+            w.write(B.encode_record(rec, ref_ids))
+        w.close()
+    return rec_off
+
+
+def _rec(qname, contig, pos1, flag=0):
+    end = pos1 + 4 if contig else 0
+    return (qname, flag, contig, pos1, end, 30, "5M" if contig else "*",
+            None, 0, 0, "ACGTA", "IIIII", {})
+
+
+def _write_bai(path, n_ref, rec_off, n_no_coor):
+    import struct
+
+    buf = b"BAI\x01" + struct.pack("<i", n_ref)
+    for _ in range(n_ref):
+        buf += struct.pack("<i", 0)  # n_bin
+        buf += struct.pack("<i", 1) + struct.pack("<Q", rec_off << 16)
+    buf += struct.pack("<Q", n_no_coor)
+    with open(path, "wb") as f:
+        f.write(buf)
+
+
+def test_indexed_and_unindexed_agree_on_unmapped(spark, tmp_path):
+    """An indexed BAM must yield the SAME rows as the unindexed single-task
+    decode — including the trailing no-coordinate (unmapped, ref_id -1)
+    region, which per-reference spans never reach."""
+    refs = [("u1", 50_000), ("u2", 50_000)]
+    mapped = [_rec(f"m{i}", "u1", 10 + i * 7) for i in range(20)]
+    mapped += [_rec(f"n{i}", "u2", 5 + i * 11) for i in range(10)]
+    unmapped = [_rec(f"x{i}", None, 0, flag=4) for i in range(7)]
+
+    bam = str(tmp_path / "um.bam")
+    rec_off = _synth_bam(bam, refs, mapped + unmapped)
+    _write_bai(bam + ".bai", len(refs), rec_off, len(unmapped))
+
+    from sequila_spark.sources import read_bam_native
+
+    key = ["qname", "flag", "contig", "pos_start"]
+    with_idx = sorted(map(tuple, read_bam_native(spark, bam, chunk=1000).select(*key).collect()))
+    noidx = str(tmp_path / "um_noidx.bam")
+    shutil.copyfile(bam, noidx)
+    without_idx = sorted(map(tuple, read_bam_native(spark, noidx).select(*key).collect()))
+    assert with_idx == without_idx
+    assert sum(1 for r in with_idx if r[2] is None) == 7  # exactly once each
+    # an index declaring n_no_coor=0 skips the unmapped span (and there are
+    # genuinely no unmapped rows to find)
+    bam0 = str(tmp_path / "um0.bam")
+    off0 = _synth_bam(bam0, refs, mapped)
+    _write_bai(bam0 + ".bai", len(refs), off0, 0)
+    assert read_bam_native(spark, bam0, chunk=1000).count() == len(mapped)
+
+
+def test_write_bam_sorts_by_header_ref_order(spark, tmp_path):
+    """Coordinate order follows the header's @SQ ref_id sequence, not
+    contig-string lexicographic order ('10' after '9'), and null-contig
+    (unmapped) rows go last — the spec's placement."""
+    from sequila_spark.sources import write_bam
+
+    refs = [("9", 10_000), ("10", 10_000), ("MT", 10_000)]
+    rows = [
+        ("a", 0, "10", 100, 104, 30, "5M", None, 0, 0, "ACGTA", "IIIII", None),
+        ("b", 4, None, 0, 0, 0, "*", None, 0, 0, "ACGTA", None, None),
+        ("c", 0, "9", 500, 504, 30, "5M", None, 0, 0, "ACGTA", "IIIII", None),
+        ("d", 0, "MT", 7, 11, 30, "5M", None, 0, 0, "ACGTA", "IIIII", None),
+        ("e", 0, "9", 20, 24, 30, "5M", None, 0, 0, "ACGTA", "IIIII", None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "qname string, flag int, contig string, pos_start int, pos_end int, "
+        "mapq int, cigar string, rnext string, pnext int, tlen int, "
+        "seq string, qual string, tags map<string,string>",
+    )
+    out = str(tmp_path / "order.bam")
+    write_bam(df, out, refs=refs)
+    _, recs = _whole_file_records(out)
+    assert [(r[0], r[2]) for r in recs] == [
+        ("e", "9"), ("c", "9"), ("a", "10"), ("d", "MT"), ("b", None)
+    ]

@@ -82,6 +82,25 @@ def test_pileup_dense_sparse_agree_on_indels(spark):
     assert d == s  # same positions, same depth regardless of path
 
 
+def test_sparse_path_case_folds_ref(spark):
+    """A ref expression yielding lowercase bases must not classify every
+    base as a mismatch: the sparse path folds BOTH sides (matching the
+    dense path's case-insensitive comparison)."""
+    rows = [c[0] for c in CASES]
+    df = _df(spark, rows)
+
+    def lower_ref(contig, pos):
+        return F.lower(ref_expr(contig, pos))
+
+    upper = pileup(df, ref=ref_expr, alts=True)
+    lower = pileup(df, ref=lower_ref, alts=True)
+    key = lambda df_: {
+        r["pos_start"]: (r["coverage"], r["countRef"], r["countNonRef"])
+        for r in df_.collect()
+    }
+    assert key(upper) == key(lower)
+
+
 def test_pileup_indel_counts_golden(spark):
     rows = [c[0] for c in CASES]
     df = _df(spark, rows)

@@ -105,6 +105,43 @@ def test_tvf_robust_parsing(spark):
         ss.sql("SELECT * FROM coverage(some_column)")
 
 
+def test_tvf_from_list_comment_and_paren(spark):
+    """TVF calls after a top-level FROM-list comma, inside parens, or
+    behind a comment are still recognized; a TVF in a non-FROM position
+    raises a clear ValueError instead of Spark's unresolved error."""
+    import pytest
+
+    _reads_view(spark)
+    ss = SequilaSession(spark)
+    # comma-separated FROM list (implicit cross join)
+    rows = ss.sql(
+        "SELECT t.pos_start, c.coverage FROM reads_sql_test t, "
+        "coverage('reads_sql_test', 's1', 'blocks') c WHERE c.coverage = 2"
+    ).collect()
+    assert len(rows) == 3  # 3 reads x 1 block with coverage 2
+    # parenthesized FROM relation
+    rows = ss.sql(
+        "SELECT * FROM (coverage('reads_sql_test', 's1', 'blocks'))"
+    ).collect()
+    assert len(rows) == 3
+    # comment between FROM and the call; comment inside the arg list
+    rows = ss.sql(
+        "SELECT * FROM -- the TVF\n"
+        " coverage('reads_sql_test', /* sample */ 's1', 'blocks')"
+    ).collect()
+    assert len(rows) == 3
+    # a '--' inside a string literal is NOT a comment
+    spark.createDataFrame(
+        [("s--1", "1", 1, 5, "ACGTA")],
+        "sample_id string, contig string, pos_start int, pos_end int, seq string",
+    ).createOrReplaceTempView("dashed_sample")
+    rows = ss.sql("SELECT * FROM coverage('dashed_sample', 's--1')").collect()
+    assert len(rows) == 1
+    # TVF outside a FROM position -> clear error naming the call
+    with pytest.raises(ValueError, match="not rewritten"):
+        ss.sql("SELECT pileup('reads_sql_test') AS x")
+
+
 def test_session_dataset_api(spark):
     """SequilaSession dataset-API entry points (SequilaSession.scala:89-112
     parity): coverage/pileup/range_join/grange as methods."""
