@@ -66,6 +66,26 @@ def _f(name: str, dtype: T.DataType, nullable: bool = True) -> T.StructField:
     return T.StructField(name, dtype, nullable)
 
 
+# Typed optional-tag columns (src/main/avro/input/Alignment.avsc tag_* fields,
+# which AlignmentRelation.scala:228-261 extracts one column each).  The
+# engine's canonical storage is the single `tags` map below; these declared
+# types drive the lazy tag_* projection (sources.bam.with_typed_tags) so a
+# user's `SELECT tag_MD FROM reads` works with the reference's exact schema.
+TAG_TYPES: dict[str, str] = {
+    "AM": "int", "AS": "int", "BC": "string", "BQ": "string", "BZ": "string",
+    "CB": "string", "CC": "string", "CG": "string", "CM": "int",
+    "CO": "string", "CP": "int", "CQ": "string", "CR": "string",
+    "CS": "string", "CT": "string", "CY": "string", "E2": "string",
+    "FI": "int", "FS": "string", "FZ": "string", "H0": "int", "H1": "int",
+    "H2": "int", "HI": "int", "IH": "int", "LB": "string", "MC": "string",
+    "MD": "string", "MI": "string", "MQ": "int", "NH": "int", "NM": "int",
+    "OA": "string", "OC": "string", "OP": "int", "OQ": "string",
+    "OX": "string", "PG": "string", "PQ": "int", "PT": "string",
+    "PU": "string", "Q2": "string", "QT": "string", "QX": "string",
+    "R2": "string", "RG": "string", "RX": "string", "SA": "string",
+    "SM": "int", "TC": "int", "U2": "string", "UQ": "int",
+}
+
 # --- Alignment (src/main/avro/input/Alignment.avsc; core fields) -------------
 # The reference's Avro record also carries ~45 nullable tag_* columns; we model
 # optional tags as a single map column (Arrow/Parquet friendly at scale).

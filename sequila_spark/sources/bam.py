@@ -47,16 +47,20 @@ def write_alignments(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     )
 
 
-def read_alignments(spark: SparkSession, path: str) -> DataFrame:
+def read_alignments(
+    spark: SparkSession, path: str, typed_tags: bool = False
+) -> DataFrame:
     """Parquet-backed alignment relation with canonical columns; contig
-    normalization applied on read (AlignmentRelation.scala:233)."""
+    normalization applied on read (AlignmentRelation.scala:233).
+    ``typed_tags=True`` appends the typed ``tag_*`` columns when the store
+    carries a ``tags`` map (lazy projection — see with_typed_tags)."""
     df = spark.read.parquet(path)
     if S.CONTIG in df.columns:
         df = df.withColumn(S.CONTIG, clean_contig(F.col(S.CONTIG)))
     if S.SAMPLE not in df.columns:
         sample = os.path.basename(path).split(".")[0]
         df = df.withColumn(S.SAMPLE, F.lit(sample))
-    return df
+    return with_typed_tags(df) if typed_tags and "tags" in df.columns else df
 
 
 def _pysam_reader(path: str, ref_path: str | None, contig: str, start: int, end: int):
@@ -111,12 +115,34 @@ def list_samples(path: str) -> list[str]:
     return sorted({os.path.basename(p).split(".")[0] for p in files})
 
 
+def with_typed_tags(df: DataFrame, tags: list[str] | None = None) -> DataFrame:
+    """Project the generic ``tags`` map into the reference's typed ``tag_*``
+    columns (Alignment.avsc; AlignmentRelation.scala:228-261 extracts one
+    column per tag) — ``tag_MD``, ``tag_NM`` (int), etc., with the Avro-
+    declared types from ``schemas.TAG_TYPES``.
+
+    This is a pure projection: Catalyst prunes unselected tag columns, so
+    ``df.select('tag_MD')`` still reads only the map — the 52 columns cost
+    nothing until referenced.  ``tags`` restricts the projection to the
+    named tags (without the ``tag_`` prefix)."""
+    if "tags" not in df.columns:
+        raise ValueError("relation has no 'tags' map column")
+    names = list(tags) if tags is not None else sorted(S.TAG_TYPES)
+    tag_cols = [
+        F.col("tags")[t].cast(S.TAG_TYPES.get(t, "string")).alias(f"tag_{t}")
+        for t in names
+    ]
+    return df.select("*", *tag_cols)
+
+
 def write_bam(
     df: DataFrame,
     path: str,
     refs: list[tuple[str, int]] | None = None,
     header_text: str = "",
     sort: bool = True,
+    sharded: bool = False,
+    shard_dir: str | None = None,
 ) -> None:
     """Write an alignment relation as a BAM file with the native codec
     (closes SURVEY §2.1's last row — the reference wraps
@@ -129,10 +155,19 @@ def write_bam(
     pos_start) — the spec's coordinate order, which follows the @SQ
     sequence order (not contig-string lexicographic: '10' sorts after '9',
     and null-contig/unknown rows go last, where the spec places unmapped
-    records).  The
-    driver holds only compressed fragments; for outputs beyond driver
-    memory, write per-partition shards to shared storage and concatenate
-    there (BGZF needs no re-framing).
+    records).
+
+    Two assembly modes:
+
+    - ``sharded=False`` (convenience): fragments are collected to the
+      driver and stitched in memory — fine for slices, analogous to the
+      reference's coalesce(1) CSV penalty (benchmarking.rst:611-617).
+    - ``sharded=True`` (scale path): each task writes its fragment as a
+      shard file under ``shard_dir`` (default ``path + '.shards'`` — must
+      be storage every executor AND the driver can reach, e.g. NFS/
+      object-store mount on a real cluster), then the driver streams the
+      shards into the final file with bounded (single-block) memory.
+      BGZF needs no re-framing, so concatenation is byte-exact.
 
     ``refs`` defaults to the observed contigs with max(pos_end) as length.
     """
@@ -172,6 +207,37 @@ def write_bam(
             .drop("__sq_rid")
         )
 
+    if sharded:
+        import shutil as _shutil
+
+        sdir = shard_dir or (path + ".shards")
+        os.makedirs(sdir, exist_ok=True)
+
+        def write_shard(idx, rows):
+            frag = os.path.join(sdir, f"part-{idx:05d}.bgzf")
+            with open(frag, "wb") as fh:
+                w = B.BgzfWriter(fh)
+                n = 0
+                for r in rows:
+                    w.write(B.encode_record(tuple(r), ref_ids))
+                    n += 1
+                w.close(eof=False)
+            if n == 0:
+                os.remove(frag)
+            return iter(())
+
+        out.rdd.mapPartitionsWithIndex(write_shard).count()  # run the job
+        with open(path, "wb") as f:
+            w = B.BgzfWriter(f)
+            B.write_bam_header(w, refs, header_text)
+            w.flush_blocks()
+            for name in sorted(os.listdir(sdir)):
+                with open(os.path.join(sdir, name), "rb") as sf:
+                    _shutil.copyfileobj(sf, f)  # streamed, bounded memory
+            f.write(B.BGZF_EOF)
+        _shutil.rmtree(sdir)
+        return
+
     def compress_partition(rows):
         import io
 
@@ -198,6 +264,7 @@ def read_bam_native(
     path: str | list[str],
     chunk: int = 10_000_000,
     with_tags: bool = True,
+    typed_tags: bool = False,
 ) -> DataFrame:
     """Decode BAM with the pure-Python BGZF/BAM/BAI codec (sources/bamcodec
     — no pysam/htslib needed), partitioned by genomic chunk: the driver
@@ -214,7 +281,10 @@ def read_bam_native(
     ``path`` may be a single file, a glob ('dir/*.bam'), a directory, or a
     list — multi-sample tables exactly like the reference's
     ``OPTIONS(path '.../*.bam')``; sample_id derives from each file name
-    (AlignmentRelation.scala:311-324)."""
+    (AlignmentRelation.scala:311-324).
+
+    ``typed_tags=True`` appends the reference's 52 typed ``tag_*`` columns
+    (lazy projection — see with_typed_tags)."""
     import glob as _glob
 
     from sequila_spark.sources import bamcodec as B
@@ -292,7 +362,8 @@ def read_bam_native(
         f"{S.RNEXT} string, {S.PNEXT} int, {S.TLEN} int, {S.SEQUENCE} string, "
         f"{S.BASEQ} string, tags map<string,string>"
     )
-    return df.withColumn(S.CONTIG, clean_contig(F.col(S.CONTIG)))
+    df = df.withColumn(S.CONTIG, clean_contig(F.col(S.CONTIG)))
+    return with_typed_tags(df) if typed_tags else df
 
 
 def read_bam(

@@ -272,3 +272,56 @@ def test_write_bam_sorts_by_header_ref_order(spark, tmp_path):
     assert [(r[0], r[2]) for r in recs] == [
         ("e", "9"), ("c", "9"), ("a", "10"), ("d", "MT"), ("b", None)
     ]
+
+
+MDBAM = "/root/reference/src/test/resources/multichrom/mdbam/NA12878.multichrom.md.bam"
+
+
+@pytest.mark.skipif(not os.path.exists(MDBAM), reason="no mdbam fixture")
+def test_typed_tag_projection(spark):
+    """Typed tag_* columns (Alignment.avsc parity;
+    AlignmentRelation.scala:228-261): tag_MD matches the raw MD strings,
+    tag_NM is int-typed, absent tags are null, and the projection prunes —
+    selecting one tag reads only the tags map."""
+    from sequila_spark.sources import read_bam_native, with_typed_tags
+
+    df = read_bam_native(spark, MDBAM, typed_tags=True)
+    assert df.schema["tag_MD"].dataType.typeName() == "string"
+    assert df.schema["tag_NM"].dataType.typeName() == "integer"
+    rows = df.select("tags", "tag_MD", "tag_NM", "tag_BQ").limit(200).collect()
+    assert rows and any(r["tag_MD"] is not None for r in rows)
+    for r in rows:
+        assert r["tag_MD"] == r["tags"].get("MD")
+        nm = r["tags"].get("NM")
+        assert r["tag_NM"] == (int(nm) if nm is not None else None)
+        assert r["tag_BQ"] is None  # tag absent in this file -> null column
+    # restricted projection
+    two = with_typed_tags(read_bam_native(spark, MDBAM), tags=["MD", "NM"])
+    assert [c for c in two.columns if c.startswith("tag_")] == ["tag_MD", "tag_NM"]
+    # no tags column -> clear error
+    with pytest.raises(ValueError, match="tags"):
+        with_typed_tags(spark.range(1))
+
+
+@needs_slice
+def test_write_bam_sharded_roundtrip(spark, tmp_path):
+    """Scale-path BAM write: per-task shard files + streamed driver
+    concatenation (no collect) must produce a byte-valid BAM equal in
+    content to the collect-mode output, from a genuinely multi-partition
+    input."""
+    from sequila_spark.sources import read_bam_native, write_bam
+
+    df = read_bam_native(spark, SLICE).where("contig IS NOT NULL").repartition(7)
+    single = str(tmp_path / "single.bam")
+    shard = str(tmp_path / "shard.bam")
+    write_bam(df, single)
+    write_bam(df, shard, sharded=True)
+    assert not os.path.exists(shard + ".shards")  # cleaned up
+
+    _, a = _whole_file_records(single)
+    _, b = _whole_file_records(shard)
+    assert len(b) == len(a) == df.count()
+    # both coordinate-sorted with identical record multisets
+    assert sorted(a) == sorted(b)
+    key = [(r[2], r[3]) for r in b]
+    assert key == sorted(key, key=lambda t: (t[0] is None, t[0] or "", t[1]))
