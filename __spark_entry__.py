@@ -9,6 +9,7 @@ shared between engines so results must hash-match).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -18,7 +19,7 @@ from sequila_spark import testdata as TD
 from sequila_spark import schemas as S
 from sequila_spark.functions import intervals as IV
 from sequila_spark.operators.coverage import coverage, filter_reads
-from sequila_spark.operators.pileup import pileup
+from sequila_spark.operators.pileup import pileup, pileup_md
 from sequila_spark.operators.range_join import range_join
 
 
@@ -72,6 +73,17 @@ def _q_range_join_maxgap(spark: SparkSession, sf_dir: str) -> DataFrame:
     reads = TD.reads(spark, sf_dir)
     targets = TD.targets(spark, sf_dir)
     j = range_join(reads, targets, how="inner", max_gap=1000, max_width=_SYNTH_MAX_WIDTH)
+    return j.select("qname", "target_id")
+
+
+def _q_range_join_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nanopore-class long intervals (10-100 kb): exercises the bin_cap
+    long-interval branch (here bin_cap=8 -> 40 kb threshold so the branch
+    genuinely routes rows) with the default max_width='auto' probe —
+    regression guard for the branch-pruning logic at the harness level."""
+    lr = TD.longreads(spark, sf_dir)
+    targets = TD.targets(spark, sf_dir)
+    j = range_join(lr, targets, how="inner", bin_cap=8)
     return j.select("qname", "target_id")
 
 
@@ -645,12 +657,74 @@ def _q_reads_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_read_counts(TD.reads(spark, sf_dir))
 
 
+_MDBAM_FIX = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "fixtures", "mdbam"
+)
+
+
+def _alts_str(col) -> F.Column:
+    """Canonical 'A:2,g:1' rendering of an alts map (entries sorted by
+    base, codepoint order) — hash-stable across Spark and the golden."""
+    return F.when(
+        F.size(col) > 0,
+        F.array_join(
+            F.transform(
+                F.array_sort(F.map_entries(col)),
+                lambda e: F.concat(e["key"], F.lit(":"), e["value"].cast("string")),
+            ),
+            ",",
+        ),
+    ).otherwise(F.lit(""))
+
+
+def _q_pileup_mdbam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-data pileup under the per-round hash gate: the reference
+    project's MD BAM (decoded by the native codec into fixtures/mdbam,
+    tools/make_mdbam_fixture.py) through the CIGAR-aware pileup with
+    samtools flag mask + strand casing, compared against the cleaned
+    `samtools mpileup -x` golden (SamtoolsConverter.scala:18-140
+    semantics).  sf_dir is ignored — real data has no scale factor."""
+    reads = spark.read.parquet(f"{_MDBAM_FIX}/reads.parquet")
+    ref = spark.read.parquet(f"{_MDBAM_FIX}/ref_bases.parquet")
+    p = pileup(reads, ref=ref, alts=True, flag_mask=1796, strand_case=True)
+    return p.select(
+        "contig",
+        F.col("pos_start").alias("pos"),
+        F.upper("ref").alias("ref"),
+        "coverage",
+        "countRef",
+        "countNonRef",
+        _alts_str(F.col("alts")).alias("alts_str"),
+    )
+
+
+def _q_pileup_md_mismatches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MD-tag-only pileup (pileup_md — no reference genome anywhere) on the
+    real BAM, mismatch positions vs the same samtools golden: a second,
+    fully independent derivation of the mismatch set (MD walk vs the
+    golden's FASTA-based output)."""
+    reads = spark.read.parquet(f"{_MDBAM_FIX}/reads.parquet")
+    p = pileup_md(reads, alts=True, flag_mask=1796, strand_case=True)
+    return p.where(F.col("countNonRef") > 0).select(
+        "contig",
+        F.col("pos_start").alias("pos"),
+        "ref",
+        "coverage",
+        "countRef",
+        "countNonRef",
+        _alts_str(F.col("alts")).alias("alts_str"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "feature_counts": _q_feature_counts,
     "range_join_pairs": _q_range_join_pairs,
     "range_join_minoverlap": _q_range_join_minoverlap,
     "range_join_maxgap": _q_range_join_maxgap,
     "range_join_semi": _q_range_join_semi,
+    "range_join_long": _q_range_join_long,
+    "pileup_mdbam": _q_pileup_mdbam,
+    "pileup_md_mismatches": _q_pileup_md_mismatches,
     "interval_ops": _q_interval_ops,
     "targets_merged": _q_targets_merged,
     "read_filter": _q_read_filter,
@@ -1148,6 +1222,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT r.qname AS qname, t.target_id AS target_id
             FROM reads r JOIN targets t ON r.contig = t.contig
               AND r.pos_start <= t.pos_end + 1000 AND r.pos_end >= t.pos_start - 1000
+        """,
+        "range_join_long": f"""
+            {cte('longreads', 'targets')}
+            SELECT l.qname AS qname, t.target_id AS target_id
+            FROM longreads l JOIN targets t ON l.contig = t.contig
+              AND l.pos_start <= t.pos_end AND l.pos_end >= t.pos_start
+        """,
+        "pileup_mdbam": f"""
+            SELECT contig, pos, ref, coverage, "countRef", "countNonRef", alts_str
+            FROM read_parquet('{_MDBAM_FIX}/golden_pileup.parquet/*.parquet')
+        """,
+        "pileup_md_mismatches": f"""
+            SELECT contig, pos, ref, coverage, "countRef", "countNonRef", alts_str
+            FROM read_parquet('{_MDBAM_FIX}/golden_pileup.parquet/*.parquet')
+            WHERE "countNonRef" > 0
         """,
         "range_join_semi": f"""
             {cte('reads', 'targets')}

@@ -27,6 +27,7 @@ BENCH_QUERIES = [
     "feature_counts",
     "range_join_pairs",
     "range_join_maxgap",
+    "range_join_long",
     "coverage_blocks",
     "coverage_windows",
     "pileup_agg",

@@ -15,7 +15,7 @@ for 100 TB scale.
 from sequila_spark.session import SequilaSession, get_spark, register
 from sequila_spark.operators.range_join import range_join
 from sequila_spark.operators.coverage import coverage
-from sequila_spark.operators.pileup import pileup
+from sequila_spark.operators.pileup import mismatches_from_md, pileup, pileup_md
 from sequila_spark.functions import intervals as interval_functions
 
 __version__ = "0.1.0"
@@ -27,5 +27,7 @@ __all__ = [
     "range_join",
     "coverage",
     "pileup",
+    "pileup_md",
+    "mismatches_from_md",
     "interval_functions",
 ]

@@ -103,6 +103,210 @@ def _cigar_query_blocks(cigar: Column, start: Column) -> Column:
     return F.when(cigar.rlike(_GAPLESS_RE), gapless).otherwise(folded)
 
 
+def _cigar_query_blocks_md(cigar: Column, start: Column) -> Column:
+    """Like _cigar_query_blocks, but each block also carries its MD-space
+    offset ``m``: cumulative ref-consumed bases of M/=/X and D ops before
+    the block.  The MD tag string covers aligned and deleted bases only —
+    N splices consume reference but NOT MD space, I/S consume neither."""
+    ops = F.regexp_extract_all(cigar, F.lit(r"(\d+)([MIDNSHP=X])"), 0)
+    init = F.struct(
+        start.cast("int").alias("r"),
+        F.lit(0).cast("int").alias("q"),
+        F.lit(0).cast("int").alias("m"),
+        F.expr(
+            "CAST(array() AS ARRAY<STRUCT<s: INT, q: INT, m: INT, n: INT>>)"
+        ).alias("blocks"),
+    )
+
+    def step(acc, op):
+        n = F.substring(op, 1, F.length(op) - 1).cast("int")
+        code = F.substring(op, -1, 1)
+        consumes_ref = code.isin("M", "D", "N", "=", "X")
+        consumes_query = code.isin("M", "I", "S", "=", "X")
+        consumes_md = code.isin("M", "D", "=", "X")
+        emits = code.isin("M", "=", "X")
+        new_blocks = F.when(
+            emits,
+            F.concat(
+                acc["blocks"],
+                F.array(
+                    F.struct(
+                        acc["r"].alias("s"),
+                        acc["q"].alias("q"),
+                        acc["m"].alias("m"),
+                        n.alias("n"),
+                    )
+                ),
+            ),
+        ).otherwise(acc["blocks"])
+        return F.struct(
+            F.when(consumes_ref, acc["r"] + n).otherwise(acc["r"]).cast("int").alias("r"),
+            F.when(consumes_query, acc["q"] + n).otherwise(acc["q"]).cast("int").alias("q"),
+            F.when(consumes_md, acc["m"] + n).otherwise(acc["m"]).cast("int").alias("m"),
+            new_blocks.alias("blocks"),
+        )
+
+    folded = F.aggregate(ops, init, step)["blocks"]
+    gapless = F.array(
+        F.struct(
+            start.cast("int").alias("s"),
+            F.lit(0).cast("int").alias("q"),
+            F.lit(0).cast("int").alias("m"),
+            F.substring(cigar, 1, F.length(cigar) - 1).cast("int").alias("n"),
+        )
+    )
+    return F.when(cigar.rlike(_GAPLESS_RE), gapless).otherwise(folded)
+
+
+def _md_mismatch_offsets(md: Column) -> Column:
+    """Fold an MD tag into ``array<struct<o: int, ref: string>>`` — the
+    MD-space offset and declared reference base of every mismatch
+    (pileup/MDTagParser.scala:24-53 token semantics: numbers advance,
+    ``^``-prefixed runs are deletions advancing by their length, bare
+    letters are mismatches advancing by one).  All-digit tags (no
+    mismatches) skip the fold entirely."""
+    tokens = F.regexp_extract_all(md, F.lit(r"([0-9]+|\^[A-Za-z]+|[A-Za-z])"), 1)
+    empty = F.expr("CAST(array() AS ARRAY<STRUCT<o: INT, ref: STRING>>)")
+    init = F.struct(F.lit(0).cast("int").alias("off"), empty.alias("mism"))
+
+    def step(acc, t):
+        is_num = t.rlike("^[0-9]+$")
+        is_del = F.substring(t, 1, 1) == "^"
+        adv = (
+            F.when(is_num, t.cast("int"))
+            .when(is_del, F.length(t) - 1)
+            .otherwise(F.lit(1))
+        )
+        new_mism = F.when(is_num | is_del, acc["mism"]).otherwise(
+            F.concat(
+                acc["mism"],
+                F.array(F.struct(acc["off"].alias("o"), F.upper(t).alias("ref"))),
+            )
+        )
+        return F.struct((acc["off"] + adv).cast("int").alias("off"), new_mism.alias("mism"))
+
+    return F.when(md.rlike("^[0-9]+$"), empty).otherwise(
+        F.aggregate(tokens, init, step)["mism"]
+    )
+
+
+def mismatches_from_md(reads: DataFrame, strand_case: bool = False) -> DataFrame:
+    """Per-mismatch rows (contig, pos, base, ref_base) derived purely from
+    the MD tag + CIGAR — no reference genome and no seq-vs-ref comparison
+    (the reference's approach, pileup/MDTagParser.scala:24-53): the MD walk
+    yields each mismatch's offset and reference base, the CIGAR blocks map
+    that offset to the genomic position and the query offset whose seq
+    character is the alt base.
+
+    Only rows carrying an MD value contribute (``tag_MD`` column or
+    ``tags['MD']``).  Mismatch volume is ~2% of bases, so this explodes
+    candidates only — the same sparse property as _pileup_sparse, without
+    needing the reference at any position."""
+    if "tag_MD" in reads.columns:
+        md = F.col("tag_MD")
+    elif "tags" in reads.columns:
+        md = F.col("tags")["MD"]
+    else:
+        raise ValueError("reads have neither a tag_MD column nor a tags map")
+
+    keep = [S.CONTIG] + (
+        [S.FLAG] if strand_case and S.FLAG in reads.columns else []
+    )
+    rows = reads.where(md.isNotNull() & (F.col(S.CIGAR) != "*")).select(
+        *keep,
+        F.col(S.SEQUENCE).alias("__seq"),
+        _cigar_query_blocks_md(F.col(S.CIGAR), F.col(S.START)).alias("__blks"),
+        F.explode(_md_mismatch_offsets(md)).alias("__mm"),
+    )
+    o = F.col("__mm")["o"]
+    blk = F.element_at(
+        F.filter(
+            F.col("__blks"), lambda b: (o >= b["m"]) & (o < b["m"] + b["n"])
+        ),
+        1,
+    )
+    alt = F.col("__seq").substr(blk["q"] + (o - blk["m"]) + 1, F.lit(1))
+    out = rows.select(
+        *keep,
+        (blk["s"] + (o - blk["m"])).cast("int").alias("pos"),
+        alt.alias("__alt"),
+        F.col("__mm")["ref"].alias("ref_base"),
+    ).where(F.col("pos").isNotNull())
+    return out.select(
+        S.CONTIG,
+        "pos",
+        _strand_cased(F.col("__alt"), reads.columns, strand_case).alias("base"),
+        "ref_base",
+    )
+
+
+def pileup_md(
+    reads: DataFrame,
+    *,
+    alts: bool = True,
+    use_cigar: bool | None = None,
+    strand_case: bool = False,
+    flag_mask: int = 0,
+    min_mapq: int = 0,
+) -> DataFrame:
+    """Per-position pileup with alts computed PURELY from the MD tag — no
+    reference FASTA/relation/expression anywhere (the reference's own
+    design: MDTagParser.scala walks MD, never the genome).  Enables pileup
+    on seq-thin projections: only mismatch positions ever touch seq, and
+    the reference base column comes from the MD declarations.
+
+    Output matches pileup()'s alts mode on (coverage, countRef,
+    countNonRef, alts); the ``ref`` column is the MD-declared reference
+    base at mismatch positions and NULL at all-ref positions (the MD walk
+    cannot know the rest of the genome — callers needing a full ref column
+    attach a reference relation instead)."""
+    from sequila_spark.operators.coverage import coverage as _coverage
+    from sequila_spark.operators.coverage import filter_reads
+
+    if flag_mask or min_mapq:
+        reads = filter_reads(reads, flag_mask=flag_mask, min_mapq=min_mapq)
+    if use_cigar is None:
+        use_cigar = S.CIGAR in reads.columns
+
+    cov = _coverage(reads, mode="bases", use_cigar=use_cigar).select(
+        S.CONTIG, F.col(S.START).alias("pos"), S.COVERAGE
+    )
+    mism = mismatches_from_md(reads, strand_case=strand_case)
+    g1 = mism.groupBy(S.CONTIG, "pos", "base").agg(
+        F.count("*").cast("int").alias("cnt"), F.max("ref_base").alias("ref_base")
+    )
+    alt_agg = [
+        F.sum("cnt").cast("int").alias(S.COUNT_NONREF),
+        F.max("ref_base").alias("__ref"),
+    ]
+    if alts:
+        alt_agg.append(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct(F.col("base"), F.col("cnt"))))
+            ).alias(S.ALTS)
+        )
+    alt_pos = g1.groupBy(S.CONTIG, "pos").agg(*alt_agg)
+
+    joined = cov.join(alt_pos, [S.CONTIG, "pos"], "left")
+    nonref = F.coalesce(F.col(S.COUNT_NONREF), F.lit(0)).cast("int")
+    cols = [
+        F.col(S.CONTIG),
+        F.col("pos").cast("int").alias(S.START),
+        F.col("pos").cast("int").alias(S.END),
+        F.col("__ref").alias(S.REF),
+        F.col(S.COVERAGE).cast("int").alias(S.COVERAGE),
+        (F.col(S.COVERAGE) - nonref).cast("int").alias(S.COUNT_REF),
+        nonref.alias(S.COUNT_NONREF),
+    ]
+    if alts:
+        cols.append(
+            F.coalesce(
+                F.col(S.ALTS), F.expr("map()").cast("map<string,int>")
+            ).alias(S.ALTS)
+        )
+    return joined.select(*cols)
+
+
 def expand_bases(
     reads: DataFrame,
     with_quals: bool = False,

@@ -117,6 +117,20 @@ SELECT
 FROM part
 """
 
+# longreads: sparse nanopore-class intervals (one per ~997 orderkeys),
+# widths 10..100 kb — wide enough to cross a small bin_cap threshold, so the
+# range-join long-interval branch gets driver-gate + bench coverage.
+LONGREADS_SQL = f"""
+SELECT
+  'LR' || CAST(l_orderkey AS STRING)                                   AS qname,
+  CAST(1 + (l_orderkey % {N_CONTIGS}) AS STRING)                       AS contig,
+  CAST(1 + ((l_orderkey * 37) % {POS_SPACE}) AS INT)                   AS pos_start,
+  CAST(1 + ((l_orderkey * 37) % {POS_SPACE})
+       + 10000 + ((l_orderkey * 7919) % 90000) AS INT)                 AS pos_end
+FROM lineitem
+WHERE l_orderkey % 997 = 0 AND l_linenumber = 1
+"""
+
 # Deterministic reference genome: base at (contig c, position p) =
 # 'ACGT'[(p*7 + c*13) % 4].  A read base mismatches the reference exactly
 # when (p*11 + l_orderkey) % 59 == 0, substituting the next base cyclically
@@ -257,6 +271,11 @@ def targets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(TARGETS_SQL)
 
 
+def longreads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _reg_par(spark, sf_dir, "lineitem")
+    return spark.sql(LONGREADS_SQL)
+
+
 def reads_with_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
     _reg_par(spark, sf_dir, "lineitem")
     return spark.sql(reads_with_seq_sql("spark"))
@@ -278,6 +297,8 @@ def duck_cte(*views: str) -> str:
             parts.append(f"reads AS ({READS_SQL})")
         elif v == "targets":
             parts.append(f"targets AS ({TARGETS_SQL})")
+        elif v == "longreads":
+            parts.append(f"longreads AS ({LONGREADS_SQL})")
         elif v == "reads_seq":
             parts.append(f"reads_seq AS ({reads_with_seq_sql('duckdb')})")
         elif v == "reads_indel":
