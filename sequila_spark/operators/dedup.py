@@ -259,13 +259,16 @@ def dedup_components(
     rep = the component's minimum id — the "keep one per cluster" step
     that completes pairwise dedup.
 
-    Distributed min-label propagation: each round joins labels to the
-    (symmetrized) edge list, takes the min neighbor label, and stops when
-    no label changed (one count() of a pairs-sized relation per round —
-    near-dup graphs have tiny diameters, so this converges in a few
-    rounds; for web-scale graphs swap in the large-star/small-star
-    variant, same interface).  Labels are localCheckpoint()ed each round
-    to keep lineage flat.  Deterministic: min over ids.
+    Distributed min-label propagation WITH pointer doubling: each round
+    (1) takes the min label among graph neighbors (one join against the
+    symmetrized edge list), then (2) jumps pointers — rep <- rep's own
+    rep — which squares label-path lengths, so convergence is
+    O(log diameter) rounds, not O(diameter): a 1M-hop chain fixpoints in
+    ~20 rounds (the default max_iter bounds diameter ~2^20 even for
+    pathological chain graphs; near-dup graphs converge in 3-5).  Labels
+    are localCheckpoint()ed each round to keep lineage flat; the rep
+    monotonically decreases and always names a node of the same
+    component, so the fixpoint is the component minimum.  Deterministic.
     """
     a, b = id_cols
     half = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
@@ -288,14 +291,24 @@ def dedup_components(
             .groupBy("src")
             .agg(F.min("nrep").alias("nbr_rep"))
         )
+        stepped = labels.join(nbr_min, labels["id"] == nbr_min["src"], "left").select(
+            "id",
+            F.least(F.col("rep"), F.coalesce(F.col("nbr_rep"), F.col("rep"))).alias(
+                "rep"
+            ),
+        )
+        # pointer doubling: rep <- min(rep, rep-of-rep).  Every rep is a
+        # node id, so the self-join always resolves; one extra shuffle per
+        # round buys exponential path compression.
         new_labels = (
-            labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
-            .select(
-                "id",
-                F.least(F.col("rep"), F.coalesce(F.col("nbr_rep"), F.col("rep"))).alias(
-                    "rep"
-                ),
+            stepped.alias("s")
+            .join(
+                stepped.select(
+                    F.col("id").alias("rep"), F.col("rep").alias("rep2")
+                ).alias("j"),
+                "rep",
             )
+            .select(F.col("id"), F.least(F.col("rep"), F.col("rep2")).alias("rep"))
             .localCheckpoint()
         )
         changed = (

@@ -325,3 +325,68 @@ def test_write_bam_sharded_roundtrip(spark, tmp_path):
     assert sorted(a) == sorted(b)
     key = [(r[2], r[3]) for r in b]
     assert key == sorted(key, key=lambda t: (t[0] is None, t[0] or "", t[1]))
+
+
+def test_cram_path_owner_by_start_and_mode(monkeypatch):
+    """CRAM leg of the pysam shim (bam.py _pysam_reader via read_bam):
+    .cram opens with mode 'rc' + reference_filename forwarded, and chunk
+    ownership follows the same owner-by-start rule as the BAM path — a
+    read overlapping two chunks is yielded by exactly one."""
+    from sequila_spark.sources.bam import _pysam_reader
+
+    opened = []
+
+    class FakeRead:
+        def __init__(self, name, start):
+            self.query_name = name
+            self.flag = 0
+            self.reference_name = "1"
+            self.reference_start = start
+            self.reference_end = start + 100
+            self.mapping_quality = 60
+            self.cigarstring = "100M"
+            self.query_sequence = "A" * 100
+            self.qual = "I" * 100
+
+    READS = [FakeRead("a", 9_950), FakeRead("b", 10_000), FakeRead("c", 10_050)]
+
+    class FakeAF:
+        def __init__(self, path, mode, **kw):
+            opened.append((path, mode, kw))
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def fetch(self, contig, start, end):
+            return [
+                r for r in READS
+                if r.reference_start + 100 > start and r.reference_start < end
+            ]
+
+    fake = types.ModuleType("pysam")
+    fake.AlignmentFile = FakeAF
+    monkeypatch.setitem(sys.modules, "pysam", fake)
+
+    c1 = [r[0] for r in _pysam_reader("x.cram", "ref.fa", "1", 0, 10_000)]
+    c2 = [r[0] for r in _pysam_reader("x.cram", "ref.fa", "1", 10_000, 20_000)]
+    assert c1 == ["a"] and c2 == ["b", "c"]
+    assert not (set(c1) & set(c2))
+    # CRAM specifics: 'rc' mode and the reference path forwarded to htslib
+    assert all(m == "rc" for _p, m, _k in opened)
+    assert all(k == {"reference_filename": "ref.fa"} for _p, _m, k in opened)
+
+
+def test_read_cram_without_pysam_guides(spark):
+    """pysam is absent in this environment: read_bam on a .cram must raise
+    ImportError pointing at the parquet alternative, not crash obscurely."""
+    import importlib
+
+    if importlib.util.find_spec("pysam") is not None:
+        pytest.skip("pysam installed; guidance path not reachable")
+    from sequila_spark.sources import read_bam
+
+    with pytest.raises(ImportError, match="read_alignments"):
+        read_bam(spark, "/nonexistent/sample.cram")
