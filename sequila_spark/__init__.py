@@ -17,6 +17,12 @@ from sequila_spark.operators.range_join import range_join
 from sequila_spark.operators.coverage import coverage
 from sequila_spark.operators.pileup import mismatches_from_md, pileup, pileup_md
 from sequila_spark.functions import intervals as interval_functions
+from sequila_spark.converters import (
+    compare_pileups,
+    read_gatk_pileup,
+    read_samtools_pileup,
+    read_sequila_pileup,
+)
 
 __version__ = "0.1.0"
 
@@ -28,6 +34,10 @@ __all__ = [
     "coverage",
     "pileup",
     "pileup_md",
+    "compare_pileups",
+    "read_gatk_pileup",
+    "read_samtools_pileup",
+    "read_sequila_pileup",
     "mismatches_from_md",
     "interval_functions",
 ]
