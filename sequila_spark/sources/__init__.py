@@ -8,6 +8,7 @@ from sequila_spark.sources.bam import (
     read_alignments,
     read_bam,
     read_bam_native,
+    read_cram_native,
     with_typed_tags,
     write_alignments,
     write_bam,
@@ -25,6 +26,7 @@ __all__ = [
     "list_samples",
     "read_bam",
     "read_bam_native",
+    "read_cram_native",
     "with_typed_tags",
     "write_bam",
     "write_alignments",

@@ -366,22 +366,72 @@ def read_bam_native(
     return with_typed_tags(df) if typed_tags else df
 
 
+def read_cram_native(
+    spark: SparkSession,
+    path: str,
+    ref_path: str | None = None,
+    with_tags: bool = True,
+) -> DataFrame:
+    """Decode CRAM 3.0 with the pure-Python codec (sources/cramcodec — no
+    htslib/pysam), one task per container: the driver scans container
+    HEADERS only (no block decompression) to plan byte-range tasks; each
+    task seeks to its container offset and decodes its records.  Containers
+    carry their own compression header, so tasks are independent — the same
+    scale model as the BAI-chunked BAM reader.
+
+    ``ref_path`` is the reference FASTA used at encode time (CRAM stores
+    reads as diffs against it; required unless the file was written with
+    RR=false).  Files using codecs outside the implemented set raise
+    NotImplementedError — read_bam falls back to pysam for those."""
+    from sequila_spark.sources import cramcodec as C
+
+    with open(path, "rb") as f:
+        head = f.read()
+    ref_names, _text, _off = C.read_file_header(head)
+    containers = C.scan_containers(head)
+    sample = os.path.basename(path).split(".")[0]
+
+    def gen(h):
+        from sequila_spark.sources import cramcodec as CC
+
+        data = open(path, "rb").read()
+        refs = CC.load_fasta(ref_path) if ref_path else None
+        for rec in CC.decode_container(data, h, ref_names, refs):
+            yield (sample, *(rec[:12])) + ((rec[12],) if with_tags else ({},))
+
+    rdd = spark.sparkContext.parallelize(
+        containers, max(len(containers), 1)
+    ).flatMap(gen)
+    df = rdd.toDF(
+        f"{S.SAMPLE} string, {S.QNAME} string, {S.FLAG} int, {S.CONTIG} string, "
+        f"{S.START} int, {S.END} int, {S.MAPQ} int, {S.CIGAR} string, "
+        f"{S.RNEXT} string, {S.PNEXT} int, {S.TLEN} int, {S.SEQUENCE} string, "
+        f"{S.BASEQ} string, tags map<string,string>"
+    )
+    return df.withColumn(S.CONTIG, clean_contig(F.col(S.CONTIG)))
+
+
 def read_bam(
     spark: SparkSession,
     path: str,
     ref_path: str | None = None,
     chunk: int = 10_000_000,
 ) -> DataFrame:
-    """Decode BAM/CRAM partitioned by genomic chunk.  Plain BAM goes
-    through the native pure-Python codec (read_bam_native); CRAM requires
-    pysam (reference-based decoding is htslib territory)."""
+    """Decode BAM/CRAM partitioned by genomic chunk/container.  Plain BAM
+    and CRAM 3.0 go through the native pure-Python codecs; CRAM files using
+    codecs outside the native set fall back to pysam when available."""
     if not path.endswith(".cram"):
         return read_bam_native(spark, path, chunk=chunk)
+    try:
+        return read_cram_native(spark, path, ref_path=ref_path)
+    except NotImplementedError:
+        pass  # codec outside the native set — try pysam
     try:
         import pysam
     except ImportError as e:
         raise ImportError(
-            "CRAM decoding needs pysam on driver and executors; "
+            "this CRAM uses codecs outside the native decoder's set; "
+            "decoding it needs pysam on driver and executors — or "
             "store alignments as parquet and use read_alignments() instead"
         ) from e
 

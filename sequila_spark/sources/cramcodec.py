@@ -1,0 +1,825 @@
+"""Pure-Python CRAM 3.0 decoder — no htslib/pysam.
+
+Implements the public hts-specs CRAM 3.0 container format
+(https://samtools.github.io/hts-specs/CRAMv3.pdf): ITF8/LTF8 varints,
+container/block framing, compression methods raw/gzip/bzip2/lzma/rANS4x8
+(order-0 and order-1 rANS implemented from the spec's frequency-table
+layout), compression-header preservation/data-series/tag maps, and the
+record model — positional deltas, detached mate info, feature-based
+sequence reconstruction against the reference (substitution matrix,
+insertions, deletions, clips, splices) and CIGAR synthesis.
+
+Parity surface: the reference gates CRAM behind disq/htslib
+(datasources/BAM/CRAMDataSource.scala:7-15); here plain CRAM 3.0 decodes
+natively and only files using codecs this module doesn't implement
+(non-constant core-bitstream Huffman, subexp/golomb — rare from htslib
+writers) raise NotImplementedError, which callers may catch to fall back
+to pysam.
+
+Scale model mirrors the BAM codec: containers are self-contained decode
+units (their compression header travels with them), so the driver scans
+container *headers only* to plan one task per container, and each task
+seeks straight to its byte offset (`scan_containers` / `decode_container`).
+
+Output tuples match sources.bamcodec.parse_records exactly:
+(qname, flag, contig, pos_start, pos_end, mapq, cigar, rnext, pnext,
+ tlen, seq, qual, tags) — 1-based, end-inclusive.
+"""
+
+from __future__ import annotations
+
+import bz2
+import lzma
+import struct
+import zlib
+from typing import BinaryIO, Iterator
+
+CRAM_MAGIC = b"CRAM"
+
+# --- primitive readers ------------------------------------------------------
+
+
+class ByteReader:
+    __slots__ = ("b", "i")
+
+    def __init__(self, b: bytes, i: int = 0):
+        self.b = b
+        self.i = i
+
+    def u8(self) -> int:
+        v = self.b[self.i]
+        self.i += 1
+        return v
+
+    def read(self, n: int) -> bytes:
+        v = self.b[self.i : self.i + n]
+        self.i += n
+        return v
+
+    def int32(self) -> int:
+        (v,) = struct.unpack_from("<i", self.b, self.i)
+        self.i += 4
+        return v
+
+    def itf8(self) -> int:
+        b0 = self.u8()
+        if b0 < 0x80:
+            return b0
+        if b0 < 0xC0:
+            return ((b0 & 0x7F) << 8) | self.u8()
+        if b0 < 0xE0:
+            return ((b0 & 0x3F) << 16) | (self.u8() << 8) | self.u8()
+        if b0 < 0xF0:
+            return (
+                ((b0 & 0x1F) << 24) | (self.u8() << 16) | (self.u8() << 8) | self.u8()
+            )
+        v = ((b0 & 0x0F) << 28) | (self.u8() << 20) | (self.u8() << 12) | (
+            self.u8() << 4
+        )
+        v |= self.u8() & 0x0F
+        if v >= 1 << 31:
+            v -= 1 << 32
+        return v
+
+    def ltf8(self) -> int:
+        b0 = self.u8()
+        n = 0
+        while n < 8 and b0 & (0x80 >> n):
+            n += 1
+        v = b0 & (0xFF >> n) if n < 8 else 0
+        for _ in range(n):
+            v = (v << 8) | self.u8()
+        if v >= 1 << 63:
+            v -= 1 << 64
+        return v
+
+
+# --- rANS 4x8 (CRAM 3.0 external compression method 4) ----------------------
+
+_RANS_LOW = 1 << 23
+
+
+def _rans_read_freqs0(r: ByteReader) -> tuple[list[int], list[int], list[int]]:
+    """Order-0 frequency table -> (freq[256], cumfreq[256], symbol-of-slot)."""
+    freq = [0] * 256
+    sym = r.u8()
+    last = sym
+    rle = 0
+    while True:
+        f = r.itf8()
+        freq[sym] = f
+        if rle > 0:
+            rle -= 1
+            sym += 1
+        else:
+            sym = r.u8()
+            if sym == last + 1:
+                rle = r.u8()
+            last = sym
+        if sym == 0:
+            break
+    cum = [0] * 257
+    for i in range(256):
+        cum[i + 1] = cum[i] + freq[i]
+    # slot -> symbol lookup (total is 4096 per spec normalization)
+    lookup = [0] * 4096
+    for s in range(256):
+        for slot in range(cum[s], cum[s + 1]):
+            lookup[slot] = s
+    return freq, cum[:256], lookup
+
+
+def _rans_decode0(r: ByteReader, out_size: int) -> bytes:
+    freq, cum, lookup = _rans_read_freqs0(r)
+    states = [struct.unpack("<I", r.read(4))[0] for _ in range(4)]
+    out = bytearray(out_size)
+    b = r.b
+    i = r.i
+    for pos in range(out_size):
+        j = pos & 3
+        x = states[j]
+        slot = x & 0xFFF
+        s = lookup[slot]
+        out[pos] = s
+        x = freq[s] * (x >> 12) + slot - cum[s]
+        while x < _RANS_LOW:
+            x = (x << 8) | b[i]
+            i += 1
+        states[j] = x
+    r.i = i
+    return bytes(out)
+
+
+def _rans_decode1(r: ByteReader, out_size: int) -> bytes:
+    """Order-1: 256 conditional tables keyed by previous symbol; four
+    interleaved streams each decode a quarter of the output."""
+    freq = [None] * 256
+    cum = [None] * 256
+    lookup = [None] * 256
+    sym = r.u8()
+    last = sym
+    rle = 0
+    while True:
+        f, c, lk = _rans_read_freqs0(r)
+        freq[sym] = f
+        cum[sym] = c
+        lookup[sym] = lk
+        if rle > 0:
+            rle -= 1
+            sym += 1
+        else:
+            sym = r.u8()
+            if sym == last + 1:
+                rle = r.u8()
+            last = sym
+        if sym == 0:
+            break
+    states = [struct.unpack("<I", r.read(4))[0] for _ in range(4)]
+    quarter = out_size >> 2
+    truncated = out_size & 3
+    out = bytearray(out_size)
+    b = r.b
+    i = r.i
+    prev = [0, 0, 0, 0]
+    for pos in range(quarter):
+        for j in range(4):
+            x = states[j]
+            p = prev[j]
+            slot = x & 0xFFF
+            s = lookup[p][slot]
+            out[j * quarter + pos] = s
+            x = freq[p][s] * (x >> 12) + slot - cum[p][s]
+            while x < _RANS_LOW:
+                x = (x << 8) | b[i]
+                i += 1
+            states[j] = x
+            prev[j] = s
+    # remainder bytes decode on stream 3
+    for pos in range(out_size - truncated, out_size):
+        x = states[3]
+        p = prev[3]
+        slot = x & 0xFFF
+        s = lookup[p][slot]
+        out[pos] = s
+        x = freq[p][s] * (x >> 12) + slot - cum[p][s]
+        while x < _RANS_LOW:
+            x = (x << 8) | b[i]
+            i += 1
+        states[3] = x
+        prev[3] = s
+    r.i = i
+    return bytes(out)
+
+
+def rans_decode(data: bytes) -> bytes:
+    r = ByteReader(data)
+    order = r.u8()
+    _csize = struct.unpack("<I", r.read(4))[0]
+    rsize = struct.unpack("<I", r.read(4))[0]
+    if order == 0:
+        return _rans_decode0(r, rsize)
+    if order == 1:
+        return _rans_decode1(r, rsize)
+    raise NotImplementedError(f"rANS order {order}")
+
+
+def _decompress(method: int, data: bytes, raw_size: int) -> bytes:
+    if method == 0:
+        return data
+    if method == 1:
+        return zlib.decompress(data, wbits=31)
+    if method == 2:
+        return bz2.decompress(data)
+    if method == 3:
+        return lzma.decompress(data)
+    if method == 4:
+        return rans_decode(data)
+    raise NotImplementedError(f"CRAM block compression method {method}")
+
+
+# --- bit reader for core-stream codecs --------------------------------------
+
+
+class BitReader:
+    __slots__ = ("b", "pos", "bit")
+
+    def __init__(self, b: bytes):
+        self.b = b
+        self.pos = 0
+        self.bit = 0
+
+    def take(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            byte = self.b[self.pos]
+            v = (v << 1) | ((byte >> (7 - self.bit)) & 1)
+            self.bit += 1
+            if self.bit == 8:
+                self.bit = 0
+                self.pos += 1
+        return v
+
+
+# --- encodings --------------------------------------------------------------
+
+
+class Encoding:
+    """One parsed data-series/tag encoding.  decode_int / decode_bytes pull
+    from the core bit stream and the external byte streams as the codec
+    dictates."""
+
+    def __init__(self, codec: int, params: bytes):
+        self.codec = codec
+        p = ByteReader(params)
+        if codec == 0:  # NULL
+            pass
+        elif codec == 1:  # EXTERNAL
+            self.content_id = p.itf8()
+        elif codec == 3:  # HUFFMAN (canonical; 0-bit single symbol = const)
+            n = p.itf8()
+            self.alphabet = [p.itf8() for _ in range(n)]
+            n2 = p.itf8()
+            self.bitlens = [p.itf8() for _ in range(n2)]
+            if any(self.bitlens):
+                # canonical code assignment (spec 13.7)
+                pairs = sorted(zip(self.bitlens, self.alphabet))
+                codes = []
+                code = 0
+                prev_len = pairs[0][0]
+                for ln, symv in pairs:
+                    code <<= ln - prev_len
+                    prev_len = ln
+                    codes.append((ln, code, symv))
+                    code += 1
+                self.table = codes
+        elif codec == 4:  # BYTE_ARRAY_LEN
+            self.len_enc = Encoding(p.itf8(), p.read(p.itf8()))
+            self.val_enc = Encoding(p.itf8(), p.read(p.itf8()))
+        elif codec == 5:  # BYTE_ARRAY_STOP
+            self.stop = p.u8()
+            self.content_id = p.itf8()
+        elif codec == 6:  # BETA
+            self.offset = p.itf8()
+            self.nbits = p.itf8()
+        else:
+            raise NotImplementedError(f"CRAM encoding codec {codec}")
+
+    def decode_int(self, core: BitReader, ext: dict[int, ByteReader]) -> int:
+        c = self.codec
+        if c == 1:
+            return ext[self.content_id].itf8()
+        if c == 3:
+            if not any(self.bitlens):
+                return self.alphabet[0]
+            ln = 0
+            code = 0
+            idx = 0
+            while True:
+                code = (code << 1) | core.take(1)
+                ln += 1
+                while idx < len(self.table) and self.table[idx][0] == ln:
+                    if self.table[idx][1] == code:
+                        return self.table[idx][2]
+                    idx += 1
+                if ln > 31:
+                    raise ValueError("bad huffman stream")
+        if c == 6:
+            return core.take(self.nbits) - self.offset
+        raise NotImplementedError(f"int decode for codec {c}")
+
+    def decode_byte(self, core: BitReader, ext: dict[int, ByteReader]) -> int:
+        if self.codec == 1:
+            return ext[self.content_id].u8()
+        return self.decode_int(core, ext)
+
+    def decode_bytes(self, core: BitReader, ext: dict[int, ByteReader]) -> bytes:
+        c = self.codec
+        if c == 5:
+            st = ext[self.content_id]
+            b = st.b
+            j = b.index(bytes([self.stop]), st.i)
+            out = b[st.i : j]
+            st.i = j + 1
+            return out
+        if c == 4:
+            n = self.len_enc.decode_int(core, ext)
+            if self.val_enc.codec == 1:
+                return ext[self.val_enc.content_id].read(n)
+            return bytes(self.val_enc.decode_byte(core, ext) for _ in range(n))
+        raise NotImplementedError(f"byte-array decode for codec {c}")
+
+
+# --- compression header -----------------------------------------------------
+
+_DS_BYTE = {"FC", "BA", "BS", "QS"}  # byte-typed data series
+
+
+class CompressionHeader:
+    def __init__(self, raw: bytes):
+        r = ByteReader(raw)
+        # preservation map
+        r.itf8()
+        self.rn_preserved = True
+        self.ap_delta = True
+        self.rr = True
+        self.sub_matrix = b"\x1b" * 5
+        self.tag_lines: list[list[tuple[str, str]]] = [[]]
+        for _ in range(r.itf8()):
+            key = r.read(2).decode()
+            if key == "RN":
+                self.rn_preserved = bool(r.u8())
+            elif key == "AP":
+                self.ap_delta = bool(r.u8())
+            elif key == "RR":
+                self.rr = bool(r.u8())
+            elif key == "SM":
+                self.sub_matrix = r.read(5)
+            elif key == "TD":
+                blob = r.read(r.itf8())
+                self.tag_lines = []
+                for line in blob.split(b"\x00")[:-1]:
+                    tags = []
+                    for k in range(0, len(line), 3):
+                        tags.append(
+                            (line[k : k + 2].decode(), chr(line[k + 2]))
+                        )
+                    self.tag_lines.append(tags)
+                if not self.tag_lines:
+                    self.tag_lines = [[]]
+            else:
+                raise ValueError(f"unknown preservation key {key}")
+        # data series encodings
+        r.itf8()
+        self.ds: dict[str, Encoding] = {}
+        for _ in range(r.itf8()):
+            key = r.read(2).decode()
+            self.ds[key] = Encoding(r.itf8(), r.read(r.itf8()))
+        # tag encodings, keyed by (tag, type)
+        r.itf8()
+        self.tag_enc: dict[tuple[str, str], Encoding] = {}
+        for _ in range(r.itf8()):
+            k = r.itf8()
+            name = chr((k >> 16) & 0xFF) + chr((k >> 8) & 0xFF)
+            typ = chr(k & 0xFF)
+            self.tag_enc[(name, typ)] = Encoding(r.itf8(), r.read(r.itf8()))
+        # substitution decode table: per ref base, code -> substituted base
+        self.sub_table: dict[str, str] = {}
+        bases = "ACGTN"
+        for bi, refb in enumerate(bases):
+            others = [b for b in bases if b != refb]
+            byte = self.sub_matrix[bi]
+            by_code = [""] * 4
+            for oi, ob in enumerate(others):
+                code = (byte >> (6 - 2 * oi)) & 3
+                by_code[code] = ob
+            self.sub_table[refb] = "".join(by_code)
+
+
+# --- container / slice scan -------------------------------------------------
+
+
+def _read_container_header(r: ByteReader) -> dict:
+    h = {}
+    h["length"] = r.int32()
+    h["ref_id"] = r.itf8()
+    h["start"] = r.itf8()
+    h["span"] = r.itf8()
+    h["n_records"] = r.itf8()
+    h["counter"] = r.ltf8()
+    h["n_bases"] = r.ltf8()
+    h["n_blocks"] = r.itf8()
+    h["landmarks"] = [r.itf8() for _ in range(r.itf8())]
+    r.read(4)  # crc32
+    h["data_offset"] = r.i
+    return h
+
+
+def _read_block(r: ByteReader) -> tuple[int, int, bytes]:
+    """-> (content_type, content_id, uncompressed payload)."""
+    method = r.u8()
+    ctype = r.u8()
+    cid = r.itf8()
+    csize = r.itf8()
+    rsize = r.itf8()
+    payload = _decompress(method, r.read(csize), rsize)
+    r.read(4)  # crc
+    return ctype, cid, payload
+
+
+def read_file_header(data: bytes) -> tuple[list[str], str, int]:
+    """-> (reference names from @SQ lines, SAM header text, offset of the
+    first data container)."""
+    if data[:4] != CRAM_MAGIC:
+        raise ValueError("not a CRAM file (bad magic)")
+    major = data[4]
+    if major not in (2, 3):
+        raise NotImplementedError(f"CRAM major version {major}")
+    r = ByteReader(data, 26)
+    h = _read_container_header(r)
+    ctype, _cid, payload = _read_block(r)
+    if ctype != 0:
+        raise ValueError("first container does not hold the file header")
+    p = ByteReader(payload)
+    text = p.read(p.int32()).decode("ascii", "replace")
+    names = []
+    for line in text.splitlines():
+        if line.startswith("@SQ"):
+            for f in line.split("\t"):
+                if f.startswith("SN:"):
+                    names.append(f[3:])
+    return names, text, h["data_offset"] + h["length"]
+
+
+def scan_containers(data: bytes) -> list[dict]:
+    """Container headers only (no block decompression) — the planning step:
+    one decode task per container."""
+    _names, _text, off = read_file_header(data)
+    out = []
+    r = ByteReader(data, off)
+    while r.i < len(data):
+        h = _read_container_header(r)
+        if h["ref_id"] == -1 and h["start"] == 4_542_278 and h["n_blocks"] == 1:
+            break  # EOF container (spec magic start value)
+        h["offset"] = h["data_offset"] - 0  # absolute offset of first block
+        out.append(h)
+        r.i = h["data_offset"] + h["length"]
+    return out
+
+
+# --- record decoding --------------------------------------------------------
+
+_TAG_FMT = {"c": "<b", "C": "<B", "s": "<h", "S": "<H", "i": "<i", "I": "<I", "f": "<f"}
+
+
+def _decode_tag_value(typ: str, raw: bytes) -> str:
+    """Canonical string rendering, matching bamcodec._decode_tags."""
+    if typ in _TAG_FMT:
+        return str(struct.unpack(_TAG_FMT[typ], raw)[0])
+    if typ == "A":
+        return raw[:1].decode("ascii", "replace")
+    if typ in ("Z", "H"):
+        # stored with the BAM-side trailing NUL included
+        return raw.rstrip(b"\x00").decode("ascii", "replace")
+    return raw.hex()
+
+
+def decode_container(
+    data: bytes,
+    header: dict,
+    ref_names: list[str],
+    ref_seqs: dict[str, str] | None,
+    synthesize_nm: bool = False,
+) -> Iterator[tuple]:
+    """Decode every record of one container (all its slices).
+
+    ``ref_seqs`` maps reference NAME -> full sequence string (1-based via
+    index+1); required when the container holds reference-based reads
+    (preservation RR=true) — pass None only for unmapped/RR=false data.
+    """
+    r = ByteReader(data, header["data_offset"])
+    ctype, _cid, payload = _read_block(r)
+    if ctype != 1:
+        raise ValueError("expected compression header block")
+    ch = CompressionHeader(payload)
+    end = header["data_offset"] + header["length"]
+    while r.i < end:
+        ctype, _cid, payload = _read_block(r)
+        if ctype != 2:
+            continue  # skip stray blocks between slices
+        sh = ByteReader(payload)
+        s_ref = sh.itf8()
+        s_start = sh.itf8()
+        _s_span = sh.itf8()
+        s_nrec = sh.itf8()
+        sh.ltf8()  # counter
+        s_nblocks = sh.itf8()
+        [sh.itf8() for _ in range(sh.itf8())]  # content ids
+        emb_ref = sh.itf8()
+        if emb_ref != -1:
+            raise NotImplementedError("embedded-reference CRAM slices")
+        # data blocks of this slice
+        core = BitReader(b"")
+        ext: dict[int, ByteReader] = {}
+        for _ in range(s_nblocks):
+            btype, bid, bpayload = _read_block(r)
+            if btype == 5:
+                core = BitReader(bpayload)
+            elif btype == 4:
+                ext[bid] = ByteReader(bpayload)
+        yield from _decode_slice_records(
+            ch, core, ext, s_ref, s_start, s_nrec, ref_names, ref_seqs,
+            synthesize_nm,
+        )
+
+
+def _decode_slice_records(
+    ch: CompressionHeader,
+    core: BitReader,
+    ext: dict[int, ByteReader],
+    s_ref: int,
+    s_start: int,
+    s_nrec: int,
+    ref_names: list[str],
+    ref_seqs: dict[str, str] | None,
+    synthesize_nm: bool = False,
+) -> Iterator[tuple]:
+    ds = ch.ds
+    prev_ap = s_start
+    for _ in range(s_nrec):
+        bf = ds["BF"].decode_int(core, ext)
+        cf = ds["CF"].decode_int(core, ext)
+        rid = ds["RI"].decode_int(core, ext) if s_ref == -2 else s_ref
+        rl = ds["RL"].decode_int(core, ext)
+        ap = ds["AP"].decode_int(core, ext)
+        if ch.ap_delta:
+            ap = prev_ap + ap
+            prev_ap = ap
+        _rg = ds["RG"].decode_int(core, ext)
+        qname = None
+        if ch.rn_preserved:
+            qname = ds["RN"].decode_bytes(core, ext).decode("ascii", "replace")
+        next_rid = -1
+        next_pos = 0
+        tlen = 0
+        if cf & 2:  # detached: explicit mate info
+            mf = ds["MF"].decode_int(core, ext)
+            if not ch.rn_preserved:
+                qname = ds["RN"].decode_bytes(core, ext).decode("ascii", "replace")
+            next_rid = ds["NS"].decode_int(core, ext)
+            next_pos = ds["NP"].decode_int(core, ext)
+            tlen = ds["TS"].decode_int(core, ext)
+            if mf & 1:
+                bf |= 0x20  # mate reverse strand
+            if mf & 2:
+                bf |= 0x8  # mate unmapped
+        elif cf & 4:
+            ds["NF"].decode_int(core, ext)  # mate downstream (same slice)
+        # tags
+        tl = ds["TL"].decode_int(core, ext)
+        tags: dict[str, str] = {}
+        for name, typ in ch.tag_lines[tl]:
+            raw = ch.tag_enc[(name, typ)].decode_bytes(core, ext)
+            tags[name] = _decode_tag_value(typ, raw)
+
+        contig = ref_names[rid] if 0 <= rid < len(ref_names) else None
+        rnext = ref_names[next_rid] if 0 <= next_rid < len(ref_names) else None
+        unmapped = bool(bf & 0x4)
+
+        if not unmapped:
+            seq, cigar, ref_len, nm = _reconstruct(
+                ch, ds, core, ext, rl, ap, contig, ref_seqs, cf
+            )
+            mapq = ds["MQ"].decode_int(core, ext)
+            if synthesize_nm:
+                # edit distance from the feature walk (samtools-calmd
+                # analog).  Off by default: htslib drops NM at encode
+                # when it assumes recomputability, so a faithful decode
+                # yields no NM unless the tag dictionary carried it —
+                # synthesizing is only correct when ref_seqs is the
+                # aligner's actual reference.
+                tags.setdefault("NM", str(nm))
+        else:
+            seq = bytes(
+                ds["BA"].decode_byte(core, ext) for _ in range(rl)
+            ).decode("ascii", "replace")
+            cigar = "*"
+            ref_len = 0
+            mapq = 0
+        qual = None
+        if cf & 1:
+            qraw = (
+                ext[ds["QS"].content_id].read(rl)
+                if ds["QS"].codec == 1
+                else bytes(ds["QS"].decode_byte(core, ext) for _ in range(rl))
+            )
+            if not all(q == 0xFF for q in qraw):
+                qual = "".join(chr(q + 33) for q in qraw)
+        yield (
+            qname,
+            bf,
+            contig if not unmapped or rid >= 0 else None,
+            ap if ap > 0 else 0,
+            (ap + ref_len - 1) if (not unmapped and ref_len > 0) else 0,
+            mapq,
+            cigar,
+            rnext,
+            next_pos if next_pos > 0 else 0,
+            tlen,
+            seq or None,
+            qual,
+            tags,
+        )
+
+
+def _reconstruct(
+    ch: CompressionHeader,
+    ds: dict[str, Encoding],
+    core: BitReader,
+    ext: dict[int, ByteReader],
+    rl: int,
+    ap: int,
+    contig: str | None,
+    ref_seqs: dict[str, str] | None,
+    cf: int,
+) -> tuple[str, str, int, int]:
+    """Feature-walk sequence + CIGAR reconstruction (spec section 10.5).
+    Also accumulates the NM edit distance: substituted + inserted +
+    deleted bases (clips/splices excluded), literal runs compared against
+    the reference."""
+    fn = ds["FN"].decode_int(core, ext)
+    feats = []
+    fpos = 0
+    for _ in range(fn):
+        code = chr(ds["FC"].decode_byte(core, ext))
+        fpos += ds["FP"].decode_int(core, ext)
+        if code == "X":
+            feats.append((fpos, "X", ds["BS"].decode_byte(core, ext)))
+        elif code == "I":
+            feats.append((fpos, "I", ds["IN"].decode_bytes(core, ext)))
+        elif code == "S":
+            feats.append((fpos, "S", ds["SC"].decode_bytes(core, ext)))
+        elif code == "i":
+            feats.append((fpos, "i", ds["BA"].decode_byte(core, ext)))
+        elif code == "D":
+            feats.append((fpos, "D", ds["DL"].decode_int(core, ext)))
+        elif code == "N":
+            feats.append((fpos, "N", ds["RS"].decode_int(core, ext)))
+        elif code == "P":
+            feats.append((fpos, "P", ds["PD"].decode_int(core, ext)))
+        elif code == "H":
+            feats.append((fpos, "H", ds["HC"].decode_int(core, ext)))
+        elif code == "B":
+            # explicit base + quality: consumes reference AND query (an
+            # M-type base, NOT an insertion — htslib uses it e.g. for
+            # bases beyond the reference end); the qual lands in the QS
+            # array which this record reads separately
+            b = ds["BA"].decode_byte(core, ext)
+            ds["QS"].decode_byte(core, ext)
+            feats.append((fpos, "b", bytes([b])))
+        elif code == "b":
+            feats.append((fpos, "b", ds["BB"].decode_bytes(core, ext)))
+        elif code == "Q":
+            ds["QS"].decode_byte(core, ext)
+            feats.append((fpos, "Q", None))
+        elif code == "q":
+            feats.append((fpos, "q", ds["QQ"].decode_bytes(core, ext)))
+        else:
+            raise NotImplementedError(f"CRAM feature code {code!r}")
+
+    if ref_seqs is None or contig not in (ref_seqs or {}):
+        if ch.rr:
+            raise ValueError(
+                f"reference sequence for {contig!r} required to reconstruct "
+                "reads (preservation RR=true) — pass ref_path"
+            )
+        refseq = ""
+    else:
+        refseq = ref_seqs[contig]
+
+    seq = bytearray(b"N" * rl)
+    cig: list[tuple[int, str]] = []
+
+    def add(op: str, n: int) -> None:
+        if n <= 0:
+            return
+        if cig and cig[-1][1] == op:
+            cig[-1] = (cig[-1][0] + n, op)
+        else:
+            cig.append((n, op))
+
+    rpos = 0  # 0-based in read
+    ref_off = ap - 1  # 0-based in reference
+    nm = 0
+    for fp, code, val in feats:
+        gap = (fp - 1) - rpos  # matched bases before this feature
+        if gap > 0:
+            seq[rpos : rpos + gap] = refseq[ref_off : ref_off + gap].upper().encode()
+            add("M", gap)
+            rpos += gap
+            ref_off += gap
+        if code == "X":
+            refb = refseq[ref_off].upper() if ref_off < len(refseq) else "N"
+            table = ch.sub_table.get(refb, "ACGT")
+            seq[rpos] = ord(table[val] if val < len(table) else "N")
+            add("M", 1)
+            nm += 1
+            rpos += 1
+            ref_off += 1
+        elif code == "I":
+            seq[rpos : rpos + len(val)] = val
+            add("I", len(val))
+            nm += len(val)
+            rpos += len(val)
+        elif code == "S":
+            seq[rpos : rpos + len(val)] = val
+            add("S", len(val))
+            rpos += len(val)
+        elif code == "i":
+            seq[rpos] = val
+            add("I", 1)
+            nm += 1
+            rpos += 1
+        elif code == "b":
+            run = refseq[ref_off : ref_off + len(val)].upper().encode()
+            nm += sum(1 for a, bch in zip(val, run) if a != bch)
+            nm += max(0, len(val) - len(run))
+            seq[rpos : rpos + len(val)] = val
+            add("M", len(val))
+            rpos += len(val)
+            ref_off += len(val)
+        elif code == "D":
+            add("D", val)
+            nm += val
+            ref_off += val
+        elif code == "N":
+            add("N", val)
+            ref_off += val
+        elif code == "P":
+            add("P", val)
+        elif code == "H":
+            add("H", val)
+        # Q/q only adjust quality streams, handled above
+    tail = rl - rpos
+    if tail > 0:
+        seq[rpos : rpos + tail] = refseq[ref_off : ref_off + tail].upper().encode()
+        add("M", tail)
+        ref_off += tail
+    if cf & 8:  # sequence unknown
+        seq = bytearray(b"N" * rl)
+    ref_len = sum(n for n, op in cig if op in "MDN=X")
+    cigar = "".join(f"{n}{op}" for n, op in cig) or "*"
+    return seq.decode("ascii"), cigar, ref_len, nm
+
+
+# --- convenience ------------------------------------------------------------
+
+
+def load_fasta(path: str) -> dict[str, str]:
+    """{name: sequence} — simple FASTA load for reference-based decode."""
+    seqs: dict[str, str] = {}
+    name = None
+    chunks: list[str] = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line.startswith(">"):
+                if name is not None:
+                    seqs[name] = "".join(chunks)
+                name = line[1:].split()[0]
+                chunks = []
+            else:
+                chunks.append(line)
+    if name is not None:
+        seqs[name] = "".join(chunks)
+    return seqs
+
+
+def read_cram_records(path: str, ref_path: str | None = None) -> Iterator[tuple]:
+    """Decode a whole CRAM file sequentially (single task) — the per-
+    container API (scan_containers + decode_container) is the parallel
+    path."""
+    data = open(path, "rb").read()
+    names, _text, _off = read_file_header(data)
+    refs = load_fasta(ref_path) if ref_path else None
+    for h in scan_containers(data):
+        yield from decode_container(data, h, names, refs)

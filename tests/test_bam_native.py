@@ -379,14 +379,19 @@ def test_cram_path_owner_by_start_and_mode(monkeypatch):
     assert all(k == {"reference_filename": "ref.fa"} for _p, _m, k in opened)
 
 
-def test_read_cram_without_pysam_guides(spark):
-    """pysam is absent in this environment: read_bam on a .cram must raise
-    ImportError pointing at the parquet alternative, not crash obscurely."""
+def test_read_cram_unsupported_codec_guides(spark, tmp_path, monkeypatch):
+    """CRAM 3.0 decodes natively; a file using codecs outside the native
+    set falls back to pysam, and with pysam absent the error must point at
+    the parquet alternative, not crash obscurely."""
     import importlib
 
     if importlib.util.find_spec("pysam") is not None:
         pytest.skip("pysam installed; guidance path not reachable")
-    from sequila_spark.sources import read_bam
+    from sequila_spark.sources import bam as bam_mod
 
+    def boom(*a, **k):
+        raise NotImplementedError("CRAM encoding codec 7")
+
+    monkeypatch.setattr(bam_mod, "read_cram_native", boom)
     with pytest.raises(ImportError, match="read_alignments"):
-        read_bam(spark, "/nonexistent/sample.cram")
+        bam_mod.read_bam(spark, "/nonexistent/sample.cram")
