@@ -716,6 +716,26 @@ def _q_pileup_md_mismatches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cram_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native CRAM 3.0 decode under the per-round hash gate: the reference
+    project's NA12878.slice.cram decoded by the pure-Python codec
+    (sources/cramcodec) vs the SAME 3172 records decoded from the paired
+    BAM by the independent BAM codec (fixtures/slicebam,
+    tools/make_cram_fixture.py).  sf_dir is ignored — real data."""
+    from sequila_spark.sources import read_cram_native
+
+    cram = "/root/reference/src/test/resources/NA12878.slice.cram"
+    fasta = "/root/reference/src/test/resources/NA12878.slice.fasta"
+    if not os.path.exists(cram):  # fixture-less environments: empty result
+        return spark.read.parquet(f"{_SLICEBAM_FIX}/reads.parquet").limit(0)
+    return read_cram_native(spark, cram, ref_path=fasta).drop("tags")
+
+
+_SLICEBAM_FIX = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "fixtures", "slicebam"
+)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "feature_counts": _q_feature_counts,
     "range_join_pairs": _q_range_join_pairs,
@@ -725,6 +745,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_join_long": _q_range_join_long,
     "pileup_mdbam": _q_pileup_mdbam,
     "pileup_md_mismatches": _q_pileup_md_mismatches,
+    "cram_decode": _q_cram_decode,
     "interval_ops": _q_interval_ops,
     "targets_merged": _q_targets_merged,
     "read_filter": _q_read_filter,
@@ -1237,6 +1258,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT contig, pos, ref, coverage, "countRef", "countNonRef", alts_str
             FROM read_parquet('{_MDBAM_FIX}/golden_pileup.parquet/*.parquet')
             WHERE "countNonRef" > 0
+        """,
+        "cram_decode": f"""
+            SELECT * FROM read_parquet('{_SLICEBAM_FIX}/reads.parquet/*.parquet')
         """,
         "range_join_semi": f"""
             {cte('reads', 'targets')}

@@ -354,6 +354,19 @@ class Encoding:
 _DS_BYTE = {"FC", "BA", "BS", "QS"}  # byte-typed data series
 
 
+class _SeriesMap(dict):
+    """Data-series map whose misses raise NotImplementedError (not
+    KeyError): a record needing a series the writer did not encode means
+    the file is outside this decoder's supported shape, and read_bam uses
+    that signal to fall back to pysam."""
+
+    def __missing__(self, key):
+        raise NotImplementedError(
+            f"record requires data series {key!r} absent from the "
+            "compression header — unsupported CRAM writer configuration"
+        )
+
+
 class CompressionHeader:
     def __init__(self, raw: bytes):
         r = ByteReader(raw)
@@ -390,7 +403,7 @@ class CompressionHeader:
                 raise ValueError(f"unknown preservation key {key}")
         # data series encodings
         r.itf8()
-        self.ds: dict[str, Encoding] = {}
+        self.ds: dict[str, Encoding] = _SeriesMap()
         for _ in range(r.itf8()):
             key = r.read(2).decode()
             self.ds[key] = Encoding(r.itf8(), r.read(r.itf8()))

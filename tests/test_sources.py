@@ -114,11 +114,13 @@ def test_read_alignments_parquet(spark, tmp_path):
     assert row["sample_id"] == "sampleA"
 
 
-def test_read_cram_requires_pysam(spark):
-    # plain BAM decodes natively (see test_bam_native); CRAM needs pysam
+def test_read_cram_native_first(spark):
+    # CRAM now decodes natively (see test_cram_native); a missing file
+    # surfaces as FileNotFoundError from the native path, not an obscure
+    # pysam complaint
     from sequila_spark.sources import read_bam
 
-    with pytest.raises(ImportError, match="pysam"):
+    with pytest.raises(FileNotFoundError):
         read_bam(spark, "/nonexistent.cram")
 
 
