@@ -663,18 +663,12 @@ _MDBAM_FIX = os.path.join(
 
 
 def _alts_str(col) -> F.Column:
-    """Canonical 'A:2,g:1' rendering of an alts map (entries sorted by
-    base, codepoint order) — hash-stable across Spark and the golden."""
-    return F.when(
-        F.size(col) > 0,
-        F.array_join(
-            F.transform(
-                F.array_sort(F.map_entries(col)),
-                lambda e: F.concat(e["key"], F.lit(":"), e["value"].cast("string")),
-            ),
-            ",",
-        ),
-    ).otherwise(F.lit(""))
+    """Canonical 'A:2,g:1' rendering of an alts map — the single shared
+    implementation (converters._render_alts) so the golden fixtures and
+    every comparison surface stay hash-identical."""
+    from sequila_spark.converters import _render_alts
+
+    return _render_alts(col)
 
 
 def _q_pileup_mdbam(spark: SparkSession, sf_dir: str) -> DataFrame:

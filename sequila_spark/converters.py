@@ -108,6 +108,11 @@ def read_samtools_pileup(spark: SparkSession, path: str) -> DataFrame:
                     continue
                 if ch in "+-":
                     m = run.match(s, i)
+                    if m is None:  # '+'/'-' with no digit run: malformed
+                        raise ValueError(
+                            f"malformed mpileup base string {s!r}: "
+                            f"indel mark at offset {i} lacks a length"
+                        )
                     i += 1 + len(m.group(1)) + int(m.group(1))
                     continue
                 if ch not in "*<>":

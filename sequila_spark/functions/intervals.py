@@ -153,6 +153,11 @@ def merge_intervals(
             F.col(start_col).alias(S.END),  # count each interval once, by its start
         ),
         how="inner",
+        # islands is an expensive computed lineage (coverage + run merge):
+        # max_width='auto' would execute it once just to probe widths.
+        # None keeps the always-built long branches — merged islands can
+        # genuinely be arbitrarily wide, so the branches earn their keep.
+        max_width=None,
     )
     return (
         counts.groupBy(S.CONTIG, S.START, S.END)

@@ -212,6 +212,13 @@ def write_bam(
 
         sdir = shard_dir or (path + ".shards")
         os.makedirs(sdir, exist_ok=True)
+        if os.listdir(sdir):
+            # stale shards (prior failed run / foreign files) would be
+            # silently concatenated into the output — refuse loudly
+            raise ValueError(
+                f"shard directory {sdir!r} is not empty; remove leftovers "
+                "from a previous run (or pass a fresh shard_dir)"
+            )
 
         def write_shard(idx, rows):
             frag = os.path.join(sdir, f"part-{idx:05d}.bgzf")
@@ -382,21 +389,32 @@ def read_cram_native(
     ``ref_path`` is the reference FASTA used at encode time (CRAM stores
     reads as diffs against it; required unless the file was written with
     RR=false).  Files using codecs outside the implemented set raise
-    NotImplementedError — read_bam falls back to pysam for those."""
+    NotImplementedError AT PLAN TIME (every container's compression and
+    slice headers are validated driver-side — a cheap, data-block-free
+    pass) so read_bam's pysam fallback engages before any executor work.
+
+    I/O model: planning reads container headers only (O(containers), not
+    O(file size)); each task seeks to its container's byte range and reads
+    just that; the reference is loaded once on the driver and broadcast."""
     from sequila_spark.sources import cramcodec as C
 
-    with open(path, "rb") as f:
-        head = f.read()
-    ref_names, _text, _off = C.read_file_header(head)
-    containers = C.scan_containers(head)
+    ref_names, containers = C.scan_containers_file(path)
+    for h in containers:
+        C.validate_container_file(path, h)  # NotImplementedError -> pysam
     sample = os.path.basename(path).split(".")[0]
+    bref = (
+        spark.sparkContext.broadcast(C.load_fasta(ref_path)) if ref_path else None
+    )
 
     def gen(h):
         from sequila_spark.sources import cramcodec as CC
 
-        data = open(path, "rb").read()
-        refs = CC.load_fasta(ref_path) if ref_path else None
-        for rec in CC.decode_container(data, h, ref_names, refs):
+        with open(path, "rb") as f:
+            f.seek(h["abs_data_offset"])
+            blob = f.read(h["length"])
+        hh = dict(h, data_offset=0)
+        refs = bref.value if bref is not None else None
+        for rec in CC.decode_container(blob, hh, ref_names, refs):
             yield (sample, *(rec[:12])) + ((rec[12],) if with_tags else ({},))
 
     rdd = spark.sparkContext.parallelize(

@@ -465,7 +465,9 @@ def read_file_header(data: bytes) -> tuple[list[str], str, int]:
     if data[:4] != CRAM_MAGIC:
         raise ValueError("not a CRAM file (bad magic)")
     major = data[4]
-    if major not in (2, 3):
+    if major != 3:
+        # v2 uses different container framing (no CRC32), v3.1+ adds new
+        # codecs — only the v3.0 layout implemented here is accepted
         raise NotImplementedError(f"CRAM major version {major}")
     r = ByteReader(data, 26)
     h = _read_container_header(r)
@@ -497,6 +499,85 @@ def scan_containers(data: bytes) -> list[dict]:
         out.append(h)
         r.i = h["data_offset"] + h["length"]
     return out
+
+
+def read_file_header_file(f: BinaryIO) -> tuple[list[str], str, int]:
+    """read_file_header against an open file, reading only as many bytes as
+    the header container needs (grown geometrically on short reads)."""
+    size = 1 << 20
+    while True:
+        f.seek(0)
+        data = f.read(size)
+        try:
+            return read_file_header(data)
+        except (IndexError, struct.error):
+            if len(data) < size:  # whole file read and still short: corrupt
+                raise ValueError("truncated CRAM file header") from None
+            size *= 4
+
+
+def scan_containers_file(path: str) -> tuple[list[str], list[dict]]:
+    """Incremental planning scan over a CRAM file: reads the SAM header
+    container plus one bounded chunk per container HEADER — never the data
+    blocks — so planning I/O is O(n_containers), not O(file size).
+
+    -> (reference names, container headers with ``abs_offset`` /
+    ``abs_data_offset`` absolute file positions)."""
+    out = []
+    with open(path, "rb") as f:
+        names, _text, pos = read_file_header_file(f)
+        f.seek(0, 2)
+        fsize = f.tell()
+        while pos < fsize:
+            f.seek(pos)
+            chunk = f.read(65536)  # container header is far smaller
+            r = ByteReader(chunk)
+            h = _read_container_header(r)
+            if h["ref_id"] == -1 and h["start"] == 4_542_278 and h["n_blocks"] == 1:
+                break  # EOF container
+            h["abs_offset"] = pos
+            h["abs_data_offset"] = pos + r.i
+            out.append(h)
+            pos = h["abs_data_offset"] + h["length"]
+    return names, out
+
+
+def validate_container_file(path: str, h: dict) -> None:
+    """Driver-side support check for one container, decompressing ONLY the
+    compression-header and slice-header blocks (data blocks are skipped by
+    their compressed size): raises NotImplementedError for compression
+    methods, codecs or slice shapes (embedded reference) outside the
+    implemented set — the signal read_bam uses to fall back to pysam
+    BEFORE any executor work is scheduled."""
+    with open(path, "rb") as f:
+        f.seek(h["abs_data_offset"])
+        r = ByteReader(f.read(h["length"]))
+        for _ in range(h["n_blocks"]):
+            method = r.u8()
+            ctype = r.u8()
+            r.itf8()  # content id
+            csize = r.itf8()
+            rsize = r.itf8()
+            if method > 4:
+                raise NotImplementedError(
+                    f"CRAM block compression method {method}"
+                )
+            if ctype == 1:  # compression header: parse fully (codec check)
+                CompressionHeader(_decompress(method, r.read(csize), rsize))
+            elif ctype == 2:  # slice header: embedded-reference check
+                sh = ByteReader(_decompress(method, r.read(csize), rsize))
+                for _ in range(4):
+                    sh.itf8()  # ref, start, span, n_records
+                sh.ltf8()  # record counter
+                sh.itf8()  # n_blocks
+                [sh.itf8() for _ in range(sh.itf8())]  # content ids
+                if sh.itf8() != -1:
+                    raise NotImplementedError(
+                        "embedded-reference CRAM slices"
+                    )
+            else:
+                r.read(csize)
+            r.read(4)  # crc
 
 
 # --- record decoding --------------------------------------------------------
@@ -578,6 +659,7 @@ def _decode_slice_records(
 ) -> Iterator[tuple]:
     ds = ch.ds
     prev_ap = s_start
+    recs: list[dict] = []
     for _ in range(s_nrec):
         bf = ds["BF"].decode_int(core, ext)
         cf = ds["CF"].decode_int(core, ext)
@@ -594,6 +676,7 @@ def _decode_slice_records(
         next_rid = -1
         next_pos = 0
         tlen = 0
+        nf = None
         if cf & 2:  # detached: explicit mate info
             mf = ds["MF"].decode_int(core, ext)
             if not ch.rn_preserved:
@@ -606,7 +689,9 @@ def _decode_slice_records(
             if mf & 2:
                 bf |= 0x8  # mate unmapped
         elif cf & 4:
-            ds["NF"].decode_int(core, ext)  # mate downstream (same slice)
+            # mate downstream in the SAME slice: its fields come from the
+            # mate record itself (resolved after the decode loop)
+            nf = ds["NF"].decode_int(core, ext)
         # tags
         tl = ds["TL"].decode_int(core, ext)
         tags: dict[str, str] = {}
@@ -614,9 +699,8 @@ def _decode_slice_records(
             raw = ch.tag_enc[(name, typ)].decode_bytes(core, ext)
             tags[name] = _decode_tag_value(typ, raw)
 
-        contig = ref_names[rid] if 0 <= rid < len(ref_names) else None
-        rnext = ref_names[next_rid] if 0 <= next_rid < len(ref_names) else None
         unmapped = bool(bf & 0x4)
+        contig = ref_names[rid] if 0 <= rid < len(ref_names) else None
 
         if not unmapped:
             seq, cigar, ref_len, nm = _reconstruct(
@@ -647,21 +731,98 @@ def _decode_slice_records(
             )
             if not all(q == 0xFF for q in qraw):
                 qual = "".join(chr(q + 33) for q in qraw)
-        yield (
-            qname,
-            bf,
-            contig if not unmapped or rid >= 0 else None,
-            ap if ap > 0 else 0,
-            (ap + ref_len - 1) if (not unmapped and ref_len > 0) else 0,
-            mapq,
-            cigar,
-            rnext,
-            next_pos if next_pos > 0 else 0,
-            tlen,
-            seq or None,
-            qual,
-            tags,
+        recs.append(
+            {
+                "qname": qname,
+                "bf": bf,
+                "rid": rid,
+                "ap": ap,
+                "end": (ap + ref_len - 1) if (not unmapped and ref_len > 0) else 0,
+                "mapq": mapq,
+                "cigar": cigar,
+                "next_rid": next_rid,
+                "next_pos": next_pos,
+                "tlen": tlen,
+                "seq": seq,
+                "qual": qual,
+                "tags": tags,
+                "nf": nf,
+                "unmapped": unmapped,
+            }
         )
+
+    _resolve_mates(recs)
+    for rec in recs:
+        yield (
+            rec["qname"],
+            rec["bf"],
+            ref_names[rec["rid"]] if 0 <= rec["rid"] < len(ref_names) else None,
+            rec["ap"] if rec["ap"] > 0 else 0,
+            rec["end"],
+            rec["mapq"],
+            rec["cigar"],
+            ref_names[rec["next_rid"]]
+            if 0 <= rec["next_rid"] < len(ref_names)
+            else None,
+            rec["next_pos"] if rec["next_pos"] > 0 else 0,
+            rec["tlen"],
+            rec["seq"] or None,
+            rec["qual"],
+            rec["tags"],
+        )
+
+
+def _resolve_mates(recs: list[dict]) -> None:
+    """Reconstruct mate fields for records linked within a slice
+    (CF bit 0x4 'mate downstream': NF = number of records to skip to the
+    mate, htsjdk convention mate_index = i + NF + 1; spec section 10.2).
+
+    Each fragment points to the next in the chain and the last wraps to
+    the first (standard BAM pair semantics for two-fragment templates):
+    rnext/pnext come from the mate record; flag bits 0x20/0x8 mirror the
+    mate's reverse/unmapped state; TLEN spans leftmost start to rightmost
+    end for same-reference two-fragment templates, positive on the
+    leftmost record (ties: the first record in the chain), zero otherwise
+    — the BAM writer's convention."""
+    in_chain: set[int] = set()
+    for i, r in enumerate(recs):
+        if r["nf"] is None or i in in_chain:
+            continue
+        chain = [i]
+        j = i
+        while recs[j]["nf"] is not None:
+            j = j + recs[j]["nf"] + 1
+            if j >= len(recs) or j in in_chain:
+                break  # malformed link: leave what we have
+            chain.append(j)
+            in_chain.add(j)
+        in_chain.update(chain)
+        n = len(chain)
+        for k, idx in enumerate(chain):
+            a = recs[idx]
+            b = recs[chain[(k + 1) % n]]
+            a["next_rid"] = b["rid"]
+            a["next_pos"] = b["ap"]
+            if b["bf"] & 0x10:
+                a["bf"] |= 0x20
+            if b["bf"] & 0x4:
+                a["bf"] |= 0x8
+        if n == 2:
+            a, b = recs[chain[0]], recs[chain[1]]
+            if (
+                not a["unmapped"]
+                and not b["unmapped"]
+                and a["rid"] == b["rid"]
+                and a["end"] > 0
+                and b["end"] > 0
+            ):
+                left_start = min(a["ap"], b["ap"])
+                right_end = max(a["end"], b["end"])
+                t = right_end - left_start + 1
+                if a["ap"] <= b["ap"]:
+                    a["tlen"], b["tlen"] = t, -t
+                else:
+                    a["tlen"], b["tlen"] = -t, t
 
 
 def _reconstruct(

@@ -28,7 +28,10 @@ from sequila_spark import schemas as S
 _TVF_NAMES = ("coverage", "pileup", "bdg_grange")
 _NAME_RE = re.compile(r"(coverage|pileup|bdg_grange)\s*\(", re.IGNORECASE)
 _FROM_RE = re.compile(r"(?:\bfrom\b|\bjoin\b)$", re.IGNORECASE)
-_HAS_FROM_RE = re.compile(r"\bfrom\b", re.IGNORECASE)
+_CLAUSE_RE = re.compile(
+    r"\b(from|join|where|having|select|limit|on|when|group\s+by|order\s+by)\b",
+    re.IGNORECASE,
+)
 
 
 def _mask_comments(query: str) -> str:
@@ -67,13 +70,20 @@ def _mask_comments(query: str) -> str:
 
 def _in_from_position(prefix: str) -> bool:
     """True when a call at the end of ``prefix`` (comment-masked) sits in a
-    FROM-clause position: directly after FROM/JOIN, or after a top-level
-    comma / opening paren of a FROM list (``FROM t, coverage(...)``,
-    ``FROM (coverage(...))``)."""
+    FROM-clause position: directly after FROM/JOIN, or after a comma /
+    opening paren while the MOST RECENT clause keyword is FROM or JOIN
+    (``FROM t, coverage(...)``, ``FROM (coverage(...))``).  A call behind
+    a comma/paren inside WHERE/SELECT/etc. (e.g. a user function that
+    happens to share a TVF name) is left alone."""
     pre = prefix.rstrip()
     if _FROM_RE.search(pre):
         return True
-    return pre.endswith((",", "(")) and bool(_HAS_FROM_RE.search(pre))
+    if not pre.endswith((",", "(")):
+        return False
+    last = None
+    for m in _CLAUSE_RE.finditer(pre):
+        last = m.group(1).lower()
+    return last in ("from", "join")
 
 
 def _find_tvf_calls(query: str) -> list[tuple[int, int, str, str]]:

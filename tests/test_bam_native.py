@@ -395,3 +395,18 @@ def test_read_cram_unsupported_codec_guides(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(bam_mod, "read_cram_native", boom)
     with pytest.raises(ImportError, match="read_alignments"):
         bam_mod.read_bam(spark, "/nonexistent/sample.cram")
+
+
+@needs_slice
+def test_write_bam_sharded_refuses_stale_dir(spark, tmp_path):
+    """Leftover shard files from a failed prior run must not be silently
+    concatenated into the output."""
+    from sequila_spark.sources import read_bam_native, write_bam
+
+    df = read_bam_native(spark, SLICE).where("contig IS NOT NULL").limit(10)
+    sdir = str(tmp_path / "shards")
+    os.makedirs(sdir)
+    with open(os.path.join(sdir, "part-99999.bgzf"), "wb") as f:
+        f.write(b"stale")
+    with pytest.raises(ValueError, match="not empty"):
+        write_bam(df, str(tmp_path / "out.bam"), sharded=True, shard_dir=sdir)

@@ -118,3 +118,83 @@ def test_missing_reference_is_loud():
     not silently produce N sequences."""
     with pytest.raises(ValueError, match="ref_path"):
         list(C.read_cram_records(CRAM, None))
+
+
+def test_multi_container_parallel_decode(spark, tmp_path):
+    """Containers are independent decode units: a crafted two-container
+    file (the fixture's data container duplicated — legal, since every
+    container carries its own compression header and slice start) yields
+    exactly twice the record multiset, through one Spark task per
+    container."""
+    data = open(CRAM, "rb").read()
+    _names, _text, off = C.read_file_header(data)
+    h = C.scan_containers(data)[0]
+    container = data[off : h["data_offset"] + h["length"]]
+    eof = data[h["data_offset"] + h["length"] :]
+    crafted = str(tmp_path / "two.cram")
+    with open(crafted, "wb") as f:
+        f.write(data[:off] + container + container + eof)
+
+    from sequila_spark.sources import read_cram_native
+
+    df = read_cram_native(spark, crafted, ref_path=FASTA)
+    assert df.rdd.getNumPartitions() == 2
+    assert df.count() == 2 * 3172
+    per_key = df.groupBy("qname", "flag").count().collect()
+    assert all(r["count"] == 2 for r in per_key)
+
+
+def test_resolve_mates_pair_semantics():
+    """Mate-downstream (CF 0x4) records get rnext/pnext/tlen/flag bits
+    from the linked mate (htsjdk convention: mate index = i + NF + 1),
+    matching BAM pair semantics: TLEN spans leftmost start to rightmost
+    end, positive on the leftmost record; 0x20/0x8 mirror the mate's
+    reverse/unmapped bits."""
+    from sequila_spark.sources.cramcodec import _resolve_mates
+
+    def rec(bf, rid, ap, end, nf=None, unmapped=False):
+        return {
+            "bf": bf, "rid": rid, "ap": ap, "end": end, "nf": nf,
+            "unmapped": unmapped, "next_rid": -1, "next_pos": 0, "tlen": 0,
+        }
+
+    # r0 links to r2 (nf=1 skips r1); r1 is an unrelated detached record
+    recs = [
+        rec(0x1 | 0x40, 5, 100, 175, nf=1),        # fwd, first-in-pair
+        rec(0x1 | 0x2, 5, 120, 195),                # unrelated
+        rec(0x1 | 0x10 | 0x80, 5, 300, 380),        # rev, second-in-pair
+    ]
+    _resolve_mates(recs)
+    a, other, b = recs
+    assert (a["next_rid"], a["next_pos"]) == (5, 300)
+    assert (b["next_rid"], b["next_pos"]) == (5, 100)
+    assert a["bf"] & 0x20 and not (b["bf"] & 0x20)  # only mate-of-rev gets it
+    assert a["tlen"] == 380 - 100 + 1 and b["tlen"] == -(380 - 100 + 1)
+    assert (other["next_rid"], other["next_pos"], other["tlen"]) == (-1, 0, 0)
+    # mate-unmapped propagation, different refs -> tlen stays 0
+    recs = [
+        rec(0x1, 1, 50, 120, nf=0),
+        rec(0x1 | 0x4, 2, 0, 0, unmapped=True),
+    ]
+    _resolve_mates(recs)
+    assert recs[0]["bf"] & 0x8 and recs[0]["tlen"] == 0
+
+
+def test_unsupported_cram_falls_back_at_plan_time(spark, tmp_path):
+    """A CRAM outside the supported shape (here: major version 2) must
+    raise at read_bam() CALL time — not as an opaque executor failure —
+    and reach the pysam-guidance error through the real fallback path
+    (no monkeypatching)."""
+    import importlib
+
+    if importlib.util.find_spec("pysam") is not None:
+        pytest.skip("pysam installed; guidance path not reachable")
+    data = bytearray(open(CRAM, "rb").read())
+    data[4] = 2  # claim CRAM v2: different container framing, unsupported
+    bad = str(tmp_path / "v2.cram")
+    with open(bad, "wb") as f:
+        f.write(data)
+    from sequila_spark.sources import read_bam
+
+    with pytest.raises(ImportError, match="read_alignments"):
+        read_bam(spark, bad, ref_path=FASTA)

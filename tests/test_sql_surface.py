@@ -140,6 +140,17 @@ def test_tvf_from_list_comment_and_paren(spark):
     # TVF outside a FROM position -> clear error naming the call
     with pytest.raises(ValueError, match="not rewritten"):
         ss.sql("SELECT pileup('reads_sql_test') AS x")
+    # a user's own function sharing a TVF name in WHERE/SELECT args is
+    # left alone (the comma/paren rule only applies inside FROM lists)
+    spark.udf.register("coverage", lambda x: x + 1, "int")
+    try:
+        r = ss.sql(
+            "SELECT pos_start FROM reads_sql_test "
+            "WHERE greatest(1, coverage(pos_start)) > 0 AND sample_id = 's1'"
+        ).count()
+        assert r == 2
+    finally:
+        spark.sql("DROP TEMPORARY FUNCTION IF EXISTS coverage")
 
 
 def test_session_dataset_api(spark):
