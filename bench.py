@@ -84,9 +84,19 @@ def main() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     times: dict[str, float] = {}
     cold: dict[str, float] = {}
+    def _gc():
+        # settle the JVM between queries: garbage from the previous
+        # query's shuffles otherwise triggers GC storms mid-measurement
+        # (observed 4x swings on the largest-shuffle query)
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
+
     for name in names:
         best = float("inf")
         measured = []
+        _gc()
         for i in range(runs):
             t0 = time.perf_counter()
             qmap[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
@@ -95,11 +105,12 @@ def main() -> None:
                 cold[name] = round(dt, 3)
             measured.append(dt)
             best = min(best, dt)
-            if dt > 30:  # long query: one measurement, keep total bounded
+            if dt > 60:  # long query: one measurement, keep total bounded
                 break
         # adaptive extra run when the measurements disagree wildly (GC /
         # machine-state noise): one more attempt, still bounded
-        if len(measured) >= 2 and max(measured) > 2 * min(measured) and best <= 30:
+        if len(measured) >= 2 and max(measured) > 2 * min(measured) and best <= 60:
+            _gc()
             t0 = time.perf_counter()
             qmap[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
