@@ -42,6 +42,9 @@ BENCH_QUERIES = [
     "text_features",
     "events_window_agg",
     "events_asof",
+    # real-data codec throughput (fixed-size input — a regression guard on
+    # the native CRAM decoder, not an sf-scaled query)
+    "cram_decode",
 ]
 
 

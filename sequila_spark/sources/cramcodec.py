@@ -798,6 +798,8 @@ def _resolve_mates(recs: list[dict]) -> None:
             in_chain.add(j)
         in_chain.update(chain)
         n = len(chain)
+        if n < 2:  # malformed out-of-range link: leave the record unmated
+            continue
         for k, idx in enumerate(chain):
             a = recs[idx]
             b = recs[chain[(k + 1) % n]]

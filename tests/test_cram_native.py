@@ -198,3 +198,14 @@ def test_unsupported_cram_falls_back_at_plan_time(spark, tmp_path):
 
     with pytest.raises(ImportError, match="read_alignments"):
         read_bam(spark, bad, ref_path=FASTA)
+
+
+def test_resolve_mates_malformed_link_left_unmated():
+    from sequila_spark.sources.cramcodec import _resolve_mates
+
+    recs = [
+        {"bf": 0x1, "rid": 0, "ap": 10, "end": 80, "nf": 99,  # points past end
+         "unmapped": False, "next_rid": -1, "next_pos": 0, "tlen": 0},
+    ]
+    _resolve_mates(recs)
+    assert (recs[0]["next_rid"], recs[0]["next_pos"], recs[0]["tlen"]) == (-1, 0, 0)
