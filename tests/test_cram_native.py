@@ -209,3 +209,43 @@ def test_resolve_mates_malformed_link_left_unmated():
     ]
     _resolve_mates(recs)
     assert (recs[0]["next_rid"], recs[0]["next_pos"], recs[0]["tlen"]) == (-1, 0, 0)
+
+
+def test_core_bitstream_codecs():
+    """Codec paths no htslib fixture exercises: canonical Huffman over the
+    core bit stream (spec 13.7 code assignment) and BETA fixed-width
+    integers decode correctly from hand-built bitstreams."""
+    from sequila_spark.sources.cramcodec import BitReader, Encoding
+
+    # Canonical Huffman, alphabet {5,6,7} with bit lengths {1,2,2}:
+    # codes 5->0, 6->10, 7->11.  Stream 0 10 11 0 -> 5,6,7,5
+    params = bytes([3, 5, 6, 7, 3, 1, 2, 2])
+    enc = Encoding(3, params)
+    bits = BitReader(bytes([0b01011010]))  # 0,10,11,0 + trailing 10 ignored
+    got = [enc.decode_int(bits, {}) for _ in range(4)]
+    assert got == [5, 6, 7, 5]
+    # constant (0-bit) Huffman reads nothing
+    const = Encoding(3, bytes([1, 42, 1, 0]))
+    assert const.decode_int(BitReader(b""), {}) == 42
+    # BETA: offset 10, 4 bits; stream 0b0111 0b1111 -> 7-10=-3, 15-10=5
+    beta = Encoding(6, bytes([10, 4]))
+    bits = BitReader(bytes([0b01111111]))
+    assert [beta.decode_int(bits, {}) for _ in range(2)] == [-3, 5]
+
+
+def test_block_compression_methods():
+    """bzip2/lzma/raw block payloads (methods 0/2/3) round-trip through
+    _decompress; unknown methods raise NotImplementedError."""
+    import bz2
+    import lzma
+
+    import pytest as _pytest
+
+    from sequila_spark.sources.cramcodec import _decompress
+
+    payload = b"CRAM block payload" * 10
+    assert _decompress(0, payload, len(payload)) == payload
+    assert _decompress(2, bz2.compress(payload), len(payload)) == payload
+    assert _decompress(3, lzma.compress(payload), len(payload)) == payload
+    with _pytest.raises(NotImplementedError):
+        _decompress(7, payload, len(payload))
