@@ -69,10 +69,15 @@ def doc_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     measured ~9x faster on the documents corpus with identical output
     (try_element_at past the end coalesces to 0, matching ascii('') on
     the substr path for texts shorter than one shingle)."""
+    # The trailing `0 * __sq_n` term is identically zero for real text but
+    # propagates NULL for NULL text — matching the substr form (and the
+    # DuckDB oracle), where ascii(substr(NULL,..)) makes the hash NULL so
+    # null-text docs never equi-join (they must not alias empty-string
+    # docs, whose hash is 0).
     terms = " + ".join(
         f"CAST({c} AS BIGINT) * coalesce(try_element_at(__sq_ch, i + {j}), 0)"
         for j, c in enumerate(_COEFS)
-    )
+    ) + " + 0 * CAST(__sq_n AS BIGINT)"
     expr = (
         f"transform(sequence(1, greatest(__sq_n - {SHINGLE_K - 1}, 1)),"
         f" i -> {terms})"

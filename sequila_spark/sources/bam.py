@@ -399,8 +399,9 @@ def read_cram_native(
     from sequila_spark.sources import cramcodec as C
 
     ref_names, containers = C.scan_containers_file(path)
-    for h in containers:
-        C.validate_container_file(path, h)  # NotImplementedError -> pysam
+    with open(path, "rb") as vf:
+        for h in containers:
+            C.validate_container_file(vf, h)  # NotImplementedError -> pysam
     sample = os.path.basename(path).split(".")[0]
     bref = (
         spark.sparkContext.broadcast(C.load_fasta(ref_path)) if ref_path else None

@@ -503,17 +503,25 @@ def scan_containers(data: bytes) -> list[dict]:
 
 def read_file_header_file(f: BinaryIO) -> tuple[list[str], str, int]:
     """read_file_header against an open file, reading only as many bytes as
-    the header container needs (grown geometrically on short reads)."""
+    the header container needs (grown geometrically until the FIRST
+    container is fully contained — a short raw block would otherwise parse
+    as silently truncated header text)."""
     size = 1 << 20
     while True:
         f.seek(0)
         data = f.read(size)
+        whole_file = len(data) < size
         try:
-            return read_file_header(data)
-        except (IndexError, struct.error):
-            if len(data) < size:  # whole file read and still short: corrupt
-                raise ValueError("truncated CRAM file header") from None
-            size *= 4
+            names, text, off = read_file_header(data)
+            if off <= len(data):  # first container fully contained: trust it
+                return names, text, off
+        except NotImplementedError:
+            raise
+        except Exception:  # varint/struct/decompress errors on a short read
+            pass
+        if whole_file:
+            raise ValueError("truncated CRAM file header")
+        size *= 4
 
 
 def scan_containers_file(path: str) -> tuple[list[str], list[dict]]:
@@ -542,30 +550,39 @@ def scan_containers_file(path: str) -> tuple[list[str], list[dict]]:
     return names, out
 
 
-def validate_container_file(path: str, h: dict) -> None:
+def validate_container_file(path, h: dict) -> None:
     """Driver-side support check for one container, decompressing ONLY the
-    compression-header and slice-header blocks (data blocks are skipped by
-    their compressed size): raises NotImplementedError for compression
-    methods, codecs or slice shapes (embedded reference) outside the
-    implemented set — the signal read_bam uses to fall back to pysam
-    BEFORE any executor work is scheduled."""
-    with open(path, "rb") as f:
-        f.seek(h["abs_data_offset"])
-        r = ByteReader(f.read(h["length"]))
+    compression-header and slice-header blocks — data block payloads are
+    seek()ed past by their compressed size, never read, so validation I/O
+    per container is a few KB regardless of container size.  Raises
+    NotImplementedError for compression methods, codecs or slice shapes
+    (embedded reference) outside the implemented set — the signal read_bam
+    uses to fall back to pysam BEFORE any executor work is scheduled.
+
+    ``path`` may be a file path or an open binary file (read_cram_native
+    reuses one handle across all containers)."""
+    f = open(path, "rb") if isinstance(path, str) else path
+    try:
+        pos = h["abs_data_offset"]
         for _ in range(h["n_blocks"]):
+            f.seek(pos)
+            r = ByteReader(f.read(32))  # block header: <= 17 bytes
             method = r.u8()
             ctype = r.u8()
             r.itf8()  # content id
             csize = r.itf8()
             rsize = r.itf8()
+            payload_at = pos + r.i
             if method > 4:
                 raise NotImplementedError(
                     f"CRAM block compression method {method}"
                 )
             if ctype == 1:  # compression header: parse fully (codec check)
-                CompressionHeader(_decompress(method, r.read(csize), rsize))
+                f.seek(payload_at)
+                CompressionHeader(_decompress(method, f.read(csize), rsize))
             elif ctype == 2:  # slice header: embedded-reference check
-                sh = ByteReader(_decompress(method, r.read(csize), rsize))
+                f.seek(payload_at)
+                sh = ByteReader(_decompress(method, f.read(csize), rsize))
                 for _ in range(4):
                     sh.itf8()  # ref, start, span, n_records
                 sh.ltf8()  # record counter
@@ -575,9 +592,10 @@ def validate_container_file(path: str, h: dict) -> None:
                     raise NotImplementedError(
                         "embedded-reference CRAM slices"
                     )
-            else:
-                r.read(csize)
-            r.read(4)  # crc
+            pos = payload_at + csize + 4  # payload + crc32
+    finally:
+        if isinstance(path, str):
+            f.close()
 
 
 # --- record decoding --------------------------------------------------------
@@ -791,9 +809,10 @@ def _resolve_mates(recs: list[dict]) -> None:
         chain = [i]
         j = i
         while recs[j]["nf"] is not None:
-            j = j + recs[j]["nf"] + 1
-            if j >= len(recs) or j in in_chain:
-                break  # malformed link: leave what we have
+            nxt = j + recs[j]["nf"] + 1
+            if nxt <= j or nxt >= len(recs) or nxt in in_chain:
+                break  # malformed link (backward/out-of-range): stop here
+            j = nxt
             chain.append(j)
             in_chain.add(j)
         in_chain.update(chain)

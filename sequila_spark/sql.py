@@ -34,6 +34,23 @@ _CLAUSE_RE = re.compile(
 )
 
 
+def _mask_balanced_parens(s: str) -> str:
+    """Blank the contents of balanced ( ... ) groups (length-preserving)
+    so clause keywords inside subqueries don't leak into the top-level
+    clause detection; unbalanced (still-open) groups stay visible."""
+    out = list(s)
+    stack = []
+    for i, ch in enumerate(s):
+        if ch == "(":
+            stack.append(i)
+        elif ch == ")" and stack:
+            j = stack.pop()
+            if not stack:  # outermost group closed: blank its interior
+                for k in range(j + 1, i):
+                    out[k] = " "
+    return "".join(out)
+
+
 def _mask_comments(query: str) -> str:
     """Replace SQL comments (``-- ...`` to end-of-line, ``/* ... */``) with
     spaces, respecting string literals.  Length-preserving, so offsets into
@@ -70,20 +87,27 @@ def _mask_comments(query: str) -> str:
 
 def _in_from_position(prefix: str) -> bool:
     """True when a call at the end of ``prefix`` (comment-masked) sits in a
-    FROM-clause position: directly after FROM/JOIN, or after a comma /
-    opening paren while the MOST RECENT clause keyword is FROM or JOIN
-    (``FROM t, coverage(...)``, ``FROM (coverage(...))``).  A call behind
-    a comma/paren inside WHERE/SELECT/etc. (e.g. a user function that
-    happens to share a TVF name) is left alone."""
+    FROM-clause position: directly after FROM/JOIN (possibly behind
+    grouping parens), or after a comma while the most recent TOP-LEVEL
+    clause keyword is FROM/JOIN/ON — subquery internals are masked out, so
+    ``FROM (SELECT ... WHERE ...) r, coverage(...)`` is recognized while a
+    user function sharing a TVF name inside WHERE/SELECT args is left
+    alone."""
     pre = prefix.rstrip()
     if _FROM_RE.search(pre):
         return True
+    # directly inside FROM-list grouping parens: FROM ((coverage(...)))
+    stripped = pre
+    while stripped.endswith("("):
+        stripped = stripped[:-1].rstrip()
+        if _FROM_RE.search(stripped):
+            return True
     if not pre.endswith((",", "(")):
         return False
     last = None
-    for m in _CLAUSE_RE.finditer(pre):
-        last = m.group(1).lower()
-    return last in ("from", "join")
+    for m in _CLAUSE_RE.finditer(_mask_balanced_parens(pre)):
+        last = re.sub(r"\s+", " ", m.group(1).lower())
+    return last in ("from", "join", "on")
 
 
 def _find_tvf_calls(query: str) -> list[tuple[int, int, str, str]]:

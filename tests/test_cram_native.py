@@ -249,3 +249,18 @@ def test_block_compression_methods():
     assert _decompress(3, lzma.compress(payload), len(payload)) == payload
     with _pytest.raises(NotImplementedError):
         _decompress(7, payload, len(payload))
+
+
+def test_resolve_mates_negative_link_left_unmated():
+    """A backward/self NF link must not silently cross-link records (the
+    itf8 value space is signed)."""
+    from sequila_spark.sources.cramcodec import _resolve_mates
+
+    def rec(nf=None):
+        return {"bf": 0x1, "rid": 0, "ap": 10, "end": 80, "nf": nf,
+                "unmapped": False, "next_rid": -1, "next_pos": 0, "tlen": 0}
+
+    recs = [rec(nf=-1), rec(), rec(nf=-5)]  # self-link and backward link
+    _resolve_mates(recs)
+    for r in recs:
+        assert (r["next_rid"], r["next_pos"], r["tlen"]) == (-1, 0, 0)

@@ -218,3 +218,29 @@ def test_text_features_empty_and_odd_inputs(spark):
         assert not math.isnan(r["quality"]), r
         assert r["ws_tokens"] >= 0 and r["bpe_tokens"] >= 0
     assert rows[3]["bpe_tokens"] >= 4
+
+
+def test_doc_shingles_matches_portable_form(spark):
+    """The array-based shingle hash must equal the portable substr form
+    (the DuckDB oracle's expression) on every edge shape: normal text,
+    NULL text (hash NULL — must never alias empty-string's hash 0),
+    empty text, and text shorter than one shingle."""
+    from pyspark.sql import functions as F
+
+    from sequila_spark.operators.dedup import doc_shingles, shingle_hash_exprs
+
+    df = spark.createDataFrame(
+        [(1, "hello world text"), (2, None), (3, ""), (4, "hi")],
+        "doc_id int, text string",
+    )
+    new = sorted(
+        (r["doc_id"], r["sh"]) for r in doc_shingles(df).collect()
+    )
+    se, _ = shingle_hash_exprs("text")
+    old = sorted(
+        (r["doc_id"], r["sh"])
+        for r in df.select("doc_id", F.explode(F.expr(se)).alias("sh"))
+        .distinct()
+        .collect()
+    )
+    assert new == old

@@ -169,3 +169,25 @@ def test_session_dataset_api(spark):
     iv = ss.grange("1", 1, 100)
     j = ss.range_join(iv, spark.table("reads_sql_test"))
     assert j.count() == 3
+
+
+def test_tvf_after_subquery_in_from_list(spark):
+    """A TVF after a comma in a FROM list must be recognized even when a
+    preceding subquery contains WHERE/GROUP BY (clause keywords inside
+    balanced parens don't leak into the position check)."""
+    _reads_view(spark)
+    ss = SequilaSession(spark)
+    rows = ss.sql(
+        "SELECT c.coverage FROM "
+        "(SELECT * FROM reads_sql_test WHERE pos_start > 0) r, "
+        "coverage('reads_sql_test', 's1', 'blocks') c "
+        "WHERE c.coverage = 2"
+    ).collect()
+    assert len(rows) == 3  # 3 subquery rows x 1 block with coverage 2
+    # JOIN ... ON then comma continuation
+    rows = ss.sql(
+        "SELECT c.coverage FROM reads_sql_test a JOIN reads_sql_test b "
+        "ON a.qname = b.qname, coverage('reads_sql_test', 's1', 'blocks') c "
+        "WHERE c.coverage = 2 AND a.qname = 'r1'"
+    ).collect()
+    assert len(rows) == 1
