@@ -177,6 +177,16 @@ def clean_contig(contig) -> Column:
     )
 
 
+def clean_contig_py(contig: str | None) -> str | None:
+    """Driver-side (plain Python) clean_contig — same normalization as the
+    Column expression, for plan-time uses like CRAM container pruning."""
+    if contig is None:
+        return None
+    if contig in ("chrM", "chrMT", "M"):
+        return "MT"
+    return contig[3:] if contig.startswith("chr") else contig
+
+
 def unclean_contig(contig) -> Column:
     """Inverse rendering: 1->chr1, MT->chrM (DataQualityFuncs.scala:42-72)."""
     c = _c(contig)

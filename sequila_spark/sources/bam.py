@@ -221,7 +221,7 @@ def write_bam(
             )
 
         def write_shard(idx, rows):
-            frag = os.path.join(sdir, f"part-{idx:05d}.bgzf")
+            frag = os.path.join(sdir, f"part-{idx:09d}.bgzf")
             with open(frag, "wb") as fh:
                 w = B.BgzfWriter(fh)
                 n = 0
@@ -234,13 +234,23 @@ def write_bam(
             return iter(())
 
         out.rdd.mapPartitionsWithIndex(write_shard).count()  # run the job
+        # shards concatenate in NUMERIC partition order — lexicographic
+        # listdir order diverges past the pad width (and older 5-digit
+        # shards would misorder at >=100k partitions)
+        shard_names = sorted(
+            os.listdir(sdir),
+            key=lambda n: int(n.split("-", 1)[1].split(".", 1)[0]),
+        )
         with open(path, "wb") as f:
             w = B.BgzfWriter(f)
             B.write_bam_header(w, refs, header_text)
             w.flush_blocks()
-            for name in sorted(os.listdir(sdir)):
+            for name in shard_names:
                 with open(os.path.join(sdir, name), "rb") as sf:
-                    _shutil.copyfileobj(sf, f)  # streamed, bounded memory
+                    # BGZF needs no reframing: raw block-copy stream, 8 MiB
+                    # buffers (an object store would use multipart compose
+                    # here instead of any driver byte copy)
+                    _shutil.copyfileobj(sf, f, length=8 << 20)
             f.write(B.BGZF_EOF)
         _shutil.rmtree(sdir)
         return
@@ -373,11 +383,63 @@ def read_bam_native(
     return with_typed_tags(df) if typed_tags else df
 
 
+def plan_cram_containers(
+    path: str,
+    contig: str | None = None,
+    start: int | None = None,
+    end: int | None = None,
+) -> tuple[list[str], list[str], list[dict]]:
+    """Plan-time scan of one CRAM file -> (ref_names, rg_names, containers),
+    with interval predicate pushdown over the CONTAINER HEADERS: each header
+    carries (ref_seq_id, alignment_start, span) — hts-specs CRAMv3 §8 — so
+    a (contig, start, end) predicate prunes non-overlapping containers
+    before any task is scheduled, the CRAM analog of the BAM path's BAI
+    chunk planning (bamcodec.plan_spans; reference interval pushdown:
+    AlignmentRelation.scala:103-110).
+
+    Kept under a 1-based inclusive [start, end] predicate:
+      - single-ref containers on the query contig whose
+        [start, start+span-1] overlaps the interval,
+      - multi-ref containers (ref_id == -2: per-record refs, header span
+        meaningless) — never pruned,
+    Dropped: other contigs, non-overlapping spans, and unmapped-only
+    containers (ref_id == -1), which an interval query excludes by
+    definition.  The query contig matches an @SQ name either raw or after
+    clean_contig normalization ('chr1' and '1' both hit)."""
+    from sequila_spark.functions.intervals import clean_contig_py
+    from sequila_spark.sources import cramcodec as C
+
+    ref_names, text, containers = C.scan_containers_file(path)
+    rg_names = C.parse_rg_ids(text)
+    if contig is not None:
+        want = clean_contig_py(contig)
+        rids = {
+            i for i, n in enumerate(ref_names)
+            if n == contig or clean_contig_py(n) == want
+        }
+        qs = start if start is not None else 1
+        qe = end if end is not None else 2**62
+        kept = []
+        for h in containers:
+            if h["ref_id"] == -2:
+                kept.append(h)  # multi-ref: cannot prune from the header
+            elif h["ref_id"] in rids:
+                c_start = h["start"]
+                c_end = c_start + max(h["span"], 1) - 1
+                if c_start <= qe and c_end >= qs:
+                    kept.append(h)
+        containers = kept
+    return ref_names, rg_names, containers
+
+
 def read_cram_native(
     spark: SparkSession,
-    path: str,
+    path: str | list[str],
     ref_path: str | None = None,
     with_tags: bool = True,
+    contig: str | None = None,
+    start: int | None = None,
+    end: int | None = None,
 ) -> DataFrame:
     """Decode CRAM 3.0 with the pure-Python codec (sources/cramcodec — no
     htslib/pysam), one task per container: the driver scans container
@@ -386,48 +448,91 @@ def read_cram_native(
     carry their own compression header, so tasks are independent — the same
     scale model as the BAI-chunked BAM reader.
 
+    ``path`` may be a single file, a glob ('dir/*.cram'), a directory, or a
+    list — multi-sample tables exactly like read_bam_native; sample_id
+    derives from each file name (reference multi-sample:
+    AlignmentRelation.scala:311-324).
+
+    A (``contig``, ``start``, ``end``) interval (1-based inclusive) is
+    pushed down to container-header pruning (plan_cram_containers) AND
+    applied as an overlap row filter (htslib-fetch semantics: records whose
+    alignment span overlaps the interval), so fewer tasks run and the
+    result is exact.
+
     ``ref_path`` is the reference FASTA used at encode time (CRAM stores
     reads as diffs against it; required unless the file was written with
     RR=false).  Files using codecs outside the implemented set raise
-    NotImplementedError AT PLAN TIME (every container's compression and
-    slice headers are validated driver-side — a cheap, data-block-free
+    NotImplementedError AT PLAN TIME (every planned container's compression
+    and slice headers are validated driver-side — a cheap, data-block-free
     pass) so read_bam's pysam fallback engages before any executor work.
 
     I/O model: planning reads container headers only (O(containers), not
     O(file size)); each task seeks to its container's byte range and reads
-    just that; the reference is loaded once on the driver and broadcast."""
+    just that; the reference FASTA is loaded once on the driver and
+    broadcast.  Records carry tags['RG'] materialized from the RG data
+    series against the header's @RG lines (htslib parity)."""
+    import glob as _glob
+
     from sequila_spark.sources import cramcodec as C
 
-    ref_names, containers = C.scan_containers_file(path)
-    with open(path, "rb") as vf:
-        for h in containers:
-            C.validate_container_file(vf, h)  # NotImplementedError -> pysam
-    sample = os.path.basename(path).split(".")[0]
+    if isinstance(path, (list, tuple)):
+        paths = list(path)
+    elif os.path.isdir(path):
+        paths = sorted(_glob.glob(os.path.join(path, "*.cram")))
+    elif any(ch in path for ch in "*?["):
+        paths = sorted(_glob.glob(path))
+    else:
+        paths = [path]
+    if not paths:
+        raise FileNotFoundError(f"no CRAM files match {path!r}")
+
+    meta_by_path: dict[str, tuple[list[str], list[str]]] = {}
+    tasks: list[tuple[str, str, dict]] = []
+    for p in paths:
+        ref_names, rg_names, containers = plan_cram_containers(
+            p, contig=contig, start=start, end=end
+        )
+        meta_by_path[p] = (ref_names, rg_names)
+        sample = os.path.basename(p).split(".")[0]
+        with open(p, "rb") as vf:
+            for h in containers:
+                C.validate_container_file(vf, h)  # NotImplementedError -> pysam
+                tasks.append((p, sample, h))
     bref = (
         spark.sparkContext.broadcast(C.load_fasta(ref_path)) if ref_path else None
     )
 
-    def gen(h):
+    def gen(task):
         from sequila_spark.sources import cramcodec as CC
 
-        with open(path, "rb") as f:
+        p, sample, h = task
+        ref_names, rg_names = meta_by_path[p]
+        with open(p, "rb") as f:
             f.seek(h["abs_data_offset"])
             blob = f.read(h["length"])
         hh = dict(h, data_offset=0)
         refs = bref.value if bref is not None else None
-        for rec in CC.decode_container(blob, hh, ref_names, refs):
+        for rec in CC.decode_container(
+            blob, hh, ref_names, refs, rg_names=rg_names
+        ):
             yield (sample, *(rec[:12])) + ((rec[12],) if with_tags else ({},))
 
-    rdd = spark.sparkContext.parallelize(
-        containers, max(len(containers), 1)
-    ).flatMap(gen)
+    rdd = spark.sparkContext.parallelize(tasks, max(len(tasks), 1)).flatMap(gen)
     df = rdd.toDF(
         f"{S.SAMPLE} string, {S.QNAME} string, {S.FLAG} int, {S.CONTIG} string, "
         f"{S.START} int, {S.END} int, {S.MAPQ} int, {S.CIGAR} string, "
         f"{S.RNEXT} string, {S.PNEXT} int, {S.TLEN} int, {S.SEQUENCE} string, "
         f"{S.BASEQ} string, tags map<string,string>"
     )
-    return df.withColumn(S.CONTIG, clean_contig(F.col(S.CONTIG)))
+    df = df.withColumn(S.CONTIG, clean_contig(F.col(S.CONTIG)))
+    if contig is not None:
+        cond = F.col(S.CONTIG) == clean_contig(F.lit(contig))
+        if end is not None:
+            cond = cond & (F.col(S.START) <= F.lit(end))
+        if start is not None:
+            cond = cond & (F.col(S.END) >= F.lit(start))
+        df = df.where(cond)
+    return df
 
 
 def read_bam(

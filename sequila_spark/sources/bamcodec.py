@@ -109,6 +109,34 @@ def read_bam_header(stream: BgzfReader) -> tuple[list[tuple[str, int]], str]:
     return refs, text
 
 
+_TAG_SCALAR_FMT = {"c": "<b", "C": "<B", "s": "<h", "S": "<H", "i": "<i", "I": "<I"}
+_TAG_ARRAY_FMT = {"c": "b", "C": "B", "s": "h", "S": "H", "i": "i", "I": "I", "f": "f"}
+
+
+def decode_tag_bytes(typ: str, raw: bytes) -> str:
+    """Render one tag VALUE from its BAM-wire bytes (value only, no
+    tag/type prefix) into the canonical string form.  CRAM stores tag
+    values in the same wire encoding (hts-specs CRAMv3 §10.6), so the CRAM
+    codec delegates here — one renderer, identical output on both paths
+    (including 'B' arrays: subtype byte + int32 count + packed values,
+    rendered comma-joined)."""
+    if typ == "A":
+        return chr(raw[0])
+    if typ in _TAG_SCALAR_FMT:
+        return str(struct.unpack_from(_TAG_SCALAR_FMT[typ], raw)[0])
+    if typ == "f":
+        return repr(struct.unpack_from("<f", raw)[0])
+    if typ in ("Z", "H"):
+        return raw.split(b"\x00", 1)[0].decode("ascii", "replace")
+    if typ == "B":
+        sub = chr(raw[0])
+        cnt = struct.unpack_from("<i", raw, 1)[0]
+        fmt = _TAG_ARRAY_FMT[sub]
+        vals = struct.unpack_from(f"<{cnt}{fmt}", raw, 5)
+        return ",".join(repr(v) if sub == "f" else str(v) for v in vals)
+    return raw.hex()
+
+
 def _decode_tags(data: bytes) -> dict[str, str]:
     tags: dict[str, str] = {}
     off = 0
@@ -136,12 +164,10 @@ def _decode_tags(data: bytes) -> dict[str, str]:
             off = end + 1
         elif typ == "B":
             sub = chr(data[off]); cnt = struct.unpack_from("<i", data, off + 1)[0]
-            off += 5
-            fmt = {"c": "b", "C": "B", "s": "h", "S": "H", "i": "i", "I": "I", "f": "f"}[sub]
-            size = struct.calcsize("<" + fmt)
-            vals = struct.unpack_from(f"<{cnt}{fmt}", data, off)
-            off += cnt * size
-            tags[tag] = ",".join(repr(v) if sub == "f" else str(v) for v in vals)
+            size = struct.calcsize("<" + _TAG_ARRAY_FMT[sub])
+            end = off + 5 + cnt * size
+            tags[tag] = decode_tag_bytes("B", data[off:end])
+            off = end
         else:
             break  # unknown type: cannot advance safely
     return tags

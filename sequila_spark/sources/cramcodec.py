@@ -103,7 +103,6 @@ def _rans_read_freqs0(r: ByteReader) -> tuple[list[int], list[int], list[int]]:
     """Order-0 frequency table -> (freq[256], cumfreq[256], symbol-of-slot)."""
     freq = [0] * 256
     sym = r.u8()
-    last = sym
     rle = 0
     while True:
         f = r.itf8()
@@ -112,10 +111,14 @@ def _rans_read_freqs0(r: ByteReader) -> tuple[list[int], list[int], list[int]]:
             rle -= 1
             sym += 1
         else:
-            sym = r.u8()
-            if sym == last + 1:
+            # htscodecs compares the next explicit symbol against the
+            # RUN-ADVANCED current symbol (j+1 == *cp), so a spec-valid
+            # stream whose explicit symbol equals run_end+1 starts a new
+            # RLE run rather than desyncing
+            nxt = r.u8()
+            if nxt == sym + 1:
                 rle = r.u8()
-            last = sym
+            sym = nxt
         if sym == 0:
             break
     cum = [0] * 257
@@ -157,7 +160,6 @@ def _rans_decode1(r: ByteReader, out_size: int) -> bytes:
     cum = [None] * 256
     lookup = [None] * 256
     sym = r.u8()
-    last = sym
     rle = 0
     while True:
         f, c, lk = _rans_read_freqs0(r)
@@ -168,10 +170,11 @@ def _rans_decode1(r: ByteReader, out_size: int) -> bytes:
             rle -= 1
             sym += 1
         else:
-            sym = r.u8()
-            if sym == last + 1:
+            # run-advanced comparison — see _rans_read_freqs0
+            nxt = r.u8()
+            if nxt == sym + 1:
                 rle = r.u8()
-            last = sym
+            sym = nxt
         if sym == 0:
             break
     states = [struct.unpack("<I", r.read(4))[0] for _ in range(4)]
@@ -524,16 +527,16 @@ def read_file_header_file(f: BinaryIO) -> tuple[list[str], str, int]:
         size *= 4
 
 
-def scan_containers_file(path: str) -> tuple[list[str], list[dict]]:
+def scan_containers_file(path: str) -> tuple[list[str], str, list[dict]]:
     """Incremental planning scan over a CRAM file: reads the SAM header
     container plus one bounded chunk per container HEADER — never the data
     blocks — so planning I/O is O(n_containers), not O(file size).
 
-    -> (reference names, container headers with ``abs_offset`` /
-    ``abs_data_offset`` absolute file positions)."""
+    -> (reference names, SAM header text, container headers with
+    ``abs_offset`` / ``abs_data_offset`` absolute file positions)."""
     out = []
     with open(path, "rb") as f:
-        names, _text, pos = read_file_header_file(f)
+        names, text, pos = read_file_header_file(f)
         f.seek(0, 2)
         fsize = f.tell()
         while pos < fsize:
@@ -547,7 +550,7 @@ def scan_containers_file(path: str) -> tuple[list[str], list[dict]]:
             h["abs_data_offset"] = pos + r.i
             out.append(h)
             pos = h["abs_data_offset"] + h["length"]
-    return names, out
+    return names, text, out
 
 
 def validate_container_file(path, h: dict) -> None:
@@ -600,19 +603,28 @@ def validate_container_file(path, h: dict) -> None:
 
 # --- record decoding --------------------------------------------------------
 
-_TAG_FMT = {"c": "<b", "C": "<B", "s": "<h", "S": "<H", "i": "<i", "I": "<I", "f": "<f"}
-
-
 def _decode_tag_value(typ: str, raw: bytes) -> str:
-    """Canonical string rendering, matching bamcodec._decode_tags."""
-    if typ in _TAG_FMT:
-        return str(struct.unpack(_TAG_FMT[typ], raw)[0])
-    if typ == "A":
-        return raw[:1].decode("ascii", "replace")
-    if typ in ("Z", "H"):
-        # stored with the BAM-side trailing NUL included
-        return raw.rstrip(b"\x00").decode("ascii", "replace")
-    return raw.hex()
+    """Canonical string rendering — delegates to the SHARED renderer
+    bamcodec.decode_tag_bytes (CRAM stores tag values in BAM wire
+    encoding, hts-specs CRAMv3 §10.6), so the same file read via the CRAM
+    and BAM paths yields byte-identical tags values, 'B' arrays included."""
+    from sequila_spark.sources.bamcodec import decode_tag_bytes
+
+    return decode_tag_bytes(typ, raw)
+
+
+def parse_rg_ids(header_text: str) -> list[str]:
+    """Read-group IDs in @RG header-line order — the RG data series indexes
+    this list (htslib materializes tags['RG'] from it at decode the same
+    way; reference surfaces RG via htslib, CRAMDataSource.scala:7-15)."""
+    out = []
+    for line in header_text.splitlines():
+        if line.startswith("@RG"):
+            for f in line.split("\t"):
+                if f.startswith("ID:"):
+                    out.append(f[3:])
+                    break
+    return out
 
 
 def decode_container(
@@ -621,12 +633,18 @@ def decode_container(
     ref_names: list[str],
     ref_seqs: dict[str, str] | None,
     synthesize_nm: bool = False,
+    rg_names: list[str] | None = None,
 ) -> Iterator[tuple]:
     """Decode every record of one container (all its slices).
 
     ``ref_seqs`` maps reference NAME -> full sequence string (1-based via
     index+1); required when the container holds reference-based reads
     (preservation RR=true) — pass None only for unmapped/RR=false data.
+
+    ``rg_names`` is the @RG ID list from the SAM header (parse_rg_ids);
+    when given, a record's RG data-series index materializes as
+    ``tags['RG']`` — matching htslib's decode, which reconstructs the RG
+    tag from the series rather than the tag dictionary.
     """
     r = ByteReader(data, header["data_offset"])
     ctype, _cid, payload = _read_block(r)
@@ -660,7 +678,7 @@ def decode_container(
                 ext[bid] = ByteReader(bpayload)
         yield from _decode_slice_records(
             ch, core, ext, s_ref, s_start, s_nrec, ref_names, ref_seqs,
-            synthesize_nm,
+            synthesize_nm, rg_names,
         )
 
 
@@ -674,6 +692,7 @@ def _decode_slice_records(
     ref_names: list[str],
     ref_seqs: dict[str, str] | None,
     synthesize_nm: bool = False,
+    rg_names: list[str] | None = None,
 ) -> Iterator[tuple]:
     ds = ch.ds
     prev_ap = s_start
@@ -687,7 +706,7 @@ def _decode_slice_records(
         if ch.ap_delta:
             ap = prev_ap + ap
             prev_ap = ap
-        _rg = ds["RG"].decode_int(core, ext)
+        rg = ds["RG"].decode_int(core, ext)
         qname = None
         if ch.rn_preserved:
             qname = ds["RN"].decode_bytes(core, ext).decode("ascii", "replace")
@@ -716,6 +735,8 @@ def _decode_slice_records(
         for name, typ in ch.tag_lines[tl]:
             raw = ch.tag_enc[(name, typ)].decode_bytes(core, ext)
             tags[name] = _decode_tag_value(typ, raw)
+        if rg_names is not None and 0 <= rg < len(rg_names):
+            tags.setdefault("RG", rg_names[rg])
 
         unmapped = bool(bf & 0x4)
         contig = ref_names[rid] if 0 <= rid < len(ref_names) else None
@@ -828,22 +849,22 @@ def _resolve_mates(recs: list[dict]) -> None:
                 a["bf"] |= 0x20
             if b["bf"] & 0x4:
                 a["bf"] |= 0x8
-        if n == 2:
-            a, b = recs[chain[0]], recs[chain[1]]
-            if (
-                not a["unmapped"]
-                and not b["unmapped"]
-                and a["rid"] == b["rid"]
-                and a["end"] > 0
-                and b["end"] > 0
-            ):
-                left_start = min(a["ap"], b["ap"])
-                right_end = max(a["end"], b["end"])
-                t = right_end - left_start + 1
-                if a["ap"] <= b["ap"]:
-                    a["tlen"], b["tlen"] = t, -t
-                else:
-                    a["tlen"], b["tlen"] = -t, t
+        members = [recs[idx] for idx in chain]
+        if all(
+            not m["unmapped"] and m["end"] > 0 and m["rid"] == members[0]["rid"]
+            for m in members
+        ):
+            # htslib computes TLEN for EVERY segment of a same-reference
+            # template (cram_decode's template-span walk), not just pairs:
+            # span = leftmost start to rightmost end; the leftmost segment
+            # (ties: first in chain order) gets +span, all others -span —
+            # the SAM convention htslib's BAM writer emits.
+            left_start = min(m["ap"] for m in members)
+            right_end = max(m["end"] for m in members)
+            t = right_end - left_start + 1
+            leftmost = min(range(n), key=lambda k: (members[k]["ap"], k))
+            for k, m in enumerate(members):
+                m["tlen"] = t if k == leftmost else -t
 
 
 def _reconstruct(
@@ -1014,7 +1035,8 @@ def read_cram_records(path: str, ref_path: str | None = None) -> Iterator[tuple]
     container API (scan_containers + decode_container) is the parallel
     path."""
     data = open(path, "rb").read()
-    names, _text, _off = read_file_header(data)
+    names, text, _off = read_file_header(data)
     refs = load_fasta(ref_path) if ref_path else None
+    rgs = parse_rg_ids(text)
     for h in scan_containers(data):
-        yield from decode_container(data, h, names, refs)
+        yield from decode_container(data, h, names, refs, rg_names=rgs)

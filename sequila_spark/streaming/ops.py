@@ -22,11 +22,13 @@ SESSION_GAP_S = 1800
 
 
 def _ts_to_micros(df: DataFrame) -> DataFrame:
-    """The events table stores nanosecond timestamps (Spark 4 rejects the
-    parquet NANOS type without the legacy conf; DuckDB truncates to us).
-    Canonical engine form: us-precision TimestampType — truncating ns with
-    integer arithmetic so both engines agree exactly."""
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    """Canonicalize ``ts`` to us-precision TimestampType regardless of how
+    the parquet writer encoded it: timestamp[us] passes through; parquet
+    NANOS surfaces as LongType under ``nanosAsLong`` and is truncated with
+    integer arithmetic (``div 1000``) so Spark and DuckDB agree exactly."""
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:

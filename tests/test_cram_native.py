@@ -60,9 +60,10 @@ def test_tags_roundtrip(decoded):
     nm_explicit = 0
     for r in cram:
         g = bkey[(r[0], r[1])]
-        # RG travels in the RG data series, NM is dropped-as-recomputable;
-        # everything else must match exactly
-        gg = {k: v for k, v in g[12].items() if k not in ("RG", "NM")}
+        # RG travels in the RG data series and is materialized against the
+        # header's @RG lines (htslib parity) — it must match the BAM's tag.
+        # NM is dropped-as-recomputable; everything else matches exactly.
+        gg = {k: v for k, v in g[12].items() if k != "NM"}
         cc = {k: v for k, v in r[12].items() if k != "NM"}
         assert cc == gg, (r[0], cc, gg)
         checked += len(gg)
@@ -249,6 +250,153 @@ def test_block_compression_methods():
     assert _decompress(3, lzma.compress(payload), len(payload)) == payload
     with _pytest.raises(NotImplementedError):
         _decompress(7, payload, len(payload))
+
+
+def test_tag_rendering_shared_with_bam_codec():
+    """The CRAM tag renderer delegates to bamcodec.decode_tag_bytes, so
+    every type — 'B' arrays included (subtype + int32 count + values,
+    comma-joined) — renders byte-identically on both paths."""
+    import struct
+
+    from sequila_spark.sources.bamcodec import _decode_tags, decode_tag_bytes
+    from sequila_spark.sources.cramcodec import _decode_tag_value
+
+    cases = {
+        ("Xi", "i"): struct.pack("<i", -70000),
+        ("Xc", "c"): struct.pack("<b", -5),
+        ("Xf", "f"): struct.pack("<f", 1.5),
+        ("XA", "A"): b"Q",
+        ("XZ", "Z"): b"hello\x00",
+        ("XB", "B"): b"S" + struct.pack("<i", 3) + struct.pack("<3H", 7, 8, 65535),
+        ("Xb", "B"): b"f" + struct.pack("<i", 2) + struct.pack("<2f", 0.5, -2.0),
+    }
+    blob = b"".join(
+        name.encode() + typ.encode() + raw
+        for (name, typ), raw in cases.items()
+    )
+    via_bam = _decode_tags(blob)
+    for (name, typ), raw in cases.items():
+        assert _decode_tag_value(typ, raw) == via_bam[name]
+    assert via_bam["XB"] == "7,8,65535"
+    assert decode_tag_bytes("B", cases[("Xb", "B")]) == "0.5,-2.0"
+
+
+def test_rans_freq_rle_run_adjacent_symbol():
+    """hts-specs rANS frequency-table RLE: the next explicit symbol
+    compares against the RUN-ADVANCED current symbol (htscodecs j+1 ==
+    *cp), so an explicit symbol equal to run_end+1 starts a new RLE run
+    instead of desyncing the table read."""
+    from sequila_spark.sources.cramcodec import ByteReader, _rans_read_freqs0
+
+    # sym 10 (f=100); explicit 11 == 10+1 -> rle=1 covering 12; then
+    # explicit 13 == run-advanced 12 + 1 -> consumes an RLE byte (0);
+    # terminator symbol 0.
+    stream = bytes([10, 100, 11, 1, 50, 25, 13, 0, 25, 0])
+    r = ByteReader(stream)
+    freq, _cum, _lookup = _rans_read_freqs0(r)
+    assert (freq[10], freq[11], freq[12], freq[13]) == (100, 50, 25, 25)
+    assert r.i == len(stream)  # every byte consumed, no desync
+
+
+def test_resolve_mates_three_segment_template_tlen():
+    """3+ segment templates linked in-slice get TLEN = leftmost-start to
+    rightmost-end span across ALL mapped same-reference members (+ on the
+    leftmost segment, - on the rest) — htslib's cram_decode convention."""
+    from sequila_spark.sources.cramcodec import _resolve_mates
+
+    def rec(ap, end, nf=None):
+        return {"bf": 0x1, "rid": 3, "ap": ap, "end": end, "nf": nf,
+                "unmapped": False, "next_rid": -1, "next_pos": 0, "tlen": 0}
+
+    recs = [rec(100, 175, nf=0), rec(300, 380, nf=0), rec(50, 110)]
+    _resolve_mates(recs)
+    span = 380 - 50 + 1
+    assert recs[2]["tlen"] == span  # leftmost (ap=50)
+    assert recs[0]["tlen"] == -span and recs[1]["tlen"] == -span
+    # chain wraps: last record points back to the first
+    assert (recs[2]["next_rid"], recs[2]["next_pos"]) == (3, 100)
+
+
+def test_rg_tag_materialized_from_series(decoded):
+    """Every record carries tags['RG'] resolved from the RG data series
+    against the header's @RG ID list (htslib parity — previously the
+    series index was decoded and discarded)."""
+    cram, bam = decoded
+    bkey = {(r[0], r[1]): r for r in bam}
+    n_rg = 0
+    for r in cram:
+        g = bkey[(r[0], r[1])]
+        if "RG" in g[12]:
+            n_rg += 1
+            assert r[12]["RG"] == g[12]["RG"]
+    assert n_rg == len(cram)  # the fixture tags every read
+
+
+def test_container_span_pruning(tmp_path):
+    """plan_cram_containers prunes by (contig, start, end) from container
+    HEADERS alone: the fixture's single container covers chr1:34-29954, so
+    overlapping intervals keep it and disjoint ones plan ZERO tasks —
+    the CRAM analog of BAI interval pushdown."""
+    from sequila_spark.sources.bam import plan_cram_containers
+
+    names, rgs, all_c = plan_cram_containers(CRAM)
+    assert len(all_c) == 1 and rgs and rgs[0] == "61CC3.5"
+    # overlap (cleaned and raw contig spellings both resolve)
+    for spelling in ("1", "chr1"):
+        _n, _r, kept = plan_cram_containers(CRAM, spelling, 1000, 2000)
+        assert len(kept) == 1
+    # disjoint interval / other contig / unmapped-only exclusion
+    assert plan_cram_containers(CRAM, "1", 40000, 50000)[2] == []
+    assert plan_cram_containers(CRAM, "2", 1, 10**9)[2] == []
+
+
+def test_read_cram_native_interval_slice(spark):
+    """A sliced read prunes tasks at plan time and returns exactly the
+    overlap-filtered rows of a full read (htslib fetch semantics)."""
+    from pyspark.sql import functions as F
+
+    from sequila_spark.sources import read_cram_native
+
+    full = read_cram_native(spark, CRAM, ref_path=FASTA)
+    sliced = read_cram_native(
+        spark, CRAM, ref_path=FASTA, contig="1", start=5000, end=6000
+    )
+    expect = full.where(
+        (F.col("contig") == "1")
+        & (F.col("pos_start") <= 6000)
+        & (F.col("pos_end") >= 5000)
+    )
+    a = sorted(map(tuple, sliced.drop("tags").collect()))
+    b = sorted(map(tuple, expect.drop("tags").collect()))
+    assert a == b and len(a) > 0
+    # disjoint slice: zero tasks planned, zero rows — and no decode work
+    empty = read_cram_native(
+        spark, CRAM, ref_path=FASTA, contig="1", start=10**8, end=10**8 + 10
+    )
+    assert empty.count() == 0
+
+
+def test_read_cram_native_multisample(spark, tmp_path):
+    """Glob/dir/list inputs build a multi-sample relation with sample_id
+    from each file name — parity with read_bam_native's multi-sample path
+    (reference: AlignmentRelation.scala:311-324)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    d = tmp_path / "crams"
+    d.mkdir()
+    shutil.copy(CRAM, d / "sampleA.cram")
+    shutil.copy(CRAM, d / "sampleB.cram")
+    from sequila_spark.sources import read_cram_native
+
+    for src in (str(d), str(d / "*.cram"), [str(d / "sampleA.cram"), str(d / "sampleB.cram")]):
+        df = read_cram_native(spark, src, ref_path=FASTA)
+        counts = {
+            r["sample_id"]: r["n"]
+            for r in df.groupBy("sample_id").agg(F.count("*").alias("n")).collect()
+        }
+        assert counts == {"sampleA": 3172, "sampleB": 3172}
 
 
 def test_resolve_mates_negative_link_left_unmated():
