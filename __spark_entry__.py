@@ -110,6 +110,20 @@ def _q_interval_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         IV.promoters(S.START, S.END, 2000, 200)[S.END].alias("prom_end"),
         IV.reflect(S.START, S.END, 1, 200000)[S.START].alias("refl_start"),
         IV.reflect(S.START, S.END, 1, 200000)[S.END].alias("refl_end"),
+        # remaining variants: resize start/end anchors, flank both/negative,
+        # overlap length vs a fixed probe interval
+        IV.resize(S.START, S.END, 10, "start")[S.END].alias("rs_end"),
+        IV.resize(S.START, S.END, 10, "end")[S.START].alias("re_start"),
+        IV.flank(S.START, S.END, 50, True, True)[S.START].alias("fb_start"),
+        IV.flank(S.START, S.END, 50, True, True)[S.END].alias("fb_end"),
+        IV.flank(S.START, S.END, -50, False, False)[S.START].alias("fn_start"),
+        IV.flank(S.START, S.END, -50, False, False)[S.END].alias("fn_end"),
+        IV.overlap_length(S.START, S.END, F.lit(40_000), F.lit(60_000)).alias("ov_probe"),
+        # contig normalization (DataQualityFuncs.scala:9-41) on chr-prefixed
+        # renderings + the chrM special case
+        IV.clean_contig(F.concat(F.lit("chr"), F.col(S.CONTIG))).alias("cleaned"),
+        IV.clean_contig(F.lit("chrM")).alias("m_case"),
+        IV.unclean_contig(F.col(S.CONTIG)).alias("unclean"),
     )
 
 
@@ -463,35 +477,6 @@ def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_dup_pairs(_embs(spark, sf_dir), threshold=0.4)
 
 
-def _q_interval_ops2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Remaining interval-function variants: resize start/end anchors,
-    flank both/negative, overlap length vs a fixed probe interval."""
-    t = TD.targets(spark, sf_dir)
-    return t.select(
-        "target_id",
-        IV.resize(S.START, S.END, 10, "start")[S.END].alias("rs_end"),
-        IV.resize(S.START, S.END, 10, "end")[S.START].alias("re_start"),
-        IV.flank(S.START, S.END, 50, True, True)[S.START].alias("fb_start"),
-        IV.flank(S.START, S.END, 50, True, True)[S.END].alias("fb_end"),
-        IV.flank(S.START, S.END, -50, False, False)[S.START].alias("fn_start"),
-        IV.flank(S.START, S.END, -50, False, False)[S.END].alias("fn_end"),
-        IV.overlap_length(S.START, S.END, F.lit(40_000), F.lit(60_000)).alias("ov_probe"),
-    )
-
-
-def _q_contig_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Contig normalization (DataQualityFuncs.scala:9-41) applied to
-    chr-prefixed renderings of the targets' contigs + the special cases."""
-    t = TD.targets(spark, sf_dir)
-    raw = F.concat(F.lit("chr"), F.col(S.CONTIG))
-    return t.select(
-        "target_id",
-        IV.clean_contig(raw).alias("cleaned"),
-        IV.clean_contig(F.lit("chrM")).alias("m_case"),
-        IV.unclean_contig(F.col(S.CONTIG)).alias("unclean"),
-    )
-
-
 def _q_coverage_cigar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Coverage through the CIGAR-walk path (aligned_blocks fold).  The
     synthetic reads carry all-M cigars, so the oracle equals plain span
@@ -710,6 +695,28 @@ def _q_pileup_md_mismatches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pileup_convert_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Converter path under the per-round hash gate (PileupComparison
+    analog, apps/PileupComparison.scala:18-40): the real `samtools mpileup
+    -x` TEXT output parsed by the distributed samtools converter
+    (converters.read_samtools_pileup — mark removal, countRef folding,
+    strand-cased alts) must reproduce the golden pileup parquet exactly —
+    the same golden the ENGINE pileup matches in `pileup_mdbam`, so the
+    two queries together pin converter == samtools == engine per round."""
+    from sequila_spark.converters import read_samtools_pileup
+
+    conv = read_samtools_pileup(spark, f"{_MDBAM_FIX}/samtools_x.pileup.gz")
+    return conv.select(
+        "contig",
+        F.col("pos_start").alias("pos"),
+        "ref",
+        "coverage",
+        "countRef",
+        "countNonRef",
+        _alts_str(F.col("alts")).alias("alts_str"),
+    )
+
+
 def _q_cram_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native CRAM 3.0 decode under the per-round hash gate: the reference
     project's NA12878.slice.cram decoded by the pure-Python codec
@@ -739,6 +746,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_join_long": _q_range_join_long,
     "pileup_mdbam": _q_pileup_mdbam,
     "pileup_md_mismatches": _q_pileup_md_mismatches,
+    "pileup_convert_compare": _q_pileup_convert_compare,
     "cram_decode": _q_cram_decode,
     "interval_ops": _q_interval_ops,
     "targets_merged": _q_targets_merged,
@@ -771,8 +779,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionize": _q_events_sessionize,
     "reads_window_counts": _q_reads_window_counts,
     "dedup_embedding": _q_dedup_embedding,
-    "interval_ops2": _q_interval_ops2,
-    "contig_cleaning": _q_contig_cleaning,
     "coverage_cigar": _q_coverage_cigar,
     "pricing_summary": _q_pricing_summary,
     "top_orders": _q_top_orders,
@@ -1253,6 +1259,10 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_MDBAM_FIX}/golden_pileup.parquet/*.parquet')
             WHERE "countNonRef" > 0
         """,
+        "pileup_convert_compare": f"""
+            SELECT contig, pos, ref, coverage, "countRef", "countNonRef", alts_str
+            FROM read_parquet('{_MDBAM_FIX}/golden_pileup.parquet/*.parquet')
+        """,
         "cram_decode": f"""
             SELECT * FROM read_parquet('{_SLICEBAM_FIX}/reads.parquet/*.parquet')
         """,
@@ -1275,7 +1285,17 @@ def oracle_sql() -> dict[str, str]:
               pos_start - 100 AS flank_start, pos_start - 1 AS flank_end,
               pos_start - 2000 AS prom_start, pos_start + 200 - 1 AS prom_end,
               2 * 1 + (200000 - 1) - pos_end AS refl_start,
-              2 * 1 + (200000 - 1) - pos_end + (pos_end - pos_start) AS refl_end
+              2 * 1 + (200000 - 1) - pos_end + (pos_end - pos_start) AS refl_end,
+              pos_end + 10 AS rs_end,
+              pos_start - 10 AS re_start,
+              pos_start - 50 AS fb_start,
+              pos_start - 50 + 100 - 1 AS fb_end,
+              pos_end - 50 + 1 AS fn_start,
+              pos_end - 50 + 1 + 50 - 1 AS fn_end,
+              CAST(LEAST(pos_end, 60000) - GREATEST(pos_start, 40000) + 1 AS INT) AS ov_probe,
+              contig AS cleaned,
+              'MT' AS m_case,
+              'chr' || contig AS unclean
             FROM targets
         """,
         "targets_merged": f"""
@@ -1526,26 +1546,6 @@ def oracle_sql() -> dict[str, str]:
                    CAST(FLOOR((pos_start - 1) / 10000) AS BIGINT) AS win,
                    CAST(COUNT(*) AS BIGINT) AS n_reads
             FROM reads GROUP BY contig, CAST(FLOOR((pos_start - 1) / 10000) AS BIGINT)
-        """,
-        "interval_ops2": f"""
-            {cte('targets')}
-            SELECT target_id,
-                   pos_end + 10 AS rs_end,
-                   pos_start - 10 AS re_start,
-                   pos_start - 50 AS fb_start,
-                   pos_start - 50 + 100 - 1 AS fb_end,
-                   pos_end - 50 + 1 AS fn_start,
-                   pos_end - 50 + 1 + 50 - 1 AS fn_end,
-                   CAST(LEAST(pos_end, 60000) - GREATEST(pos_start, 40000) + 1 AS INT) AS ov_probe
-            FROM targets
-        """,
-        "contig_cleaning": f"""
-            {cte('targets')}
-            SELECT target_id,
-                   contig AS cleaned,
-                   'MT' AS m_case,
-                   'chr' || contig AS unclean
-            FROM targets
         """,
         "coverage_cigar": f"""
             {cte('reads')}, {_COVERAGE_BLOCKS_CTE}
