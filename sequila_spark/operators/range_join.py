@@ -35,6 +35,9 @@ contig's load across the cluster instead of one task per contig.
 
 from __future__ import annotations
 
+import re
+from collections import OrderedDict
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -88,10 +91,12 @@ def range_join(
     - ``"auto"`` (default): run one tiny statistics job — ``max(end - start)``
       per side, column-pruned to the two interval columns — and build a long
       branch only for sides that actually contain over-wide rows.  Short-read
-      data gets the plain binned plan (zero extra passes); the probe's cost
-      is one 2-row aggregation.  Note the probe executes each input's lineage
-      once; if an input is an *expensive computed* relation (not a
-      scan/filter/projection), pass an explicit int or ``None`` instead.
+      data gets the plain binned plan (zero extra passes).  Guarded so it
+      never doubles expensive work: results memoize per (session,
+      analyzed-plan, columns) — re-joining the same input probes once — and
+      a side whose lineage is neither persisted nor a plain
+      scan/filter/projection is not probed at all (that side falls back to
+      the ``None`` behavior: its long branch is always built).
     - int: a caller-known bound on ``end - start`` for both sides — no probe,
       branches built only if ``max_width`` (plus gap widening) reaches the
       cap.
@@ -218,9 +223,14 @@ def _inner(
         # short-read data this collapses to the plain binned plan.
         thresh = bin_cap * bin_size
         if max_width == "auto":
-            lmax, rmax = _probe_max_widths(left, right, ls, le, rs, re)
-            l_may_long = lmax is not None and lmax >= thresh
-            r_may_long = rmax is not None and rmax + 2 * max_gap >= thresh
+            lmax = _probe_max_width(left, ls, le)
+            rmax = _probe_max_width(right, rs, re)
+            # _SKIPPED = probe declined (expensive uncached lineage):
+            # treat the side as unknown -> build its long branch (safe)
+            l_may_long = lmax is _SKIPPED or (lmax is not None and lmax >= thresh)
+            r_may_long = rmax is _SKIPPED or (
+                rmax is not None and rmax + 2 * max_gap >= thresh
+            )
         elif max_width is None:
             l_may_long = r_may_long = True
         else:
@@ -279,18 +289,91 @@ def _inner(
     return out.drop(rc) if rc and lc != rc else out
 
 
-def _probe_max_widths(
-    left: DataFrame, right: DataFrame, ls: str, le: str, rs: str, re: str
-) -> tuple[int | None, int | None]:
-    """Plan-time statistics probe: max raw interval width (end - start) per
-    side, as one 2-row Spark job.  The selects prune to the two interval
-    columns, so over parquet this reads two int columns and nothing else.
-    (This is a deliberate driver-side collect of *statistics*, not data —
-    2 rows, run once per join construction.)"""
-    lw = left.select(F.max(F.col(le) - F.col(ls)).alias("w"))
-    rw = right.select(F.max(F.col(re) - F.col(rs)).alias("w"))
-    rows = lw.unionAll(rw).collect()
-    return rows[0]["w"], rows[1]["w"]
+_SKIPPED = object()  # probe declined: expensive uncached lineage
+
+# Analyzed-plan node names whose execution cost is a (column-pruned) scan:
+# over these, the width probe reads two int columns and nothing else, so
+# running the lineage for statistics is the right trade.  Anything outside
+# this set (Join, Aggregate, Generate, *EvalPython, Window, ...) could make
+# the probe silently double that lineage's real work — skip instead.
+_CHEAP_PLAN_NODES = frozenset(
+    {
+        "Project",
+        "Filter",
+        "Relation",
+        "LogicalRDD",
+        "LocalRelation",
+        "SubqueryAlias",
+        "View",
+        "ResolvedHint",
+        "UnresolvedHint",
+        "GlobalLimit",
+        "LocalLimit",
+        "Repartition",
+        "RepartitionByExpression",
+        "Sort",
+        "Deduplicate",
+        "InMemoryRelation",
+    }
+)
+
+# (session id, analyzed-plan semantic hash, start col, end col) -> max width.
+# Bounded: oldest entries evicted past _PROBE_CACHE_MAX.
+_PROBE_CACHE: "OrderedDict[tuple, int | None]" = OrderedDict()
+_PROBE_CACHE_MAX = 256
+_PROBE_RUNS = 0  # statistics-job counter (tests assert probe-once behavior)
+
+
+def _lineage_is_cheap(df: DataFrame) -> bool:
+    """True when executing ``df``'s lineage for a 1-row statistics probe is
+    approximately free: the frame is persisted (probe reads the cache), or
+    its analyzed plan is scans/filters/projections only (probe collapses to
+    a column-pruned scan)."""
+    lvl = df.storageLevel
+    if lvl.useMemory or lvl.useDisk:
+        return True
+    try:
+        tree = df._jdf.queryExecution().analyzed().treeString()
+    except Exception:
+        return False
+    nodes = re.findall(r"^[\s:+|-]*'?([A-Za-z][A-Za-z0-9]*)", tree, flags=re.M)
+    return all(n in _CHEAP_PLAN_NODES for n in nodes)
+
+
+def _plan_key(df: DataFrame, s: str, e: str) -> tuple | None:
+    try:
+        h = df._jdf.queryExecution().analyzed().semanticHash()
+    except Exception:
+        return None
+    return (id(df.sparkSession), h, s, e)
+
+
+def _probe_max_width(df: DataFrame, s: str, e: str):
+    """Plan-time statistics probe: ``max(end - start)`` for one side, as a
+    1-row Spark job, column-pruned to the two interval columns.  (A
+    deliberate driver-side collect of *statistics*, not data.)
+
+    Guarded two ways so auto mode never silently doubles expensive work:
+    results memoize per (session, analyzed-plan semantic hash, columns) —
+    the same input probed by many joins runs the job once — and a lineage
+    that is neither persisted nor a plain scan/filter/projection is not
+    probed at all (returns the ``_SKIPPED`` sentinel; the caller then
+    builds the long branch unconditionally, exactly like
+    ``max_width=None``)."""
+    global _PROBE_RUNS
+    key = _plan_key(df, s, e)
+    if key is not None and key in _PROBE_CACHE:
+        _PROBE_CACHE.move_to_end(key)
+        return _PROBE_CACHE[key]
+    if not _lineage_is_cheap(df):
+        return _SKIPPED
+    _PROBE_RUNS += 1
+    w = df.select(F.max(F.col(e) - F.col(s)).alias("w")).collect()[0]["w"]
+    if key is not None:
+        _PROBE_CACHE[key] = w
+        while len(_PROBE_CACHE) > _PROBE_CACHE_MAX:
+            _PROBE_CACHE.popitem(last=False)
+    return w
 
 
 def overlap_condition(

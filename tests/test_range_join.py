@@ -211,3 +211,60 @@ def test_partitioning_invariance(spark):
     one = pairs(range_join(left.coalesce(1), right.coalesce(1)))
     many = pairs(range_join(left.repartition(16), right.repartition(16)))
     assert one == many
+
+
+def test_max_width_probe_memoized(spark):
+    """The auto probe memoizes per (session, analyzed plan, columns): the
+    same inputs joined repeatedly run the statistics job once per side."""
+    from sequila_spark.operators import range_join as RJ
+
+    left = mk(spark, [(f"L{i}", "1", 1 + i * 101, 150 + i * 101) for i in range(20)])
+    right = mk(spark, [(f"R{i}", "1", 1 + i * 97, 300 + i * 97) for i in range(20)])
+    RJ._PROBE_CACHE.clear()
+    before = RJ._PROBE_RUNS
+    first = range_join(left, right)
+    assert RJ._PROBE_RUNS == before + 2  # one probe per side
+    second = range_join(left, right, min_overlap=5)
+    assert RJ._PROBE_RUNS == before + 2  # no re-probe on identical inputs
+    assert pairs(first) == pairs(range_join(left, right, strategy="nested_loop"))
+    assert RJ._PROBE_RUNS == before + 2  # nested_loop never probes
+    assert second.count() >= 0
+
+
+def test_max_width_probe_skips_expensive_lineage(spark):
+    """A side whose lineage is not a plain scan/filter/projection (here: an
+    Aggregate) is never executed for statistics — the probe declines and
+    that side's long branch is built unconditionally (max_width=None
+    behavior), so auto mode cannot double expensive work."""
+    from pyspark.sql import functions as F
+
+    from sequila_spark.operators import range_join as RJ
+
+    left = mk(spark, [(f"L{i}", "1", 1 + i * 101, 150 + i * 101) for i in range(20)])
+    base = mk(spark, [(f"R{i}", "1", 1 + (i % 7) * 97, 300 + i * 97) for i in range(40)])
+    # expensive computed relation: an aggregation over the base intervals
+    right = base.groupBy("contig", "pos_start").agg(
+        F.max("pos_end").alias("pos_end"), F.count("*").alias("n")
+    )
+    RJ._PROBE_CACHE.clear()
+    before = RJ._PROBE_RUNS
+    out = range_join(left, right)
+    assert RJ._PROBE_RUNS == before + 1  # left probed; right skipped
+    # the skipped side falls back to always-building its long branch
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Union" in plan
+
+    def keyset(df):
+        return sorted(
+            (r["id"], r["pos_start_r"], r["pos_end_r"]) for r in df.collect()
+        )
+
+    assert keyset(out) == keyset(range_join(left, right, strategy="nested_loop"))
+    # persisting the expensive side makes the probe cheap again
+    right_cached = right.persist()
+    try:
+        right_cached.count()
+        range_join(left, right_cached)
+        assert RJ._PROBE_RUNS == before + 2  # now probed (reads the cache)
+    finally:
+        right_cached.unpersist()
