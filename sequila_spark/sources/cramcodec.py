@@ -1,4 +1,4 @@
-"""Pure-Python CRAM 3.0 decoder — no htslib/pysam.
+"""Pure-Python CRAM 3.0/3.1 decoder — no htslib/pysam.
 
 Implements the public hts-specs CRAM 3.0 container format
 (https://samtools.github.io/hts-specs/CRAMv3.pdf): ITF8/LTF8 varints,
@@ -9,12 +9,19 @@ record model — positional deltas, detached mate info, feature-based
 sequence reconstruction against the reference (substitution matrix,
 insertions, deletions, clips, splices) and CIGAR synthesis.
 
+CRAM 3.1 (same container layout, new codecs) is accepted at the version
+check; of its codecs, rANS Nx16 order-0 (+ CAT/NoSize transforms) decodes
+natively and the rest — Nx16 order-1/STRIPE/RLE/PACK, adaptive arithmetic,
+fqzcomp, name tokenizer — raise NotImplementedError naming the missing
+codec at PLAN time (validate_container_file), so callers know exactly what
+a given archive needs.
+
 Parity surface: the reference gates CRAM behind disq/htslib
-(datasources/BAM/CRAMDataSource.scala:7-15); here plain CRAM 3.0 decodes
+(datasources/BAM/CRAMDataSource.scala:7-15); here plain CRAM decodes
 natively and only files using codecs this module doesn't implement
 (non-constant core-bitstream Huffman, subexp/golomb — rare from htslib
-writers) raise NotImplementedError, which callers may catch to fall back
-to pysam.
+writers — and the 3.1 set above) raise NotImplementedError, which callers
+may catch to fall back to pysam.
 
 Scale model mirrors the BAM codec: containers are self-contained decode
 units (their compression header travels with them), so the driver scans
@@ -226,6 +233,117 @@ def rans_decode(data: bytes) -> bytes:
     raise NotImplementedError(f"rANS order {order}")
 
 
+# --- rANS Nx16 (CRAM 3.1 external compression method 5) ---------------------
+#
+# hts-specs CRAMcodecs §"rANS Nx16": 16-bit renormalization (vs 4x8's
+# 8-bit), 12-bit frequencies summing to 4096, uint7 lengths, and a flags
+# byte composing bit-transforms.  Implemented: order-0 core (4- and 32-way
+# interleaving), CAT (stored raw) and NoSize.  Order-1, STRIPE, RLE and
+# PACK raise by name so read_bam's fallback (or the user) sees exactly
+# which codec is missing.
+
+_NX16_ORDER1 = 0x01
+_NX16_X32 = 0x04
+_NX16_STRIPE = 0x08
+_NX16_NOSZ = 0x10
+_NX16_CAT = 0x20
+_NX16_RLE = 0x40
+_NX16_PACK = 0x80
+_NX16_LOW = 1 << 15
+
+
+def _uint7(r: ByteReader) -> int:
+    """Variable-length unsigned int, 7 bits per byte, most significant
+    first; top bit set = more bytes follow."""
+    v = 0
+    while True:
+        c = r.u8()
+        v = (v << 7) | (c & 0x7F)
+        if not c & 0x80:
+            return v
+
+
+def _nx16_read_alphabet(r: ByteReader) -> list[int]:
+    """Symbols present, ascending, with run-length encoding for consecutive
+    runs (htscodecs decode_alphabet; terminated by a 0 symbol, which can
+    therefore only appear first)."""
+    syms: list[int] = []
+    sym = r.u8()
+    last = sym
+    rle = 0
+    while True:
+        syms.append(sym)
+        if rle > 0:
+            rle -= 1
+            sym += 1
+        else:
+            sym = r.u8()
+            if sym == last + 1:
+                rle = r.u8()
+        last = sym
+        if sym == 0:
+            return syms
+
+
+def _nx16_decode0(r: ByteReader, out_size: int, n_way: int) -> bytes:
+    syms = _nx16_read_alphabet(r)
+    freq = [0] * 256
+    for s in syms:
+        freq[s] = _uint7(r)
+    total = sum(freq)
+    if total != 4096:
+        raise ValueError(f"rANS Nx16 order-0 frequencies sum to {total} != 4096")
+    cum = [0] * 257
+    for s in range(256):
+        cum[s + 1] = cum[s] + freq[s]
+    lookup = [0] * 4096
+    for s in range(256):
+        for slot in range(cum[s], cum[s + 1]):
+            lookup[slot] = s
+    states = [struct.unpack("<I", r.read(4))[0] for _ in range(n_way)]
+    out = bytearray(out_size)
+    b = r.b
+    i = r.i
+    for pos in range(out_size):
+        j = pos % n_way
+        x = states[j]
+        slot = x & 0xFFF
+        s = lookup[slot]
+        out[pos] = s
+        x = freq[s] * (x >> 12) + slot - cum[s]
+        if x < _NX16_LOW:
+            x = (x << 16) | b[i] | (b[i + 1] << 8)
+            i += 2
+        states[j] = x
+    r.i = i
+    return bytes(out)
+
+
+def rans_nx16_decode(data: bytes, raw_size: int) -> bytes:
+    r = ByteReader(data)
+    flags = r.u8()
+    if flags & _NX16_STRIPE:
+        raise NotImplementedError("rANS Nx16 STRIPE transform")
+    if flags & _NX16_RLE:
+        raise NotImplementedError("rANS Nx16 RLE transform")
+    if flags & _NX16_PACK:
+        raise NotImplementedError("rANS Nx16 PACK transform")
+    out_size = raw_size if flags & _NX16_NOSZ else _uint7(r)
+    if flags & _NX16_CAT:
+        return bytes(r.read(out_size))
+    if flags & _NX16_ORDER1:
+        raise NotImplementedError("rANS Nx16 order-1")
+    return _nx16_decode0(r, out_size, 32 if flags & _NX16_X32 else 4)
+
+
+# CRAM 3.1 method numbers -> codec names, for precise unimplemented errors
+_METHOD_NAMES = {
+    6: "adaptive arithmetic coding (CRAM 3.1)",
+    7: "fqzcomp quality codec (CRAM 3.1)",
+    8: "name tokenizer (CRAM 3.1)",
+}
+
+
 def _decompress(method: int, data: bytes, raw_size: int) -> bytes:
     if method == 0:
         return data
@@ -237,7 +355,10 @@ def _decompress(method: int, data: bytes, raw_size: int) -> bytes:
         return lzma.decompress(data)
     if method == 4:
         return rans_decode(data)
-    raise NotImplementedError(f"CRAM block compression method {method}")
+    if method == 5:
+        return rans_nx16_decode(data, raw_size)
+    name = _METHOD_NAMES.get(method, f"method {method}")
+    raise NotImplementedError(f"CRAM block compression: {name}")
 
 
 # --- bit reader for core-stream codecs --------------------------------------
@@ -467,11 +588,14 @@ def read_file_header(data: bytes) -> tuple[list[str], str, int]:
     first data container)."""
     if data[:4] != CRAM_MAGIC:
         raise ValueError("not a CRAM file (bad magic)")
-    major = data[4]
-    if major != 3:
-        # v2 uses different container framing (no CRC32), v3.1+ adds new
-        # codecs — only the v3.0 layout implemented here is accepted
-        raise NotImplementedError(f"CRAM major version {major}")
+    major, minor = data[4], data[5]
+    if (major, minor) not in ((3, 0), (3, 1)):
+        # v2 uses different container framing (no CRC32); v4 is a draft.
+        # 3.1 shares the 3.0 container layout and is accepted here — its
+        # new codecs are detected per block, with precise per-codec errors
+        # (rANS Nx16 order-0 decodes natively; order-1/arith/fqzcomp/name-
+        # tokenizer raise by name and fall back to pysam when present).
+        raise NotImplementedError(f"CRAM version {major}.{minor}")
     r = ByteReader(data, 26)
     h = _read_container_header(r)
     ctype, _cid, payload = _read_block(r)
@@ -576,10 +700,24 @@ def validate_container_file(path, h: dict) -> None:
             csize = r.itf8()
             rsize = r.itf8()
             payload_at = pos + r.i
-            if method > 4:
-                raise NotImplementedError(
-                    f"CRAM block compression method {method}"
-                )
+            if method > 5:
+                name = _METHOD_NAMES.get(method, f"method {method}")
+                raise NotImplementedError(f"CRAM block compression: {name}")
+            if method == 5:
+                # plan-time support check for the Nx16 flags byte: the
+                # implemented subset (order-0 / CAT) passes, 3.1-only
+                # transforms raise by name here, before any executor work
+                f.seek(payload_at)
+                first = f.read(1)
+                flags = first[0] if first else 0
+                if flags & _NX16_STRIPE:
+                    raise NotImplementedError("rANS Nx16 STRIPE transform")
+                if flags & _NX16_RLE:
+                    raise NotImplementedError("rANS Nx16 RLE transform")
+                if flags & _NX16_PACK:
+                    raise NotImplementedError("rANS Nx16 PACK transform")
+                if flags & _NX16_ORDER1:
+                    raise NotImplementedError("rANS Nx16 order-1")
             if ctype == 1:  # compression header: parse fully (codec check)
                 f.seek(payload_at)
                 CompressionHeader(_decompress(method, f.read(csize), rsize))

@@ -15,6 +15,8 @@ explicitly — those must equal the BAM's values.
 """
 
 import os
+import random
+import struct
 
 import pytest
 
@@ -412,3 +414,144 @@ def test_resolve_mates_negative_link_left_unmated():
     _resolve_mates(recs)
     for r in recs:
         assert (r["next_rid"], r["next_pos"], r["tlen"]) == (-1, 0, 0)
+
+
+# --- CRAM 3.1: version detection + rANS Nx16 order-0 ------------------------
+
+
+def _uint7_enc(v: int) -> bytes:
+    """Encoder mirror of cramcodec._uint7 (7 bits per byte, MSB first)."""
+    out = [v & 0x7F]
+    v >>= 7
+    while v:
+        out.append((v & 0x7F) | 0x80)
+        v >>= 7
+    return bytes(reversed(out))
+
+
+def _nx16_alphabet_enc(syms: list[int]) -> bytes:
+    """Encoder mirror of _nx16_read_alphabet: ascending symbols, explicit
+    byte per symbol, an RLE count byte after any symbol that extends a
+    consecutive run, 0 terminator."""
+    out = [syms[0]]
+    i = 0
+    while i + 1 < len(syms):
+        nxt = syms[i + 1]
+        out.append(nxt)
+        if nxt == syms[i] + 1:
+            j = i + 1
+            while j + 1 < len(syms) and syms[j + 1] == syms[j] + 1:
+                j += 1
+            out.append(j - (i + 1))  # implicit increments after nxt
+            i = j
+        else:
+            i += 1
+    out.append(0)
+    return bytes(out)
+
+
+def _nx16_encode0(data: bytes, n_way: int = 4) -> bytes:
+    """Reference rANS Nx16 order-0 ENCODER (test-side only), written from
+    the hts-specs CRAMcodecs document: 12-bit frequencies normalized to
+    4096, N interleaved 32-bit states with 16-bit renormalization emitted
+    into a backward-filled buffer, states flushed to the front in order."""
+    from collections import Counter
+
+    assert data
+    counts = Counter(data)
+    syms = sorted(counts)
+    # normalize to sum exactly 4096, every present symbol >= 1
+    total = len(data)
+    freq = {s: max(1, (c * 4096) // total) for s, c in counts.items()}
+    drift = 4096 - sum(freq.values())
+    freq[max(counts, key=counts.get)] += drift
+    assert sum(freq.values()) == 4096 and min(freq.values()) >= 1
+    cum = {}
+    acc = 0
+    for s in syms:
+        cum[s] = acc
+        acc += freq[s]
+
+    head = bytearray([0])  # flags: order-0, 4-way
+    if n_way == 32:
+        head[0] |= 0x04
+    head += _uint7_enc(len(data))
+    head += _nx16_alphabet_enc(syms)
+    for s in syms:
+        head += _uint7_enc(freq[s])
+
+    tail = bytearray()  # built backwards: appended words are PREPENDED
+    states = [1 << 15] * n_way
+    x_max_mult = (1 << 15 >> 12) << 16
+    for pos in range(len(data) - 1, -1, -1):
+        j = pos % n_way
+        x = states[j]
+        f = freq[data[pos]]
+        while x >= x_max_mult * f:
+            tail[0:0] = bytes([x & 0xFF, (x >> 8) & 0xFF])
+            x >>= 16
+        states[j] = ((x // f) << 12) + (x % f) + cum[data[pos]]
+    flush = b"".join(struct.pack("<I", states[j]) for j in range(n_way))
+    return bytes(head) + flush + bytes(tail)
+
+
+@pytest.mark.parametrize("n_way", [4, 32])
+def test_rans_nx16_order0_roundtrip(n_way):
+    from sequila_spark.sources.cramcodec import rans_nx16_decode
+
+    rng = random.Random(1234)
+    for payload in (
+        b"A" * 500,  # single-symbol alphabet
+        bytes(rng.choice(b"ACGTN") for _ in range(3000)),  # consecutive run
+        bytes(rng.randrange(256) for _ in range(2048)),  # full alphabet
+        bytes([0, 1, 2, 3] * 250 + [255] * 37),  # 0-first + sparse tail
+    ):
+        enc = _nx16_encode0(payload, n_way)
+        assert rans_nx16_decode(enc, len(payload)) == payload
+
+
+def test_rans_nx16_cat_and_nosize():
+    from sequila_spark.sources.cramcodec import rans_nx16_decode
+
+    payload = b"stored verbatim"
+    cat = bytes([0x20]) + _uint7_enc(len(payload)) + payload
+    assert rans_nx16_decode(cat, len(payload)) == payload
+    # NoSize: length comes from the block header's raw size
+    nosz = bytes([0x20 | 0x10]) + payload
+    assert rans_nx16_decode(nosz, len(payload)) == payload
+
+
+def test_rans_nx16_unimplemented_transforms_named():
+    from sequila_spark.sources.cramcodec import rans_nx16_decode
+
+    for flag, name in ((0x01, "order-1"), (0x08, "STRIPE"), (0x40, "RLE"),
+                       (0x80, "PACK")):
+        with pytest.raises(NotImplementedError, match=name):
+            rans_nx16_decode(bytes([flag, 0x05, 1, 2, 3, 4, 5]), 5)
+
+
+def test_cram_version_detection():
+    """3.0 and 3.1 are accepted at the header; 2.x and 4.x raise with the
+    version in the message.  3.1-only codec methods raise BY NAME from the
+    block dispatcher."""
+    from sequila_spark.sources.cramcodec import (
+        _decompress,
+        read_file_header,
+    )
+
+    data = open(CRAM, "rb").read()
+    names, _text, _off = read_file_header(data)  # 3.0 file parses
+    assert names
+
+    v31 = data[:5] + bytes([1]) + data[6:]
+    names31, _t, _o = read_file_header(v31)
+    assert names31 == names  # same layout, accepted
+
+    for major, minor in ((2, 0), (4, 0)):
+        bad = data[:4] + bytes([major, minor]) + data[6:]
+        with pytest.raises(NotImplementedError, match=f"{major}\\.{minor}"):
+            read_file_header(bad)
+
+    for method, name in ((6, "arithmetic"), (7, "fqzcomp"), (8, "name tokenizer")):
+        with pytest.raises(NotImplementedError, match=name):
+            _decompress(method, b"\x00", 1)
