@@ -18,10 +18,11 @@ a given archive needs.
 
 Parity surface: the reference gates CRAM behind disq/htslib
 (datasources/BAM/CRAMDataSource.scala:7-15); here plain CRAM decodes
-natively and only files using codecs this module doesn't implement
-(non-constant core-bitstream Huffman, subexp/golomb — rare from htslib
-writers — and the 3.1 set above) raise NotImplementedError, which callers
-may catch to fall back to pysam.
+natively with the FULL spec §13 core-bitstream codec set — canonical
+Huffman (multi-symbol and 0-bit constant), BETA, GAMMA, GOLOMB,
+GOLOMB_RICE and SUBEXP — and only files using the remaining 3.1 codecs
+above raise NotImplementedError, which callers may catch to fall back to
+pysam.
 
 Scale model mirrors the BAM codec: containers are self-contained decode
 units (their compression header travels with them), so the driver scans
@@ -425,6 +426,20 @@ class Encoding:
         elif codec == 6:  # BETA
             self.offset = p.itf8()
             self.nbits = p.itf8()
+        elif codec == 2:  # GOLOMB (spec 13.5: unary quotient + trunc binary)
+            self.offset = p.itf8()
+            self.m = p.itf8()
+            if self.m <= 0:
+                raise ValueError(f"GOLOMB m={self.m}")
+            self.ceil_bits = self.m.bit_length()  # floor(log2 m) + 1
+        elif codec == 7:  # GAMMA (Elias gamma, spec 13.8)
+            self.offset = p.itf8()
+        elif codec == 8:  # SUBEXP (subexponential, spec 13.9)
+            self.offset = p.itf8()
+            self.k = p.itf8()
+        elif codec == 9:  # GOLOMB_RICE (m = 2^log2m, spec 13.10)
+            self.offset = p.itf8()
+            self.log2m = p.itf8()
         else:
             raise NotImplementedError(f"CRAM encoding codec {codec}")
 
@@ -449,6 +464,39 @@ class Encoding:
                     raise ValueError("bad huffman stream")
         if c == 6:
             return core.take(self.nbits) - self.offset
+        if c == 2:  # GOLOMB: 1*-unary quotient, truncated-binary remainder
+            q = 0
+            while core.take(1):
+                q += 1
+            # truncated binary: read ceil_bits-1; extend by one bit iff the
+            # short code falls in the high range (htsjdk GolombIntegerCodec)
+            cutoff = (1 << self.ceil_bits) - self.m
+            r = core.take(self.ceil_bits - 1) if self.ceil_bits > 1 else 0
+            if r >= cutoff:
+                r = (r << 1) | core.take(1)
+                r -= cutoff
+            return q * self.m + r - self.offset
+        if c == 7:  # GAMMA: count 0s to the leading 1, then mantissa
+            length = 1
+            while not core.take(1):
+                length += 1
+            v = (1 << (length - 1)) | core.take(length - 1)
+            return v - self.offset
+        if c == 8:  # SUBEXP: 1*-unary u, then k or u+k-1 mantissa bits
+            u = 0
+            while core.take(1):
+                u += 1
+            if u == 0:
+                n = core.take(self.k)
+            else:
+                b = u + self.k - 1
+                n = (1 << b) | core.take(b)
+            return n - self.offset
+        if c == 9:  # GOLOMB_RICE: unary quotient, log2m remainder bits
+            q = 0
+            while core.take(1):
+                q += 1
+            return (q << self.log2m) + core.take(self.log2m) - self.offset
         raise NotImplementedError(f"int decode for codec {c}")
 
     def decode_byte(self, core: BitReader, ext: dict[int, ByteReader]) -> int:

@@ -555,3 +555,136 @@ def test_cram_version_detection():
     for method, name in ((6, "arithmetic"), (7, "fqzcomp"), (8, "name tokenizer")):
         with pytest.raises(NotImplementedError, match=name):
             _decompress(method, b"\x00", 1)
+
+
+# --- spec 13 integer codecs (GOLOMB / GAMMA / SUBEXP / GOLOMB_RICE) ---------
+# Test-side encoders written independently from the hts-specs CRAMv3 text;
+# the decoder must invert them bit-exactly.
+
+
+class _BitWriter:
+    def __init__(self):
+        self.bits: list[int] = []
+
+    def put(self, v: int, n: int):
+        for i in range(n - 1, -1, -1):
+            self.bits.append((v >> i) & 1)
+
+    def unary1(self, q: int):
+        """q one-bits terminated by a zero."""
+        self.bits.extend([1] * q)
+        self.bits.append(0)
+
+    def bytes(self) -> bytes:
+        out = bytearray()
+        for i in range(0, len(self.bits), 8):
+            chunk = self.bits[i : i + 8]
+            chunk += [0] * (8 - len(chunk))
+            b = 0
+            for bit in chunk:
+                b = (b << 1) | bit
+            out.append(b)
+        return bytes(out)
+
+
+def _enc_golomb(w, value, offset, m):
+    v = value + offset
+    q, r = divmod(v, m)
+    w.unary1(q)
+    ceil_bits = m.bit_length()
+    cutoff = (1 << ceil_bits) - m
+    if r < cutoff:
+        if ceil_bits > 1:
+            w.put(r, ceil_bits - 1)
+    else:
+        w.put(r + cutoff, ceil_bits)
+
+
+def _enc_gamma(w, value, offset):
+    v = value + offset
+    assert v >= 1, "gamma cannot encode <1; offset must lift the range"
+    n = v.bit_length()
+    w.put(0, n - 1)  # n-1 zeros
+    w.put(v, n)  # leading 1 + mantissa
+    # (leading bit of v is the 1 terminating the zero run)
+
+
+def _enc_subexp(w, value, offset, k):
+    n = value + offset
+    b = n.bit_length()
+    if n < (1 << k):
+        w.unary1(0)
+        w.put(n, k)
+    else:
+        u = b - k
+        w.unary1(u)
+        w.put(n & ((1 << (b - 1)) - 1), b - 1)
+
+
+def _enc_rice(w, value, offset, log2m):
+    v = value + offset
+    w.unary1(v >> log2m)
+    w.put(v & ((1 << log2m) - 1), log2m)
+
+
+def test_spec13_integer_codecs_roundtrip():
+    """GOLOMB(2) / GAMMA(7) / SUBEXP(8) / GOLOMB_RICE(9) decode streams
+    produced by independent spec-faithful encoders (htsjdk's codec classes
+    are the public cross-check) for a value sweep including the truncated-
+    binary boundary and both subexp branches."""
+    from sequila_spark.sources.cramcodec import BitReader, Encoding
+
+    values = list(range(0, 40)) + [63, 64, 65, 127, 128, 1000, 4095]
+
+    for m in (1, 2, 3, 5, 7, 8, 10, 100):
+        w = _BitWriter()
+        for v in values:
+            _enc_golomb(w, v, 0, m)
+        enc = Encoding(2, bytes([0, m]))
+        bits = BitReader(w.bytes())
+        assert [enc.decode_int(bits, {}) for _ in values] == values, f"m={m}"
+
+    # GAMMA with offset 1 so 0 is encodable (params itf8 offset=1)
+    w = _BitWriter()
+    for v in values:
+        _enc_gamma(w, v, 1)
+    enc = Encoding(7, bytes([1]))
+    bits = BitReader(w.bytes())
+    assert [enc.decode_int(bits, {}) for _ in values] == values
+
+    for k in (0, 1, 2, 3, 5, 8):
+        w = _BitWriter()
+        for v in values:
+            _enc_subexp(w, v, 0, k)
+        enc = Encoding(8, bytes([0, k]))
+        bits = BitReader(w.bytes())
+        assert [enc.decode_int(bits, {}) for _ in values] == values, f"k={k}"
+
+    for log2m in (0, 1, 3, 6):
+        w = _BitWriter()
+        for v in values:
+            _enc_rice(w, v, 0, log2m)
+        enc = Encoding(9, bytes([0, log2m]))
+        bits = BitReader(w.bytes())
+        assert [enc.decode_int(bits, {}) for _ in values] == values, f"log2m={log2m}"
+
+
+def test_spec13_codecs_negative_via_offset():
+    """Offsets shift the decodable range below zero (spec: value =
+    code - offset), matching htsjdk's `- offset` convention."""
+    from sequila_spark.sources.cramcodec import BitReader, Encoding
+
+    values = [-5, -1, 0, 3, 17]
+    w = _BitWriter()
+    for v in values:
+        _enc_golomb(w, v, 5, 4)
+    enc = Encoding(2, bytes([5, 4]))
+    bits = BitReader(w.bytes())
+    assert [enc.decode_int(bits, {}) for _ in values] == values
+
+    w = _BitWriter()
+    for v in values:
+        _enc_subexp(w, v, 5, 2)
+    enc = Encoding(8, bytes([5, 2]))
+    bits = BitReader(w.bytes())
+    assert [enc.decode_int(bits, {}) for _ in values] == values
