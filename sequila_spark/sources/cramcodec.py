@@ -10,11 +10,12 @@ sequence reconstruction against the reference (substitution matrix,
 insertions, deletions, clips, splices) and CIGAR synthesis.
 
 CRAM 3.1 (same container layout, new codecs) is accepted at the version
-check; of its codecs, rANS Nx16 order-0 (+ CAT/NoSize transforms) decodes
-natively and the rest — Nx16 order-1/STRIPE/RLE/PACK, adaptive arithmetic,
-fqzcomp, name tokenizer — raise NotImplementedError naming the missing
-codec at PLAN time (validate_container_file), so callers know exactly what
-a given archive needs.
+check; of its codecs, rANS Nx16 decodes natively in full — orders 0/1,
+4-/32-way interleave, CAT/NoSize and the STRIPE/RLE/PACK transforms —
+while adaptive arithmetic, fqzcomp and the name tokenizer raise
+NotImplementedError naming the missing codec at PLAN time
+(validate_container_file), so callers know exactly what a given archive
+needs.
 
 Parity surface: the reference gates CRAM behind disq/htslib
 (datasources/BAM/CRAMDataSource.scala:7-15); here plain CRAM decodes
@@ -320,21 +321,203 @@ def _nx16_decode0(r: ByteReader, out_size: int, n_way: int) -> bytes:
     return bytes(out)
 
 
+def _nx16_decode1(r: ByteReader, out_size: int, n_way: int) -> bytes:
+    """rANS Nx16 order-1: per-context frequency rows (zero-run RLE over the
+    shared alphabet, optionally themselves order-0-compressed), output split
+    into N contiguous slices — state j decodes slice j, the remainder is
+    decoded by the last state continuing its context chain (CRAMcodecs
+    'rANS Nx16' order-1 pseudocode)."""
+    comp = r.u8()
+    shift = comp >> 4
+    if comp & 1:  # frequency table itself order-0 compressed
+        u_size = _uint7(r)
+        c_size = _uint7(r)
+        freq_r = ByteReader(_nx16_decode0(ByteReader(r.read(c_size)), u_size, 4))
+    else:
+        freq_r = r
+    syms = _nx16_read_alphabet(freq_r)
+    tot = 1 << shift
+    mask = tot - 1
+    # per-context rows with zero-run RLE: an explicit 0 frequency is
+    # followed by a byte counting further implied zeros
+    F: dict[int, list[int]] = {}
+    cum: dict[int, list[int]] = {}
+    lookup: dict[int, bytearray] = {}
+    for i in syms:
+        row = [0] * 256
+        run = 0
+        for j in syms:
+            if run > 0:
+                run -= 1
+                continue
+            f = _uint7(freq_r)
+            row[j] = f
+            if f == 0:
+                run = freq_r.u8()
+        t = sum(row)
+        if t == 0:
+            continue  # context never used by the stream
+        if t != tot:
+            # spec-permitted lower-precision rows would need the encoder's
+            # exact renormalization; keep the plan-time loud-failure
+            # contract instead of guessing
+            raise NotImplementedError(
+                "rANS Nx16 order-1 fractional frequency rows"
+            )
+        c = [0] * 257
+        for s in range(256):
+            c[s + 1] = c[s] + row[s]
+        lk = bytearray(tot)
+        for s in syms:
+            if row[s]:
+                for slot in range(c[s], c[s + 1]):
+                    lk[slot] = s
+        F[i] = row
+        cum[i] = c
+        lookup[i] = lk
+    states = [struct.unpack("<I", r.read(4))[0] for _ in range(n_way)]
+    out = bytearray(out_size)
+    b = r.b
+    ptr = r.i
+    i2 = out_size // n_way
+    last = [0] * n_way
+    for pos in range(i2):
+        for j in range(n_way):
+            x = states[j]
+            slot = x & mask
+            ctx = last[j]
+            s = lookup[ctx][slot]
+            out[j * i2 + pos] = s
+            x = F[ctx][s] * (x >> shift) + slot - cum[ctx][s]
+            if x < _NX16_LOW:
+                x = (x << 16) | b[ptr] | (b[ptr + 1] << 8)
+                ptr += 2
+            states[j] = x
+            last[j] = s
+    # remainder: the last state continues its context chain
+    x = states[n_way - 1]
+    ctx = last[n_way - 1]
+    for pos in range(n_way * i2, out_size):
+        slot = x & mask
+        s = lookup[ctx][slot]
+        out[pos] = s
+        x = F[ctx][s] * (x >> shift) + slot - cum[ctx][s]
+        if x < _NX16_LOW:
+            x = (x << 16) | b[ptr] | (b[ptr + 1] << 8)
+            ptr += 2
+        ctx = s
+    r.i = ptr
+    return bytes(out)
+
+
+def _nx16_unpack(data: bytes, pmap: list[int], out_size: int) -> bytes:
+    """Inverse PACK: expand 0/1/2/4-bit indices (LSB-first within each
+    byte) through the symbol map."""
+    nsym = len(pmap)
+    out = bytearray(out_size)
+    if nsym <= 1:
+        sym = pmap[0] if pmap else 0
+        for i in range(out_size):
+            out[i] = sym
+    elif nsym <= 2:
+        for i in range(out_size):
+            out[i] = pmap[(data[i >> 3] >> (i & 7)) & 1]
+    elif nsym <= 4:
+        for i in range(out_size):
+            out[i] = pmap[(data[i >> 2] >> ((i & 3) << 1)) & 3]
+    elif nsym <= 16:
+        for i in range(out_size):
+            out[i] = pmap[(data[i >> 1] >> ((i & 1) << 2)) & 15]
+    else:
+        raise ValueError(f"rANS Nx16 PACK with {nsym} symbols")
+    return bytes(out)
+
+
+def _nx16_unrle(data: bytes, has_run: bytearray, runs: ByteReader,
+                out_size: int) -> bytes:
+    """Inverse RLE: symbols flagged in ``has_run`` are followed (in the
+    side meta stream) by a uint7 count of EXTRA repeats."""
+    out = bytearray(out_size)
+    j = 0
+    for sym in data:
+        if has_run[sym]:
+            n = _uint7(runs) + 1
+            out[j : j + n] = bytes([sym]) * n
+            j += n
+        else:
+            out[j] = sym
+            j += 1
+    if j != out_size:
+        raise ValueError(f"rANS Nx16 RLE expanded to {j} != {out_size}")
+    return bytes(out)
+
+
+def _nx16_stripe(r: ByteReader, out_size: int) -> bytes:
+    """Inverse STRIPE: N independent sub-streams (each a complete rANS
+    Nx16 stream), de-interleaved byte-round-robin into the output."""
+    n = r.u8()
+    clens = [_uint7(r) for _ in range(n)]
+    out = bytearray(out_size)
+    q, rem = divmod(out_size, n)
+    for j in range(n):
+        ulen = q + (1 if j < rem else 0)
+        sub = rans_nx16_decode(bytes(r.read(clens[j])), ulen)
+        if len(sub) != ulen:
+            raise ValueError("rANS Nx16 STRIPE substream length mismatch")
+        out[j::n] = sub
+    return bytes(out)
+
+
 def rans_nx16_decode(data: bytes, raw_size: int) -> bytes:
+    """Full rANS Nx16 decode per the CRAMcodecs spec: orders 0/1, 4- or
+    32-way interleave, and the CAT / STRIPE / PACK / RLE transforms.
+    Transform metadata reads in stream order (PACK map, then RLE symbol
+    set + run stream), inverses apply in reverse (entropy -> unRLE ->
+    unPACK)."""
     r = ByteReader(data)
     flags = r.u8()
-    if flags & _NX16_STRIPE:
-        raise NotImplementedError("rANS Nx16 STRIPE transform")
-    if flags & _NX16_RLE:
-        raise NotImplementedError("rANS Nx16 RLE transform")
-    if flags & _NX16_PACK:
-        raise NotImplementedError("rANS Nx16 PACK transform")
+    n_way = 32 if flags & _NX16_X32 else 4
     out_size = raw_size if flags & _NX16_NOSZ else _uint7(r)
-    if flags & _NX16_CAT:
-        return bytes(r.read(out_size))
-    if flags & _NX16_ORDER1:
-        raise NotImplementedError("rANS Nx16 order-1")
-    return _nx16_decode0(r, out_size, 32 if flags & _NX16_X32 else 4)
+    if flags & _NX16_STRIPE:
+        return _nx16_stripe(r, out_size)
+    pmap: list[int] | None = None
+    has_run: bytearray | None = None
+    runs_r: ByteReader | None = None
+    pack_len = rle_len = 0
+    if flags & _NX16_PACK:
+        pack_len = out_size
+        nsym = r.u8()
+        pmap = [r.u8() for _ in range(nsym)]
+        out_size = _uint7(r)
+    if flags & _NX16_RLE:
+        rle_len = out_size
+        rle_meta_len = _uint7(r)
+        out_size = _uint7(r)
+        if rle_meta_len & 1:  # stored verbatim
+            meta = ByteReader(r.read((rle_meta_len - 1) >> 1))
+        else:  # itself order-0 compressed
+            cmeta_len = _uint7(r)
+            meta = ByteReader(
+                _nx16_decode0(ByteReader(r.read(cmeta_len)), rle_meta_len >> 1, 4)
+            )
+        n_rle = meta.u8() or 256
+        has_run = bytearray(256)
+        for _ in range(n_rle):
+            has_run[meta.u8()] = 1
+        runs_r = meta
+    if out_size == 0:  # e.g. PACK with a <=1-symbol map packs to nothing
+        out = b""
+    elif flags & _NX16_CAT:
+        out = bytes(r.read(out_size))
+    elif flags & _NX16_ORDER1:
+        out = _nx16_decode1(r, out_size, n_way)
+    else:
+        out = _nx16_decode0(r, out_size, n_way)
+    if has_run is not None:
+        out = _nx16_unrle(out, has_run, runs_r, rle_len)
+    if pmap is not None:
+        out = _nx16_unpack(out, pmap, pack_len)
+    return out
 
 
 # CRAM 3.1 method numbers -> codec names, for precise unimplemented errors
@@ -751,21 +934,6 @@ def validate_container_file(path, h: dict) -> None:
             if method > 5:
                 name = _METHOD_NAMES.get(method, f"method {method}")
                 raise NotImplementedError(f"CRAM block compression: {name}")
-            if method == 5:
-                # plan-time support check for the Nx16 flags byte: the
-                # implemented subset (order-0 / CAT) passes, 3.1-only
-                # transforms raise by name here, before any executor work
-                f.seek(payload_at)
-                first = f.read(1)
-                flags = first[0] if first else 0
-                if flags & _NX16_STRIPE:
-                    raise NotImplementedError("rANS Nx16 STRIPE transform")
-                if flags & _NX16_RLE:
-                    raise NotImplementedError("rANS Nx16 RLE transform")
-                if flags & _NX16_PACK:
-                    raise NotImplementedError("rANS Nx16 PACK transform")
-                if flags & _NX16_ORDER1:
-                    raise NotImplementedError("rANS Nx16 order-1")
             if ctype == 1:  # compression header: parse fully (codec check)
                 f.seek(payload_at)
                 CompressionHeader(_decompress(method, f.read(csize), rsize))

@@ -450,11 +450,10 @@ def _nx16_alphabet_enc(syms: list[int]) -> bytes:
     return bytes(out)
 
 
-def _nx16_encode0(data: bytes, n_way: int = 4) -> bytes:
-    """Reference rANS Nx16 order-0 ENCODER (test-side only), written from
-    the hts-specs CRAMcodecs document: 12-bit frequencies normalized to
-    4096, N interleaved 32-bit states with 16-bit renormalization emitted
-    into a backward-filled buffer, states flushed to the front in order."""
+def _nx16_encode0_body(data: bytes, n_way: int = 4) -> bytes:
+    """Bare rANS Nx16 order-0 stream (alphabet + freqs + states + words),
+    no flags/size header — the form embedded for compressed RLE metadata
+    and order-1 frequency tables."""
     from collections import Counter
 
     assert data
@@ -472,11 +471,7 @@ def _nx16_encode0(data: bytes, n_way: int = 4) -> bytes:
         cum[s] = acc
         acc += freq[s]
 
-    head = bytearray([0])  # flags: order-0, 4-way
-    if n_way == 32:
-        head[0] |= 0x04
-    head += _uint7_enc(len(data))
-    head += _nx16_alphabet_enc(syms)
+    head = bytearray(_nx16_alphabet_enc(syms))
     for s in syms:
         head += _uint7_enc(freq[s])
 
@@ -493,6 +488,16 @@ def _nx16_encode0(data: bytes, n_way: int = 4) -> bytes:
         states[j] = ((x // f) << 12) + (x % f) + cum[data[pos]]
     flush = b"".join(struct.pack("<I", states[j]) for j in range(n_way))
     return bytes(head) + flush + bytes(tail)
+
+
+def _nx16_encode0(data: bytes, n_way: int = 4) -> bytes:
+    """Reference rANS Nx16 order-0 ENCODER (test-side only), written from
+    the hts-specs CRAMcodecs document: 12-bit frequencies normalized to
+    4096, N interleaved 32-bit states with 16-bit renormalization emitted
+    into a backward-filled buffer, states flushed to the front in order."""
+    head = bytearray([0x04 if n_way == 32 else 0])
+    head += _uint7_enc(len(data))
+    return bytes(head) + _nx16_encode0_body(data, n_way)
 
 
 @pytest.mark.parametrize("n_way", [4, 32])
@@ -521,13 +526,263 @@ def test_rans_nx16_cat_and_nosize():
     assert rans_nx16_decode(nosz, len(payload)) == payload
 
 
-def test_rans_nx16_unimplemented_transforms_named():
+def _nx16_encode1_body(data: bytes, n_way: int = 4, shift: int = 12,
+                       compress_freqs: bool = False) -> bytes:
+    """Bare rANS Nx16 ORDER-1 stream: comp byte (shift<<4 | compressed-
+    freq-table bit), per-context frequency rows RLE'd over the shared
+    alphabet, N states; output split into N contiguous slices with the
+    remainder riding on the last state's context chain (CRAMcodecs
+    order-1 pseudocode, mirrored in cramcodec._nx16_decode1)."""
+    assert data
+    n = len(data)
+    i2 = n // n_way
+    # state sequences: slice j for j<N-1; last slice + remainder for N-1
+    seqs = [data[j * i2 : (j + 1) * i2] for j in range(n_way - 1)]
+    seqs.append(data[(n_way - 1) * i2 :])
+    F: dict[int, dict[int, int]] = {}
+    present: set[int] = set()
+    for seq in seqs:
+        ctx = 0
+        for s in seq:
+            F.setdefault(ctx, {})
+            F[ctx][s] = F[ctx].get(s, 0) + 1
+            present.add(ctx)
+            present.add(s)
+            ctx = s
+    syms = sorted(present)
+    tot = 1 << shift
+    freq: dict[int, dict[int, int]] = {}
+    cum: dict[int, dict[int, int]] = {}
+    for i, row in F.items():
+        t = sum(row.values())
+        nf = {s: max(1, (c * tot) // t) for s, c in row.items()}
+        nf[max(row, key=row.get)] += tot - sum(nf.values())
+        assert sum(nf.values()) == tot and min(nf.values()) >= 1
+        freq[i] = nf
+        acc = 0
+        c = {}
+        for s in syms:
+            if s in nf:
+                c[s] = acc
+                acc += nf[s]
+        cum[i] = c
+
+    # frequency table: shared alphabet, then per-context rows with
+    # zero-run RLE (explicit 0 followed by a count of further zeros)
+    ftab = bytearray(_nx16_alphabet_enc(syms))
+    for i in syms:
+        row = freq.get(i, {})
+        k = 0
+        while k < len(syms):
+            f = row.get(syms[k], 0)
+            ftab += _uint7_enc(f)
+            if f == 0:
+                run = 0
+                while k + 1 + run < len(syms) and row.get(syms[k + 1 + run], 0) == 0:
+                    run += 1
+                ftab.append(run)
+                k += 1 + run
+            else:
+                k += 1
+
+    head = bytearray()
+    if compress_freqs:
+        head.append((shift << 4) | 1)
+        comp = _nx16_encode0_body(bytes(ftab), 4)
+        head += _uint7_enc(len(ftab)) + _uint7_enc(len(comp)) + comp
+    else:
+        head.append(shift << 4)
+        head += ftab
+
+    tail = bytearray()
+    states = [1 << 15] * n_way
+    x_max_mult = (1 << 15 >> shift) << 16
+
+    def enc(j: int, ctx: int, s: int):
+        x = states[j]
+        f = freq[ctx][s]
+        while x >= x_max_mult * f:
+            tail[0:0] = bytes([x & 0xFF, (x >> 8) & 0xFF])
+            x >>= 16
+        states[j] = ((x // f) << shift) + (x % f) + cum[ctx][s]
+
+    # reverse of decode order: remainder first (last state), then the
+    # interleaved main loop backwards
+    for pos in range(n - 1, n_way * i2 - 1, -1):
+        ctx = data[pos - 1] if pos > (n_way - 1) * i2 else 0
+        enc(n_way - 1, ctx, data[pos])
+    for pos in range(i2 - 1, -1, -1):
+        for j in range(n_way - 1, -1, -1):
+            p = j * i2 + pos
+            ctx = data[p - 1] if pos > 0 else 0
+            enc(j, ctx, data[p])
+    flush = b"".join(struct.pack("<I", states[j]) for j in range(n_way))
+    return bytes(head) + flush + bytes(tail)
+
+
+def _nx16_encode1(data: bytes, n_way: int = 4, shift: int = 12,
+                  compress_freqs: bool = False) -> bytes:
+    head = bytearray([0x01 | (0x04 if n_way == 32 else 0)])
+    head += _uint7_enc(len(data))
+    return bytes(head) + _nx16_encode1_body(data, n_way, shift, compress_freqs)
+
+
+def _nx16_pack(data: bytes) -> tuple[bytes, bytes]:
+    """PACK transform: (meta = nsym + symbol map + uint7 packed length
+    marker handled by caller, packed bytes). LSB-first bit packing."""
+    syms = sorted(set(data))
+    nsym = len(syms)
+    idx = {s: i for i, s in enumerate(syms)}
+    if nsym <= 1:
+        packed = b""
+    elif nsym <= 2:
+        packed = bytearray((len(data) + 7) // 8)
+        for i, s in enumerate(data):
+            packed[i >> 3] |= idx[s] << (i & 7)
+    elif nsym <= 4:
+        packed = bytearray((len(data) + 3) // 4)
+        for i, s in enumerate(data):
+            packed[i >> 2] |= idx[s] << ((i & 3) << 1)
+    elif nsym <= 16:
+        packed = bytearray((len(data) + 1) // 2)
+        for i, s in enumerate(data):
+            packed[i >> 1] |= idx[s] << ((i & 1) << 2)
+    else:
+        raise AssertionError("test data must have <= 16 distinct symbols")
+    return bytes([nsym]) + bytes(syms), bytes(packed)
+
+
+def _nx16_rle(data: bytes, rle_syms: set[int]) -> tuple[bytes, bytes]:
+    """RLE transform: literals keep one copy of each run of a flagged
+    symbol; the meta stream is [count][symbols...][uint7 extra-repeat
+    counts in literal order]."""
+    lits = bytearray()
+    runs = bytearray()
+    i = 0
+    while i < len(data):
+        s = data[i]
+        lits.append(s)
+        if s in rle_syms:
+            run = 0
+            while i + run + 1 < len(data) and data[i + run + 1] == s:
+                run += 1
+            runs += _uint7_enc(run)
+            i += run + 1
+        else:
+            i += 1
+    meta = bytes([len(rle_syms) & 0xFF]) + bytes(sorted(rle_syms)) + bytes(runs)
+    return bytes(lits), meta
+
+
+def test_rans_nx16_order1_roundtrip():
     from sequila_spark.sources.cramcodec import rans_nx16_decode
 
-    for flag, name in ((0x01, "order-1"), (0x08, "STRIPE"), (0x40, "RLE"),
-                       (0x80, "PACK")):
-        with pytest.raises(NotImplementedError, match=name):
-            rans_nx16_decode(bytes([flag, 0x05, 1, 2, 3, 4, 5]), 5)
+    rng = random.Random(77)
+    seqish = bytes(rng.choice(b"ACGTN") for _ in range(5000))
+    payloads = [
+        seqish,
+        bytes(rng.randrange(256) for _ in range(2048)),  # full alphabet
+        b"A" * 700,  # single symbol
+        bytes(rng.choice(b"\x00\x01") for _ in range(999)),  # 0 in alphabet
+        seqish[:37],  # shorter than 4*16: remainder-only decode
+    ]
+    for n_way in (4, 32):
+        for payload in payloads:
+            enc = _nx16_encode1(payload, n_way)
+            assert rans_nx16_decode(enc, len(payload)) == payload, (
+                f"n_way={n_way} len={len(payload)}"
+            )
+    # 10-bit shift and compressed frequency table paths
+    enc = _nx16_encode1(seqish, 4, shift=10)
+    assert rans_nx16_decode(enc, len(seqish)) == seqish
+    enc = _nx16_encode1(seqish, 4, compress_freqs=True)
+    assert rans_nx16_decode(enc, len(seqish)) == seqish
+
+
+def test_rans_nx16_pack_transform():
+    from sequila_spark.sources.cramcodec import rans_nx16_decode
+
+    rng = random.Random(7)
+    for alpha in (b"A", b"AC", b"ACGT", b"ACGTNacgtn"):
+        payload = bytes(rng.choice(alpha) for _ in range(3000))
+        pmeta, packed = _nx16_pack(payload)
+        body = _nx16_encode0_body(packed, 4) if packed else b""
+        enc = (bytes([0x80]) + _uint7_enc(len(payload)) + pmeta
+               + _uint7_enc(len(packed)) + body)
+        assert rans_nx16_decode(enc, len(payload)) == payload, alpha
+
+
+def test_rans_nx16_rle_transform():
+    from sequila_spark.sources.cramcodec import rans_nx16_decode
+
+    rng = random.Random(8)
+    payload = bytearray()
+    for _ in range(400):
+        s = rng.choice(b"AB\x00q")
+        payload += bytes([s]) * (rng.randrange(1, 9) if s in b"A\x00" else 1)
+    payload = bytes(payload)
+    lits, meta = _nx16_rle(payload, {ord("A"), 0})
+    # stored (odd rle_meta_len) metadata path
+    enc = (bytes([0x40]) + _uint7_enc(len(payload))
+           + _uint7_enc(2 * len(meta) + 1) + _uint7_enc(len(lits)) + meta
+           + _nx16_encode0_body(lits, 4))
+    assert rans_nx16_decode(enc, len(payload)) == payload
+    # compressed (even rle_meta_len) metadata path
+    cmeta = _nx16_encode0_body(meta, 4)
+    enc = (bytes([0x40]) + _uint7_enc(len(payload))
+           + _uint7_enc(2 * len(meta)) + _uint7_enc(len(lits))
+           + _uint7_enc(len(cmeta)) + cmeta
+           + _nx16_encode0_body(lits, 4))
+    assert rans_nx16_decode(enc, len(payload)) == payload
+
+
+def test_rans_nx16_pack_rle_order1_combined():
+    """PACK -> RLE -> order-1 entropy, the full transform pipeline in one
+    stream; decode inverts in the opposite order."""
+    from sequila_spark.sources.cramcodec import rans_nx16_decode
+
+    rng = random.Random(9)
+    payload = bytearray()
+    for _ in range(500):
+        s = rng.choice(b"ACGT")
+        payload += bytes([s]) * (rng.randrange(1, 6) if s == ord("A") else 1)
+    payload = bytes(payload)
+    pmeta, packed = _nx16_pack(payload)
+    lits, rmeta = _nx16_rle(packed, set(range(256)))
+    enc = (bytes([0x80 | 0x40 | 0x01]) + _uint7_enc(len(payload))
+           + pmeta + _uint7_enc(len(packed))
+           + _uint7_enc(2 * len(rmeta) + 1) + _uint7_enc(len(lits)) + rmeta
+           + _nx16_encode1_body(lits, 4))
+    assert rans_nx16_decode(enc, len(payload)) == payload
+
+
+def test_rans_nx16_stripe_transform():
+    from sequila_spark.sources.cramcodec import rans_nx16_decode
+
+    rng = random.Random(10)
+    for total in (4096, 4097, 4099, 17):
+        payload = bytes(rng.choice(b"ACGTN") for _ in range(total))
+        n = 4
+        subs = [_nx16_encode0(payload[j::n], 4) for j in range(n)]
+        enc = bytearray([0x08]) + _uint7_enc(len(payload)) + bytes([n])
+        for s in subs:
+            enc += _uint7_enc(len(s))
+        for s in subs:
+            enc += s
+        assert rans_nx16_decode(bytes(enc), len(payload)) == payload, total
+
+
+def test_rans_nx16_unimplemented_fractional_freq_rows():
+    """Order-1 rows not summing to 1<<shift raise NotImplementedError (the
+    loud plan-time gate) rather than decoding garbage."""
+    from sequila_spark.sources.cramcodec import rans_nx16_decode
+
+    payload = b"ACGT" * 50
+    # a lying comp byte: header claims shift=12 but rows sum to 1<<10
+    body = _nx16_encode1_body(payload, 4, shift=10)
+    bad = bytes([0x01]) + _uint7_enc(len(payload)) + bytes([12 << 4]) + body[1:]
+    with pytest.raises(NotImplementedError, match="fractional"):
+        rans_nx16_decode(bad, len(payload))
 
 
 def test_cram_version_detection():
