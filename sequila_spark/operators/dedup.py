@@ -132,29 +132,72 @@ def ngram_jaccard_pairs(
             Window.partitionBy(id_col).orderBy("f", "sh")
         ),
     )
-    prefix = ranked.join(sizes, id_col).where(
+    ranked = ranked.join(sizes, id_col)
+
+    # Asymmetric PPJoin prefixes (Xiao et al. 2008): every doc PROBES with
+    # its ⌊(1-t)n⌋+1 rarest shingles but is INDEXED only under its
+    # n-⌈2t/(1+t)·n⌉+1 rarest — for J>=t the first shared shingle (in the
+    # shared global order) falls inside the probe prefix of the larger doc
+    # AND the index prefix of the smaller, so joining probe×index under a
+    # strict (size, id) ordering is lossless while shrinking the join's
+    # hot side ~(1-t)/(1+t)/(1-t) = 1/(1+t)x and halving pair orders.
+    # The 1e-9 slacks keep double rounding from tightening the exact
+    # rational bounds.
+    probe = ranked.where(
         F.col("rk") <= F.floor((1.0 - threshold) * F.col("n")) + 1
     )
+    two_t = 2.0 * threshold / (1.0 + threshold)
+    index = ranked.where(
+        F.col("rk")
+        <= F.col("n") - F.ceil(F.lit(two_t) * F.col("n") - 1e-9) + 1
+    )
+    p = probe.select(
+        F.col(id_col).alias("id_p"), "sh",
+        F.col("rk").alias("rk_p"), F.col("n").alias("n_p"),
+    )
+    i = index.select(
+        F.col(id_col).alias("id_i"), "sh",
+        F.col("rk").alias("rk_i"), F.col("n").alias("n_i"),
+    )
+    matches = p.join(i, "sh").where(
+        (
+            (F.col("n_i") < F.col("n_p"))
+            | ((F.col("n_i") == F.col("n_p")) & (F.col("id_i") < F.col("id_p")))
+        )
+        # size filter: J>=t forces n_small >= t*n_large (pure pruning)
+        & (F.col("n_i") >= F.lit(threshold) * F.col("n_p") - 1e-9)
+    )
 
-    # positional filter (PPJoin): a matching prefix element at ranks
-    # (rk1, rk2) bounds the overlap by 1 + min(n1-rk1, n2-rk2), which must
-    # reach ceil(t/(1+t)*(n1+n2)) for Jaccard >= t — lossless pruning.
-    a = prefix.select(F.col(id_col).alias("id_1"), "sh", F.col("rk").alias("rk1"), F.col("n").alias("n1"))
-    b = prefix.select(F.col(id_col).alias("id_2"), "sh", F.col("rk").alias("rk2"), F.col("n").alias("n2"))
+    # positional filter, counting form: both docs rank shingles by the
+    # SAME global order, so every shared shingle beyond the last counted
+    # match sits after it in both rankings.  Hence overlap <= (#matches)
+    # + min(n_p - max rk_p, n_i - max rk_i), which must reach
+    # ceil(t/(1+t)*(n_p+n_i)) for Jaccard >= t — lossless, and strictly
+    # stronger than the single-match bound on low-entropy corpora where
+    # many docs share a few common prefix shingles.
     alpha = F.ceil(
-        F.lit(threshold) / (1.0 + threshold) * (F.col("n1") + F.col("n2"))
+        F.lit(threshold) / (1.0 + threshold) * (F.col("n_p") + F.col("n_i"))
     )
     cands = (
-        a.join(b, "sh")
-        .where(
-            (F.col("id_1") < F.col("id_2"))
-            & (
-                1 + F.least(F.col("n1") - F.col("rk1"), F.col("n2") - F.col("rk2"))
-                >= alpha
-            )
+        matches.groupBy("id_p", "id_i")
+        .agg(
+            F.count("*").alias("__cnt"),
+            F.max("rk_p").alias("__mrk_p"),
+            F.max("rk_i").alias("__mrk_i"),
+            F.first("n_p").alias("n_p"),
+            F.first("n_i").alias("n_i"),
         )
-        .select("id_1", "id_2")
-        .distinct()
+        .where(
+            F.col("__cnt")
+            + F.least(
+                F.col("n_p") - F.col("__mrk_p"), F.col("n_i") - F.col("__mrk_i")
+            )
+            >= alpha
+        )
+        .select(
+            F.least("id_p", "id_i").alias("id_1"),
+            F.greatest("id_p", "id_i").alias("id_2"),
+        )
     )
 
     return _verify_jaccard(sh, cands, threshold, id_col)
