@@ -167,7 +167,12 @@ def write_bam(
       be storage every executor AND the driver can reach, e.g. NFS/
       object-store mount on a real cluster), then the driver streams the
       shards into the final file with bounded (single-block) memory.
-      BGZF needs no re-framing, so concatenation is byte-exact.
+      BGZF needs no re-framing, so concatenation is byte-exact — which
+      also means the driver stitch is pure I/O: on object stores the same
+      shard list can instead be handed to a server-side compose/multipart
+      API (header object + shards in numeric order + EOF object) so no
+      byte ever flows through the driver; the serial local stream here is
+      the filesystem fallback of that plan, not the design.
 
     ``refs`` defaults to the observed contigs with max(pos_end) as length.
     """
