@@ -12,10 +12,11 @@ insertions, deletions, clips, splices) and CIGAR synthesis.
 CRAM 3.1 (same container layout, new codecs) is accepted at the version
 check; of its codecs, rANS Nx16 decodes natively in full — orders 0/1,
 4-/32-way interleave, CAT/NoSize and the STRIPE/RLE/PACK transforms —
-while adaptive arithmetic, fqzcomp and the name tokenizer raise
-NotImplementedError naming the missing codec at PLAN time
-(validate_container_file), so callers know exactly what a given archive
-needs.
+and the adaptive arithmetic (range) coder decodes orders 0/1 with its
+CAT/EXT/PACK/STRIPE modes, while the arithmetic integrated-RLE mode,
+fqzcomp and the name tokenizer raise NotImplementedError naming the
+missing codec at PLAN time (validate_container_file), so callers know
+exactly what a given archive needs.
 
 Parity surface: the reference gates CRAM behind disq/htslib
 (datasources/BAM/CRAMDataSource.scala:7-15); here plain CRAM decodes
@@ -520,9 +521,165 @@ def rans_nx16_decode(data: bytes, raw_size: int) -> bytes:
     return out
 
 
+# --- CRAM 3.1 adaptive arithmetic (range) coder -----------------------------
+# Implemented from the public CRAMcodecs specification: an LZMA-family
+# carry-aware range coder (StartDecode consumes 5 bytes — the encoder's
+# leading carry-headroom byte shifts straight out of the 32-bit code
+# register) with Fenwick-free adaptive byte models: per-symbol frequencies
+# start at 1, bump by 16 on use, bubble one slot toward the front when they
+# pass their predecessor, and halve (rounding up) when the total crosses
+# MAX_FREQ.  Shares the Nx16 transform flag byte, except bit 0x04 means
+# EXT (bzip2-compressed payload) rather than 32-way interleave and RLE is
+# an integrated model (not side metadata) — the one mode left unimplemented
+# here, raising by name at plan time.
+
+_ARITH_EXT = 0x04
+_ARITH_STEP = 16
+_ARITH_MAX_FREQ = (1 << 16) - 17
+
+
+class _RangeDecoder:
+    __slots__ = ("b", "i", "range", "code")
+
+    def __init__(self, r: ByteReader):
+        self.b = r.b
+        self.i = r.i
+        self.range = 0xFFFFFFFF
+        code = 0
+        for _ in range(5):
+            code = ((code << 8) | self.b[self.i]) & 0xFFFFFFFFFF
+            self.i += 1
+        self.code = code & 0xFFFFFFFF
+
+    def get_freq(self, tot: int) -> int:
+        self.range //= tot
+        return self.code // self.range
+
+    def decode(self, cum: int, freq: int) -> None:
+        self.code -= cum * self.range
+        self.range *= freq
+        while self.range < (1 << 24):
+            self.range = (self.range << 8) & 0xFFFFFFFFFF
+            self.code = ((self.code << 8) | self.b[self.i]) & 0xFFFFFFFFFF
+            self.i += 1
+
+
+class _AdaptiveModel:
+    """Adaptive frequency model: entries (symbol, freq) kept approximately
+    sorted by bubbling a used entry one slot forward; linear cumulative
+    scan (hot symbols sit at the front, so the scan is short in practice)."""
+
+    __slots__ = ("syms", "freqs", "total")
+
+    def __init__(self, nsym: int):
+        self.syms = list(range(nsym))
+        self.freqs = [1] * nsym
+        self.total = nsym
+
+    def decode(self, rc: _RangeDecoder) -> int:
+        f = rc.get_freq(self.total)
+        freqs = self.freqs
+        cum = 0
+        x = 0
+        while cum + freqs[x] <= f:
+            cum += freqs[x]
+            x += 1
+        rc.decode(cum, freqs[x])
+        sym = self.syms[x]
+        self._update(x)
+        return sym
+
+    def _update(self, x: int) -> None:
+        freqs = self.freqs
+        freqs[x] += _ARITH_STEP
+        self.total += _ARITH_STEP
+        if x > 0 and freqs[x] > freqs[x - 1]:
+            freqs[x], freqs[x - 1] = freqs[x - 1], freqs[x]
+            s = self.syms
+            s[x], s[x - 1] = s[x - 1], s[x]
+        if self.total > _ARITH_MAX_FREQ:
+            self.total = 0
+            for j in range(len(freqs)):
+                freqs[j] -= freqs[j] >> 1
+                self.total += freqs[j]
+
+
+def _arith_decode0(r: ByteReader, out_size: int) -> bytes:
+    max_sym = r.u8() or 256
+    rc = _RangeDecoder(r)
+    model = _AdaptiveModel(max_sym)
+    out = bytearray(out_size)
+    for pos in range(out_size):
+        out[pos] = model.decode(rc)
+    r.i = rc.i
+    return bytes(out)
+
+
+def _arith_decode1(r: ByteReader, out_size: int) -> bytes:
+    max_sym = r.u8() or 256
+    rc = _RangeDecoder(r)
+    models = [_AdaptiveModel(max_sym) for _ in range(max_sym)]
+    out = bytearray(out_size)
+    ctx = 0
+    for pos in range(out_size):
+        ctx = out[pos] = models[ctx].decode(rc)
+    r.i = rc.i
+    return bytes(out)
+
+
+def _arith_stripe(r: ByteReader, out_size: int) -> bytes:
+    n = r.u8()
+    clens = [_uint7(r) for _ in range(n)]
+    out = bytearray(out_size)
+    q, rem = divmod(out_size, n)
+    for j in range(n):
+        ulen = q + (1 if j < rem else 0)
+        sub = arith_decode(bytes(r.read(clens[j])), ulen)
+        if len(sub) != ulen:
+            raise ValueError("arith STRIPE substream length mismatch")
+        out[j::n] = sub
+    return bytes(out)
+
+
+def arith_decode(data: bytes, raw_size: int) -> bytes:
+    """CRAM 3.1 block method 6 (adaptive arithmetic coding): orders 0/1,
+    CAT, EXT (bzip2), PACK and STRIPE transforms; the integrated RLE mode
+    raises by name (plan-time gate, pysam fallback)."""
+    r = ByteReader(data)
+    flags = r.u8()
+    out_size = raw_size if flags & _NX16_NOSZ else _uint7(r)
+    if flags & _NX16_STRIPE:
+        return _arith_stripe(r, out_size)
+    pmap: list[int] | None = None
+    pack_len = 0
+    if flags & _NX16_PACK:
+        pack_len = out_size
+        nsym = r.u8()
+        pmap = [r.u8() for _ in range(nsym)]
+        out_size = _uint7(r)
+    if flags & _NX16_RLE:
+        raise NotImplementedError(
+            "arithmetic-coder integrated RLE mode (CRAM 3.1)"
+        )
+    if out_size == 0:
+        out = b""
+    elif flags & _NX16_CAT:
+        out = bytes(r.read(out_size))
+    elif flags & _ARITH_EXT:
+        out = bz2.decompress(bytes(r.b[r.i :]))
+        if len(out) != out_size:
+            raise ValueError("arith EXT payload length mismatch")
+    elif flags & _NX16_ORDER1:
+        out = _arith_decode1(r, out_size)
+    else:
+        out = _arith_decode0(r, out_size)
+    if pmap is not None:
+        out = _nx16_unpack(out, pmap, pack_len)
+    return out
+
+
 # CRAM 3.1 method numbers -> codec names, for precise unimplemented errors
 _METHOD_NAMES = {
-    6: "adaptive arithmetic coding (CRAM 3.1)",
     7: "fqzcomp quality codec (CRAM 3.1)",
     8: "name tokenizer (CRAM 3.1)",
 }
@@ -541,6 +698,8 @@ def _decompress(method: int, data: bytes, raw_size: int) -> bytes:
         return rans_decode(data)
     if method == 5:
         return rans_nx16_decode(data, raw_size)
+    if method == 6:
+        return arith_decode(data, raw_size)
     name = _METHOD_NAMES.get(method, f"method {method}")
     raise NotImplementedError(f"CRAM block compression: {name}")
 
@@ -931,9 +1090,18 @@ def validate_container_file(path, h: dict) -> None:
             csize = r.itf8()
             rsize = r.itf8()
             payload_at = pos + r.i
-            if method > 5:
+            if method > 6:
                 name = _METHOD_NAMES.get(method, f"method {method}")
                 raise NotImplementedError(f"CRAM block compression: {name}")
+            if method == 6:
+                # arith flags byte: the integrated RLE mode raises by name
+                # here, before any executor work is scheduled
+                f.seek(payload_at)
+                first = f.read(1)
+                if first and first[0] & _NX16_RLE:
+                    raise NotImplementedError(
+                        "arithmetic-coder integrated RLE mode (CRAM 3.1)"
+                    )
             if ctype == 1:  # compression header: parse fully (codec check)
                 f.seek(payload_at)
                 CompressionHeader(_decompress(method, f.read(csize), rsize))

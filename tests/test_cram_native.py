@@ -807,7 +807,7 @@ def test_cram_version_detection():
         with pytest.raises(NotImplementedError, match=f"{major}\\.{minor}"):
             read_file_header(bad)
 
-    for method, name in ((6, "arithmetic"), (7, "fqzcomp"), (8, "name tokenizer")):
+    for method, name in ((7, "fqzcomp"), (8, "name tokenizer")):
         with pytest.raises(NotImplementedError, match=name):
             _decompress(method, b"\x00", 1)
 
@@ -943,3 +943,148 @@ def test_spec13_codecs_negative_via_offset():
     enc = Encoding(8, bytes([5, 2]))
     bits = BitReader(w.bytes())
     assert [enc.decode_int(bits, {}) for _ in values] == values
+
+
+# --- CRAM 3.1 adaptive arithmetic (range) coder -----------------------------
+# Test-side encoder written independently from the CRAMcodecs spec: LZMA-
+# family carry-propagating range encoder + the same adaptive model update
+# rule the decoder uses.  The decoder must invert it bit-exactly.
+
+
+class _RangeEncoder:
+    def __init__(self):
+        self.low = 0
+        self.range = 0xFFFFFFFF
+        self.cache = 0
+        self.cache_size = 1  # emits the leading carry-headroom byte
+        self.out = bytearray()
+
+    def _shift_low(self):
+        if self.low < 0xFF000000 or self.low > 0xFFFFFFFF:
+            carry = self.low >> 32
+            self.out.append((self.cache + carry) & 0xFF)
+            while self.cache_size > 1:
+                self.out.append((0xFF + carry) & 0xFF)
+                self.cache_size -= 1
+            self.cache = (self.low >> 24) & 0xFF
+        else:
+            self.cache_size += 1
+        self.low = (self.low << 8) & 0xFFFFFFFF
+
+    def encode(self, cum: int, freq: int, tot: int):
+        self.range //= tot
+        self.low += cum * self.range
+        self.range *= freq
+        while self.range < (1 << 24):
+            self.range <<= 8
+            self._shift_low()
+
+    def finish(self) -> bytes:
+        for _ in range(5):
+            self._shift_low()
+        return bytes(self.out)
+
+
+class _EncModel:
+    """Mirror of cramcodec._AdaptiveModel for encoding."""
+
+    def __init__(self, nsym):
+        self.syms = list(range(nsym))
+        self.freqs = [1] * nsym
+        self.total = nsym
+
+    def encode(self, rc, sym):
+        x = self.syms.index(sym)
+        cum = sum(self.freqs[:x])
+        rc.encode(cum, self.freqs[x], self.total)
+        self.freqs[x] += 16
+        self.total += 16
+        if x > 0 and self.freqs[x] > self.freqs[x - 1]:
+            self.freqs[x], self.freqs[x - 1] = self.freqs[x - 1], self.freqs[x]
+            self.syms[x], self.syms[x - 1] = self.syms[x - 1], self.syms[x]
+        if self.total > (1 << 16) - 17:
+            self.total = 0
+            for j in range(len(self.freqs)):
+                self.freqs[j] -= self.freqs[j] >> 1
+                self.total += self.freqs[j]
+
+
+def _arith_encode0(data: bytes, max_sym: int = 256) -> bytes:
+    rc = _RangeEncoder()
+    m = _EncModel(max_sym)
+    for b in data:
+        m.encode(rc, b)
+    return bytes([max_sym & 0xFF]) + rc.finish()
+
+
+def _arith_encode1(data: bytes, max_sym: int = 256) -> bytes:
+    rc = _RangeEncoder()
+    models = [_EncModel(max_sym) for _ in range(max_sym)]
+    ctx = 0
+    for b in data:
+        models[ctx].encode(rc, b)
+        ctx = b
+    return bytes([max_sym & 0xFF]) + rc.finish()
+
+
+def test_arith_order0_roundtrip():
+    from sequila_spark.sources.cramcodec import arith_decode
+
+    rng = random.Random(21)
+    for payload, max_sym in (
+        (bytes(rng.choice(b"ACGTN") for _ in range(3000)), 256),
+        (bytes(rng.randrange(256) for _ in range(2048)), 256),
+        (b"A" * 500, 66),  # tight alphabet bound
+        # long low-entropy stream: drives totals past MAX_FREQ so the
+        # halving renormalization path runs many times on both sides
+        (bytes(rng.choice(b"AB") for _ in range(120_000)), 256),
+    ):
+        enc = bytes([0]) + _uint7_enc(len(payload)) + _arith_encode0(payload, max_sym)
+        assert arith_decode(enc, len(payload)) == payload
+
+
+def test_arith_order1_roundtrip():
+    from sequila_spark.sources.cramcodec import arith_decode
+
+    rng = random.Random(22)
+    seqish = bytes(rng.choice(b"ACGTN") for _ in range(20_000))
+    enc = bytes([0x01]) + _uint7_enc(len(seqish)) + _arith_encode1(seqish)
+    assert arith_decode(enc, len(seqish)) == seqish
+
+
+def test_arith_cat_ext_pack_stripe():
+    import bz2 as _bz2
+
+    from sequila_spark.sources.cramcodec import arith_decode
+
+    rng = random.Random(23)
+    payload = bytes(rng.choice(b"ACGT") for _ in range(4001))
+    # CAT + NoSize
+    assert arith_decode(bytes([0x20 | 0x10]) + payload, len(payload)) == payload
+    # EXT: bzip2 payload
+    enc = bytes([0x04]) + _uint7_enc(len(payload)) + _bz2.compress(payload)
+    assert arith_decode(enc, len(payload)) == payload
+    # PACK(4-symbol) over order-0
+    pmeta, packed = _nx16_pack(payload)
+    enc = (bytes([0x80]) + _uint7_enc(len(payload)) + pmeta
+           + _uint7_enc(len(packed)) + _arith_encode0(packed))
+    assert arith_decode(enc, len(payload)) == payload
+    # STRIPE of 4 order-0 substreams
+    subs = [bytes([0]) + _uint7_enc(len(payload[j::4])) + _arith_encode0(payload[j::4])
+            for j in range(4)]
+    enc = bytearray([0x08]) + _uint7_enc(len(payload)) + bytes([4])
+    for s in subs:
+        enc += _uint7_enc(len(s))
+    for s in subs:
+        enc += s
+    assert arith_decode(bytes(enc), len(payload)) == payload
+
+
+def test_arith_rle_mode_raises_by_name():
+    from sequila_spark.sources.cramcodec import _decompress, arith_decode
+
+    with pytest.raises(NotImplementedError, match="RLE"):
+        arith_decode(bytes([0x40, 5, 1, 2, 3]), 5)
+    # and through the block dispatcher (method 6)
+    with pytest.raises(NotImplementedError, match="RLE"):
+        _decompress(6, bytes([0x40, 5, 1, 2, 3]), 5)
