@@ -1088,3 +1088,40 @@ def test_arith_rle_mode_raises_by_name():
     # and through the block dispatcher (method 6)
     with pytest.raises(NotImplementedError, match="RLE"):
         _decompress(6, bytes([0x40, 5, 1, 2, 3]), 5)
+
+
+def test_stripe_mixed_substream_modes():
+    """STRIPE substreams are complete independent streams: each may pick
+    its own mode (order-0, order-1, CAT) and the de-interleave must not
+    care — pins the recursion for both 3.1 codecs."""
+    from sequila_spark.sources.cramcodec import arith_decode, rans_nx16_decode
+
+    rng = random.Random(31)
+    payload = bytes(rng.choice(b"ACGTN") for _ in range(6001))
+    cols = [payload[j::3] for j in range(3)]
+
+    # rANS Nx16: order-0 / order-1 / CAT substreams
+    subs = [
+        _nx16_encode0(cols[0], 4),
+        _nx16_encode1(cols[1], 4),
+        bytes([0x20]) + _uint7_enc(len(cols[2])) + cols[2],
+    ]
+    enc = bytearray([0x08]) + _uint7_enc(len(payload)) + bytes([3])
+    for s in subs:
+        enc += _uint7_enc(len(s))
+    for s in subs:
+        enc += s
+    assert rans_nx16_decode(bytes(enc), len(payload)) == payload
+
+    # arithmetic coder: order-0 / order-1 / CAT substreams
+    subs = [
+        bytes([0]) + _uint7_enc(len(cols[0])) + _arith_encode0(cols[0]),
+        bytes([0x01]) + _uint7_enc(len(cols[1])) + _arith_encode1(cols[1]),
+        bytes([0x20]) + _uint7_enc(len(cols[2])) + cols[2],
+    ]
+    enc = bytearray([0x08]) + _uint7_enc(len(payload)) + bytes([3])
+    for s in subs:
+        enc += _uint7_enc(len(s))
+    for s in subs:
+        enc += s
+    assert arith_decode(bytes(enc), len(payload)) == payload
