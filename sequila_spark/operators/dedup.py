@@ -144,8 +144,12 @@ def ngram_jaccard_pairs(
     # hot side ~(1-t)/(1+t)/(1-t) = 1/(1+t)x and halving pair orders.
     # The 1e-9 slacks keep double rounding from tightening the exact
     # rational bounds.
+    # +1e-9: (1-t) in doubles can round below the exact rational (0.2 ->
+    # 0.19999...), shortening the floor by one at exact multiples — a
+    # one-too-short probe prefix is LOSSY at the boundary; one-too-long
+    # only adds candidates
     probe = ranked.where(
-        F.col("rk") <= F.floor((1.0 - threshold) * F.col("n")) + 1
+        F.col("rk") <= F.floor((1.0 - threshold) * F.col("n") + 1e-9) + 1
     )
     two_t = 2.0 * threshold / (1.0 + threshold)
     index = ranked.where(
@@ -176,8 +180,12 @@ def ngram_jaccard_pairs(
     # ceil(t/(1+t)*(n_p+n_i)) for Jaccard >= t — lossless, and strictly
     # stronger than the single-match bound on low-entropy corpora where
     # many docs share a few common prefix shingles.
+    # -1e-9: double rounding above an exact-integer product would push
+    # ceil one higher and prune an exact-threshold pair the verify (and
+    # the oracle) keep
     alpha = F.ceil(
         F.lit(threshold) / (1.0 + threshold) * (F.col("n_p") + F.col("n_i"))
+        - 1e-9
     )
     cands = (
         matches.groupBy("id_p", "id_i")

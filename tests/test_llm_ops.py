@@ -244,3 +244,44 @@ def test_doc_shingles_matches_portable_form(spark):
         .collect()
     )
     assert new == old
+
+
+def test_ngram_jaccard_lossless_vs_bruteforce(spark):
+    """The PPJoin filter chain (probe/index prefixes, size filter,
+    counting positional bound) must be LOSSLESS: on low-entropy random
+    corpora dense with boundary-Jaccard pairs, the operator's pair set
+    equals brute force over the same shingle sets and the same final
+    double-division predicate."""
+    import random as _random
+
+    from sequila_spark.operators.dedup import doc_shingles, ngram_jaccard_pairs
+
+    rng = _random.Random(4242)
+    rows = [
+        (i, "".join(rng.choice("ab") for _ in range(rng.randrange(9, 22))))
+        for i in range(80)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sets: dict = {}
+    sh_rows = doc_shingles(docs).collect()
+    for r in sh_rows:
+        sets.setdefault(r["doc_id"], set()).add(r["sh"])
+
+    for t in (0.8, 0.5, 2 / 3):
+        expected = set()
+        ids = sorted(sets)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a, b = sets[ids[i]], sets[ids[j]]
+                c = len(a & b)
+                if c and c / (len(a) + len(b) - c) >= t:
+                    expected.add((ids[i], ids[j]))
+        got = {
+            (r["id_1"], r["id_2"])
+            for r in ngram_jaccard_pairs(docs, threshold=t).collect()
+        }
+        assert got == expected, (
+            f"t={t}: missing={sorted(expected - got)[:5]} "
+            f"extra={sorted(got - expected)[:5]}"
+        )
