@@ -84,7 +84,12 @@ def main() -> None:
     # compilation and JVM JIT (measured 2-3x the settled time), which is
     # amortized noise on any long-lived cluster.  Cold times are recorded
     # alongside for transparency.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # Default 3 runs: with min-of-2, single-machine noise (GC, page cache,
+    # thermal) moved round-over-round totals by ±10% on untouched queries —
+    # a third warm run on the fast queries kills that noise floor for ~40 s
+    # of bench time.  Queries already >10 s settle for 2 runs (their noise
+    # is proportionally small and a 3rd run is expensive).
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     times: dict[str, float] = {}
     cold: dict[str, float] = {}
     def _gc():
@@ -111,6 +116,8 @@ def main() -> None:
             if dt > 120:  # genuinely long query: one measurement, keep
                 break  # total bounded (a 60s cap once recorded a one-off
                 # GC/machine-noise first run as the query's score)
+            if i >= 1 and best > 10:
+                break  # slow query: 2 runs suffice, 3rd run too expensive
         # adaptive extra run when the measurements disagree wildly (GC /
         # machine-state noise): one more attempt, still bounded
         if len(measured) >= 2 and max(measured) > 2 * min(measured) and best <= 60:

@@ -9,25 +9,91 @@ modes run with no optional dependency:
 
 - ``split``: one output row per alternate allele (vt-decompose / Glow
   ``split_multiallelics`` semantics) — a map-side ``posexplode``, no
-  shuffle, scales linearly.
+  shuffle, scales linearly.  INFO/FORMAT renumbering is header-driven
+  (``Number=A/R/G`` from ``##INFO``/``##FORMAT`` lines), with the arity
+  heuristic only for undeclared fields; GT calls renumber vt-decompose
+  style (current alt -> 1, ref -> 0, other alts -> missing).
 - ``normalize``: parsimony + left-alignment (vt normalize, Tan et al.
   Bioinformatics 2015; Glow ``normalize_variants`` implements the same
-  algorithm) — an Arrow-batched pandas UDF over a broadcast reference
-  FASTA; map-only, no shuffle.
+  algorithm) — an Arrow-batched pandas UDF with per-contig reference
+  slices fetched executor-side via the FASTA index; map-only, no shuffle.
 - ``split_and_normalize``: both, split first.
+
+Per-sample genotypes: the reference surfaces Glow's full VCF schema
+including the per-sample ``genotypes`` array (VCFRelation.scala:25-45 only
+renames site-level columns).  Here FORMAT + sample columns parse natively
+into ``genotypes: array<struct<sample_id, phased, calls, fields>>`` —
+``calls`` is the GT allele index array (-1 for '.'), ``fields`` the
+remaining FORMAT key->value map.
 """
 
 # NOTE: no `from __future__ import annotations` — pandas_udf resolves its
 # pd.Series type hints at runtime and postponed (string) annotations break
 # that resolution (same constraint as converters.py).
 
+import glob as _glob
+import gzip
+import os
+import re
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sequila_spark import schemas as S
-from sequila_spark.functions.intervals import clean_contig
+from sequila_spark.functions.intervals import clean_contig, clean_contig_py
 
 _MODES = (None, "split", "normalize", "split_and_normalize")
+
+_META_RE = re.compile(r"##(INFO|FORMAT)=<ID=([^,>]+),Number=([^,>]+)")
+
+
+class VcfHeader:
+    """Plan-time header metadata: sample names (#CHROM line) and declared
+    ``Number=`` for INFO/FORMAT fields (``{key: "A"|"R"|"G"|"0"|"1"|...}``)."""
+
+    def __init__(self, samples, info_numbers, format_numbers):
+        self.samples = samples
+        self.info_numbers = info_numbers
+        self.format_numbers = format_numbers
+
+
+def _open_text(path: str):
+    if path.endswith(".gz"):
+        return gzip.open(path, "rt")
+    return open(path)
+
+
+def read_vcf_header(path: str) -> VcfHeader:
+    """Parse header lines of the first file matching ``path`` (driver-side,
+    reads only the header bytes — never the record body)."""
+    matches = sorted(_glob.glob(path)) or [path]
+    target = matches[0]
+    if os.path.isdir(target):
+        inner = sorted(
+            p
+            for p in _glob.glob(os.path.join(target, "*"))
+            if not os.path.basename(p).startswith(("_", "."))
+        )
+        target = inner[0] if inner else target
+    samples: list[str] = []
+    info_numbers: dict[str, str] = {}
+    format_numbers: dict[str, str] = {}
+    try:
+        with _open_text(target) as f:
+            for line in f:
+                if not line.startswith("#"):
+                    break
+                m = _META_RE.match(line)
+                if m:
+                    kind, key, num = m.groups()
+                    (info_numbers if kind == "INFO" else format_numbers)[key] = num
+                elif line.startswith("#CHROM"):
+                    cols = line.rstrip("\n").split("\t")
+                    if len(cols) > 9:
+                        samples = cols[9:]
+    except OSError:
+        pass  # non-local path: header metadata unavailable, heuristics apply
+    return VcfHeader(samples, info_numbers, format_numbers)
 
 
 def _norm_one(
@@ -70,15 +136,77 @@ def _is_symbolic(a: str) -> bool:
     return (not a) or a == "." or a == "*" or a[0] == "<" or "[" in a or "]" in a
 
 
-def split_multiallelics(df: DataFrame) -> DataFrame:
+def _per_alt_value(
+    value: Column, n: Column, alt_idx: Column, key: Column | None,
+    numbers: dict[str, str] | None,
+) -> Column:
+    """Renumber one comma-separated value for the alt at 0-based ``alt_idx``.
+
+    Header-driven when ``numbers`` declares the key (Glow/bcftools are
+    header-driven); the Number=A arity heuristic applies only to undeclared
+    keys.  Declared-but-mismatched arities replicate unchanged (defensive —
+    a malformed field must not silently reindex)."""
+    parts = F.split(value, ",")
+    a = alt_idx + 1  # 1-based allele index of this alt
+    pick_a = F.when(
+        F.size(parts) == n, F.element_at(parts, alt_idx + 1)
+    ).otherwise(value)
+    pick_r = F.when(
+        F.size(parts) == n + 1,
+        F.concat_ws(",", F.element_at(parts, 1), F.element_at(parts, alt_idx + 2)),
+    ).otherwise(value)
+    # Number=G, diploid: genotype (j,k) j<=k sits at k(k+1)/2 + j.  The
+    # split keeps genotypes over {ref, this alt}: (0,0), (0,a), (a,a).
+    g_arity = (n + 1) * (n + 2) / F.lit(2)
+    pick_g = F.when(
+        F.size(parts).cast("long") == g_arity.cast("long"),
+        F.concat_ws(
+            ",",
+            F.element_at(parts, 1),
+            F.element_at(parts, (a * (a + 1) / 2).cast("int") + 1),
+            F.element_at(parts, (a * (a + 1) / 2 + a).cast("int") + 1),
+        ),
+    ).otherwise(value)
+    heuristic = F.when(
+        (F.size(parts) == n) & (n > 1), F.element_at(parts, alt_idx + 1)
+    ).otherwise(value)
+    if not numbers or key is None:
+        return heuristic
+    a_keys = [k for k, v in numbers.items() if v == "A"]
+    r_keys = [k for k, v in numbers.items() if v == "R"]
+    g_keys = [k for k, v in numbers.items() if v == "G"]
+    other = [k for k in numbers if k not in (*a_keys, *r_keys, *g_keys)]
+    expr = F.when(F.lit(False), value)
+    if a_keys:
+        expr = expr.when(key.isin(a_keys), pick_a)
+    if r_keys:
+        expr = expr.when(key.isin(r_keys), pick_r)
+    if g_keys:
+        expr = expr.when(key.isin(g_keys), pick_g)
+    if other:
+        # declared scalar / fixed-arity: replicate even if it contains
+        # commas (free-text Number=1 values must not be reindexed)
+        expr = expr.when(key.isin(other), value)
+    return expr.otherwise(heuristic)
+
+
+def split_multiallelics(
+    df: DataFrame,
+    info_numbers: dict[str, str] | None = None,
+    format_numbers: dict[str, str] | None = None,
+) -> DataFrame:
     """One row per alternate allele (vt-decompose / Glow
-    ``split_multiallelics``).  INFO values carrying exactly one
-    comma-separated item per alternate allele (the Number=A convention —
-    the text layout carries no header metadata, so arity is the signal,
-    as in bcftools' fallback) keep the item at the alt's index; all other
-    INFO values replicate unchanged.  Adds ``split_from_multiallelic``.
+    ``split_multiallelics``).  INFO values renumber per ``##INFO`` header
+    ``Number=`` declarations when provided (A -> take alt's item,
+    R -> ref item + alt's item, G -> diploid genotype triple, scalar ->
+    replicate); undeclared fields fall back to the arity heuristic
+    (bcftools' fallback).  A ``genotypes`` column, when present, has GT
+    calls renumbered vt-decompose -s style (ref -> 0, current alt -> 1,
+    any other alt -> -1/missing) and FORMAT fields renumbered per
+    ``format_numbers``.  Adds ``split_from_multiallelic``.
 
     Plan shape: ``posexplode`` + native map rebuild — map-side only."""
+    has_gt = "genotypes" in df.columns
     # n must be materialized BEFORE the final select: the output re-aliases
     # a single-element array as `alt`, and lateral column alias resolution
     # would bind a bare F.col(alt) to that new column (size 1), silently
@@ -89,13 +217,7 @@ def split_multiallelics(df: DataFrame) -> DataFrame:
         F.posexplode(F.col(S.ALT)).alias("_alt_idx", "_alt"),
     )
     n = F.col("_n_alts")
-
-    def per_alt(value: Column) -> Column:
-        parts = F.split(value, ",")
-        return F.when(
-            (F.size(parts) == n) & (n > 1),
-            F.element_at(parts, F.col("_alt_idx") + 1),
-        ).otherwise(value)
+    idx = F.col("_alt_idx")
 
     info = F.when(
         F.col("info").isNotNull(),
@@ -103,12 +225,14 @@ def split_multiallelics(df: DataFrame) -> DataFrame:
             F.transform(
                 F.map_entries("info"),
                 lambda e: F.struct(
-                    e["key"].alias("key"), per_alt(e["value"]).alias("value")
+                    e["key"].alias("key"),
+                    _per_alt_value(e["value"], n, idx, e["key"], info_numbers)
+                    .alias("value"),
                 ),
             )
         ),
     )
-    return ex.select(
+    cols = [
         S.CONTIG,
         S.START,
         S.END,
@@ -118,8 +242,93 @@ def split_multiallelics(df: DataFrame) -> DataFrame:
         "qual",
         "filter",
         info.alias("info"),
-        (n > 1).alias("split_from_multiallelic"),
-    )
+    ]
+    if has_gt:
+        # ref call stays 0, the split alt becomes 1, any other alt is no
+        # longer representable -> missing (-1); '.' stays missing
+        renum = F.transform(
+            F.col("genotypes"),
+            lambda g: F.struct(
+                g["sample_id"].alias("sample_id"),
+                g["phased"].alias("phased"),
+                F.transform(
+                    g["calls"],
+                    lambda c: F.when(c <= 0, c)
+                    .when(c == idx + 1, F.lit(1))
+                    .otherwise(F.lit(-1)),
+                ).alias("calls"),
+                F.map_from_entries(
+                    F.transform(
+                        F.map_entries(g["fields"]),
+                        lambda e: F.struct(
+                            e["key"].alias("key"),
+                            _per_alt_value(
+                                e["value"], n, idx, e["key"], format_numbers
+                            ).alias("value"),
+                        ),
+                    )
+                ).alias("fields"),
+            ),
+        )
+        cols.append(F.when(F.col("genotypes").isNotNull(), renum).alias("genotypes"))
+    cols.append((n > 1).alias("split_from_multiallelic"))
+    return ex.select(*cols)
+
+
+# --- indexed FASTA access ----------------------------------------------------
+
+# executor-side cache of fetched contig sequences, keyed (path, mtime, name)
+_CONTIG_CACHE: dict[tuple, str] = {}
+
+
+def load_fasta_region_index(path: str) -> dict[str, tuple[str, int, int]]:
+    """``{clean_contig: (raw_name, seq_byte_start, seq_byte_end)}`` for a
+    plain-text FASTA — from the ``.fai`` when present, else one streaming
+    driver-side scan (O(1) memory; never materializes sequences).  This is
+    what gets broadcast: a few entries per contig, not the genome."""
+    fai = path + ".fai"
+    entries: dict[str, tuple[str, int, int]] = {}
+    if os.path.exists(fai):
+        with open(fai) as f:
+            for line in f:
+                name, length, offset, linebases, linewidth = line.split("\t")[:5]
+                length, offset = int(length), int(offset)
+                linebases, linewidth = int(linebases), int(linewidth)
+                nlines = (length + linebases - 1) // linebases if length else 0
+                span = length + nlines * (linewidth - linebases)
+                entries[clean_contig_py(name)] = (name, offset, offset + span)
+        return entries
+    # no .fai: stream the file once recording sequence byte spans (robust
+    # to ragged line lengths — the fetch strips whitespace, not offsets)
+    name, start = None, 0
+    with open(path, "rb") as f:
+        pos = 0
+        for raw in f:
+            if raw.startswith(b">"):
+                if name is not None:
+                    entries[clean_contig_py(name)] = (name, start, pos)
+                name = raw[1:].split()[0].decode()
+                start = pos + len(raw)
+            pos += len(raw)
+        if name is not None:
+            entries[clean_contig_py(name)] = (name, start, pos)
+    return entries
+
+
+def fetch_contig_seq(path: str, span: tuple[str, int, int]) -> str:
+    """Read one contig's sequence bytes (executor-side; cached per contig).
+    Requires the FASTA to be reachable from executors — the standard
+    cluster layout (shared FS / mounted object store), and exactly how
+    htslib-based engines access the reference."""
+    key = (path, span[0])
+    seq = _CONTIG_CACHE.get(key)
+    if seq is None:
+        with open(path, "rb") as f:
+            f.seek(span[1])
+            raw = f.read(span[2] - span[1])
+        seq = raw.decode().replace("\n", "").replace("\r", "")
+        _CONTIG_CACHE[key] = seq
+    return seq
 
 
 def normalize_variants(
@@ -130,20 +339,30 @@ def normalize_variants(
     Records with any symbolic/missing allele pass through untouched (the
     spec normalizes sequence alleles only).
 
-    The reference FASTA is loaded once on the driver and broadcast; the
-    rewrite itself is an Arrow-batched pandas UDF (string-loop semantics
-    are not expressible as native columns), map-only — no shuffle, so the
-    plan scales with input splits."""
+    Scale: only the FASTA *region index* (a handful of ints per contig) is
+    broadcast; executors fetch and cache just the contig slices their
+    partitions touch (a 3 GB human genome never materializes on the
+    driver).  Contig lookup is clean_contig-normalized on both sides, so a
+    chr-prefixed reference resolves against cleaned variant contigs and
+    vice versa.  The rewrite itself is an Arrow-batched pandas UDF
+    (string-loop semantics are not expressible as native columns),
+    map-only — no shuffle, so the plan scales with input splits."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     spark = df.sparkSession
     if ref_genome_path is not None:
-        from sequila_spark.sources.cramcodec import load_fasta
-
-        bref = spark.sparkContext.broadcast(load_fasta(ref_genome_path))
+        if ref_genome_path.endswith(".gz"):
+            raise ValueError(
+                "normalize: compressed FASTA not supported — decompress or "
+                "provide the plain-text reference"
+            )
+        bref = spark.sparkContext.broadcast(
+            load_fasta_region_index(ref_genome_path)
+        )
     else:
         bref = None
+    ref_path = ref_genome_path
 
     @pandas_udf(
         f"struct<{S.START}:int,{S.REF}:string,{S.ALT}:array<string>>"
@@ -151,14 +370,16 @@ def normalize_variants(
     def _norm(
         contig: pd.Series, pos: pd.Series, ref: pd.Series, alt: pd.Series
     ) -> pd.DataFrame:
-        genome = bref.value if bref is not None else {}
+        index = bref.value if bref is not None else {}
         out_pos, out_ref, out_alt = [], [], []
         for c, p, r, a in zip(contig, pos, ref, alt):
             alts = list(a) if a is not None else []
             if r is None or _is_symbolic(r) or any(_is_symbolic(x) for x in alts):
                 out_pos.append(p), out_ref.append(r), out_alt.append(alts)
                 continue
-            np_, alleles = _norm_one(int(p), [r] + alts, genome.get(c))
+            span = index.get(clean_contig_py(c)) if c is not None else None
+            seq = fetch_contig_seq(ref_path, span) if span is not None else None
+            np_, alleles = _norm_one(int(p), [r] + alts, seq)
             out_pos.append(np_), out_ref.append(alleles[0])
             out_alt.append(alleles[1:])
         return pd.DataFrame(
@@ -191,17 +412,20 @@ def read_vcf(
     normalization_mode: str | None = None,
     ref_genome_path: str | None = None,
 ) -> DataFrame:
-    """Native VCF text parse -> canonical columns, with the reference's
-    ``normalization_mode`` option implemented natively (VCFRelation.scala:
-    25-45 delegates to Glow; same modes, no dependency).  ``normalize`` and
-    ``split_and_normalize`` raise without ``ref_genome_path`` exactly like
-    the reference relation when left extension is impossible is handled
-    per-record (trim-only records normalize fine without a genome)."""
+    """Native VCF text parse -> canonical columns + per-sample
+    ``genotypes``, with the reference's ``normalization_mode`` option
+    implemented natively (VCFRelation.scala:25-45 delegates to Glow; same
+    modes, no dependency).  Sample names and ``Number=`` declarations come
+    from a driver-side header read (header bytes only); genotype parsing
+    is pure native column expressions — one struct per sample with the GT
+    call indices typed (``calls``, -1 for '.') and the remaining FORMAT
+    fields as a map."""
     if normalization_mode not in _MODES:
         raise ValueError(
             f"normalization_mode must be one of {_MODES}, got "
             f"{normalization_mode!r}"
         )
+    header = read_vcf_header(path)
     lines = spark.read.text(path)
     rows = lines.where(~F.col("value").startswith("#") & (F.trim("value") != ""))
     f = F.split(F.col("value"), "\t")
@@ -220,7 +444,7 @@ def read_vcf(
             ),
         )
     )
-    df = rows.select(
+    cols = [
         clean_contig(field(0)).alias(S.CONTIG),
         field(1).cast("int").alias(S.START),
         (field(1).cast("int") + F.length(field(3)) - 1).cast("int").alias(S.END),
@@ -232,9 +456,46 @@ def read_vcf(
         F.when(field(7).isNull() | (field(7) == "."), None)
         .otherwise(info_map)
         .alias("info"),
-    )
+    ]
+    if header.samples:
+        keys = F.split(field(8), ":")
+        entries = []
+        for i, name in enumerate(header.samples):
+            vals = F.split(field(9 + i), ":")
+            # trailing FORMAT fields may be dropped per sample (spec §1.6.2)
+            m = F.least(F.size(keys), F.size(vals))
+            fmap = F.map_from_arrays(
+                F.slice(keys, 1, m), F.slice(vals, 1, m)
+            )
+            gpos = F.array_position(keys, "GT").cast("int")
+            gt = F.when(
+                (gpos > 0) & (gpos <= F.size(vals)), F.element_at(vals, gpos)
+            )
+            calls = F.when(
+                gt.isNotNull(),
+                F.transform(
+                    F.split(gt, "[/|]"),
+                    lambda x: F.when((x == ".") | (x == ""), F.lit(-1))
+                    .otherwise(x)
+                    .cast("int"),
+                ),
+            )
+            entries.append(
+                F.struct(
+                    F.lit(name).alias("sample_id"),
+                    F.coalesce(gt.contains("|"), F.lit(False)).alias("phased"),
+                    calls.alias("calls"),
+                    F.map_filter(fmap, lambda k, v: k != "GT").alias("fields"),
+                )
+            )
+        cols.append(
+            F.when(field(8).isNotNull(), F.array(*entries)).alias("genotypes")
+        )
+    df = rows.select(*cols)
     if normalization_mode in ("split", "split_and_normalize"):
-        df = split_multiallelics(df)
+        df = split_multiallelics(
+            df, header.info_numbers, header.format_numbers
+        )
     if normalization_mode in ("normalize", "split_and_normalize"):
         df = normalize_variants(df, ref_genome_path)
     return df
