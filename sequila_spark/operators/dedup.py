@@ -299,7 +299,26 @@ def _intersect_size_batch():
     return udf
 
 
-_VERIFY_BCAST_MAX_ROWS = 32 * 1024 * 1024  # shingle rows ~ 16B each -> ~512MB
+# Replicated-verify broadcast budget, expressed in BYTES and converted to a
+# row cap: each shingle row is an 8-byte int64 payload, and the collect ->
+# dict-of-numpy build transiently holds ~4x that (Arrow batches + pandas
+# frame + numpy copies), so the row budget is bytes / (8 * 4).  At the
+# default 512 MB that is 16 Mi shingle rows — past it, the join fallback
+# below produces identical results without any driver materialization.
+_VERIFY_BCAST_MAX_BYTES = 512 << 20
+_VERIFY_BYTES_PER_ROW = 8 * 4  # int64 payload x transient-copy safety factor
+
+
+def _verify_bcast_row_budget() -> int:
+    return _VERIFY_BCAST_MAX_BYTES // _VERIFY_BYTES_PER_ROW
+
+
+# Most-recent verify broadcast per process: repeated dedup calls in one
+# session previously accumulated executor-side broadcast blocks with no
+# release.  Each new verify unpersists the prior broadcast (non-blocking;
+# Spark re-ships it automatically in the unlikely case a still-pending
+# DataFrame from an earlier call executes afterwards).
+_VERIFY_BCASTS: list = []
 
 
 def _verify_jaccard(
@@ -321,16 +340,27 @@ def _verify_jaccard(
     batched pandas UDF — the formulation that scales with executors when
     the corpus itself outgrows one broadcast."""
     n_sh = sh.count()  # callers persist sh, so this reuses the cache
-    if n_sh <= _VERIFY_BCAST_MAX_ROWS:
-        rows = (
+    if n_sh <= _verify_bcast_row_budget():
+        # Arrow collect (toPandas): array<long> cells arrive as numpy
+        # arrays, never boxed Python ints — the Row-based collect held
+        # tens of bytes per shingle transiently at the cap
+        pdf = (
             sh.groupBy(id_col)
             .agg(F.array_sort(F.collect_set("sh")).alias("shset"))
-            .collect()
+            .toPandas()
         )
         table = {
-            r[0]: np.asarray(r[1], dtype=np.int64) for r in rows if r[1]
+            i: np.asarray(v, dtype=np.int64)
+            for i, v in zip(pdf[id_col].to_numpy(), pdf["shset"])
+            if v is not None and len(v)
         }
+        while _VERIFY_BCASTS:
+            try:
+                _VERIFY_BCASTS.pop().unpersist(False)
+            except Exception:
+                pass  # context already stopped
         bc = cands.sparkSession.sparkContext.broadcast(table)
+        _VERIFY_BCASTS.append(bc)
         out_schema = T.StructType(
             [
                 cands.schema["id_1"],

@@ -340,12 +340,31 @@ def _lineage_is_cheap(df: DataFrame) -> bool:
     return all(n in _CHEAP_PLAN_NODES for n in nodes)
 
 
+def _session_key(spark) -> object:
+    """Stable identity for the session: ``id()`` can be recycled after a
+    session is garbage-collected, silently resurrecting a dead session's
+    cached probes; applicationId + sessionUUID cannot."""
+    try:
+        return (
+            spark.sparkContext.applicationId,
+            spark._jsparkSession.sessionUUID(),
+        )
+    except Exception:
+        return id(spark)
+
+
 def _plan_key(df: DataFrame, s: str, e: str) -> tuple | None:
     try:
         h = df._jdf.queryExecution().analyzed().semanticHash()
+        # the file-listing snapshot keys out the stale-probe case: a
+        # semantically identical plan re-read after the underlying data
+        # was rewritten (new part files) must re-probe, or the memoized
+        # max width could silently prune the long branch and drop matches
+        files = df.inputFiles()
+        fh = hash(tuple(sorted(files)))
     except Exception:
         return None
-    return (id(df.sparkSession), h, s, e)
+    return (_session_key(df.sparkSession), h, fh, s, e)
 
 
 def _probe_max_width(df: DataFrame, s: str, e: str):

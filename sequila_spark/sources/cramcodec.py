@@ -288,14 +288,36 @@ def _nx16_read_alphabet(r: ByteReader) -> list[int]:
             return syms
 
 
+def _nx16_norm_freqs(freq: list[int], target: int) -> None:
+    """Spec frequency renormalization (htscodecs normalise_freq_shift):
+    tables may legally be stored at reduced precision — every frequency
+    right-shifted so the sum is ``target >> k`` — and the decoder upscales
+    by the power-of-two shift.  A sum that is not an exact power-of-two
+    fraction of ``target`` cannot come from that encoder: corrupt data,
+    raised loudly rather than decoded as garbage."""
+    tot = sum(freq)
+    if tot == 0 or tot == target:
+        return
+    shift = 0
+    t = tot
+    while t < target:
+        t <<= 1
+        shift += 1
+    if t != target:
+        raise ValueError(
+            f"rANS Nx16 frequencies sum to {tot}: not a power-of-two "
+            f"fraction of {target}"
+        )
+    for s in range(len(freq)):
+        freq[s] <<= shift
+
+
 def _nx16_decode0(r: ByteReader, out_size: int, n_way: int) -> bytes:
     syms = _nx16_read_alphabet(r)
     freq = [0] * 256
     for s in syms:
         freq[s] = _uint7(r)
-    total = sum(freq)
-    if total != 4096:
-        raise ValueError(f"rANS Nx16 order-0 frequencies sum to {total} != 4096")
+    _nx16_norm_freqs(freq, 4096)
     cum = [0] * 257
     for s in range(256):
         cum[s + 1] = cum[s] + freq[s]
@@ -355,16 +377,9 @@ def _nx16_decode1(r: ByteReader, out_size: int, n_way: int) -> bytes:
             row[j] = f
             if f == 0:
                 run = freq_r.u8()
-        t = sum(row)
-        if t == 0:
+        if sum(row) == 0:
             continue  # context never used by the stream
-        if t != tot:
-            # spec-permitted lower-precision rows would need the encoder's
-            # exact renormalization; keep the plan-time loud-failure
-            # contract instead of guessing
-            raise NotImplementedError(
-                "rANS Nx16 order-1 fractional frequency rows"
-            )
+        _nx16_norm_freqs(row, tot)  # reduced-precision rows upscale
         c = [0] * 257
         for s in range(256):
             c[s + 1] = c[s] + row[s]
@@ -678,10 +693,199 @@ def arith_decode(data: bytes, raw_size: int) -> bytes:
     return out
 
 
+# --- CRAM 3.1 name tokenizer (block method 8) -------------------------------
+# Implemented from the public hts-specs CRAMcodecs "Name tokenisation"
+# section (the codec htscodecs calls tok3): read names are split into
+# tokens (alpha runs, digit runs with or without leading zeros, single
+# chars) and encoded column-wise against a reference name — MATCH for
+# identical tokens, small numeric deltas as one byte, fresh values
+# otherwise — with one byte stream per (token position, token type), each
+# stream itself compressed with rANS Nx16 or the arithmetic coder.
+# Decoded output is validated against the header's name count and total
+# length, so a malformed (or mis-serialized) stream fails loudly rather
+# than yielding corrupt names.
+
+N_TYPE, N_ALPHA, N_CHAR, N_DIGITS0, N_DZLEN, N_DUP, N_DIFF = range(7)
+N_DIGITS, N_DDELTA, N_DDELTA0, N_MATCH, N_NOP, N_END = range(7, 13)
+
+
+class _ConstReader:
+    """Virtual TYPE stream for a constant-type column (the encoder elides
+    the TYPE stream and declares the type in the stream header byte)."""
+
+    __slots__ = ("v",)
+
+    def __init__(self, v: int):
+        self.v = v
+
+    def u8(self) -> int:
+        return self.v
+
+
+def _tok_read_streams(
+    r: ByteReader, use_arith: bool
+) -> dict[tuple[int, int], ByteReader]:
+    """Deserialize the per-(position, type) byte streams.  Header byte per
+    stream: low 6 bits token type, 0x80 = starts a new token position,
+    0x40 = duplicate of an earlier stream (two follow-up bytes give the
+    source position and type)."""
+    B: dict[tuple[int, int], ByteReader] = {}
+    t = -1
+    while r.i < len(r.b):
+        head = r.u8()
+        typ = head & 0x3F
+        if head & 0x80:
+            t += 1
+        if t < 0:
+            raise ValueError("name tokenizer: stream before first position")
+        if head & 0x40:
+            src = (r.u8(), r.u8())
+            if src not in B:
+                raise ValueError("name tokenizer: dup of unknown stream")
+            B[(t, typ)] = ByteReader(B[src].b)
+        else:
+            clen = _uint7(r)
+            payload = bytes(r.read(clen))
+            raw = (
+                arith_decode(payload, 0)
+                if use_arith
+                else rans_nx16_decode(payload, 0)
+            )
+            B[(t, typ)] = ByteReader(raw)
+        if head & 0x80 and typ != N_TYPE:
+            # constant-type column: every name has this type here
+            B.setdefault((t, N_TYPE), _ConstReader(typ))
+    return B
+
+
+def name_tok_decode(data: bytes, raw_size: int) -> bytes:
+    """Decode a name-tokenizer block back to the uncompressed RN payload
+    (names each followed by their separator byte)."""
+    r = ByteReader(data)
+    ulen, nnames = struct.unpack("<II", r.read(8))
+    use_arith = r.u8() & 1
+    B = _tok_read_streams(r, bool(use_arith))
+
+    def u32(t: int, typ: int) -> int:
+        br = B[(t, typ)]
+        v = struct.unpack("<I", bytes(br.read(4)))[0]
+        return v
+
+    # per-name token table for back-references:
+    # tok[n][t] = (rendered_str, int_value_or_None, zero_pad_len_or_None)
+    toks: list[list[tuple[str, int | None, int | None]]] = []
+    names: list[str] = []
+    for n in range(nnames):
+        t0 = B[(0, N_TYPE)].u8()
+        if t0 not in (N_DIFF, N_DUP):
+            raise ValueError(f"name tokenizer: position-0 type {t0}")
+        dist = u32(0, t0)
+        p = n - dist
+        if p < 0 or (dist and p >= n):
+            raise ValueError("name tokenizer: bad back-reference distance")
+        if t0 == N_DUP:
+            names.append(names[p])
+            toks.append(toks[p])
+            continue
+        row: list[tuple[str, int | None, int | None]] = [("", None, None)]
+        parts: list[str] = []
+        t = 0
+        while True:
+            t += 1
+            typ = B[(t, N_TYPE)].u8()
+            if typ == N_END:
+                break
+            if typ == N_NOP:
+                row.append(("", None, None))
+                continue
+            if typ == N_ALPHA:
+                br = B[(t, N_ALPHA)]
+                start = br.i
+                while br.b[br.i] != 0:
+                    br.i += 1
+                s = bytes(br.b[start : br.i]).decode("ascii")
+                br.i += 1
+                row.append((s, None, None))
+            elif typ == N_CHAR:
+                s = chr(B[(t, N_CHAR)].u8())
+                row.append((s, None, None))
+            elif typ == N_DIGITS:
+                v = u32(t, N_DIGITS)
+                row.append((str(v), v, None))
+            elif typ == N_DIGITS0:
+                v = u32(t, N_DIGITS0)
+                z = B[(t, N_DZLEN)].u8()
+                row.append((str(v).zfill(z), v, z))
+            elif typ == N_DDELTA:
+                d = B[(t, N_DDELTA)].u8()
+                if t >= len(toks[p]):
+                    raise ValueError("name tokenizer: delta past ref tokens")
+                pv = toks[p][t][1]
+                if pv is None:
+                    raise ValueError("name tokenizer: delta from non-digit")
+                v = pv + d
+                row.append((str(v), v, None))
+            elif typ == N_DDELTA0:
+                d = B[(t, N_DDELTA0)].u8()
+                if t >= len(toks[p]):
+                    raise ValueError("name tokenizer: delta past ref tokens")
+                prev = toks[p][t]
+                if prev[1] is None or prev[2] is None:
+                    raise ValueError("name tokenizer: delta0 from non-digit0")
+                v = prev[1] + d
+                row.append((str(v).zfill(prev[2]), v, prev[2]))
+            elif typ == N_MATCH:
+                if t >= len(toks[p]):
+                    raise ValueError("name tokenizer: match past ref tokens")
+                row.append(toks[p][t])
+            else:
+                raise ValueError(f"name tokenizer: token type {typ}")
+            parts.append(row[-1][0])
+        toks.append(row)
+        names.append("".join(parts))
+    for sep in (b"\x00", b"\n"):
+        out = b"".join(nm.encode("ascii") + sep for nm in names)
+        if len(out) == ulen:
+            return out
+    # last name may legally lack a trailing separator
+    out = b"\x00".join(nm.encode("ascii") for nm in names)
+    if len(out) == ulen:
+        return out
+    raise ValueError(
+        f"name tokenizer: decoded {len(out)} bytes, header says {ulen}"
+    )
+
+
+def _check_arith_rle(f, at: int, avail: int) -> None:
+    """Plan-time gate helper: raise by name if an arith stream's flag byte
+    — or, for STRIPE wrapping, any substream's flag byte, recursively —
+    carries the integrated-RLE bit.  Reads only the stream head (flags +
+    lengths) and one recursion per substream, never payload bytes."""
+    f.seek(at)
+    head = f.read(min(avail, 4096))
+    if not head:
+        return
+    r = ByteReader(head)
+    flags = r.u8()
+    if flags & _NX16_RLE:
+        raise NotImplementedError(
+            "arithmetic-coder integrated RLE mode (CRAM 3.1)"
+        )
+    if not flags & _NX16_STRIPE:
+        return
+    if not flags & _NX16_NOSZ:
+        _uint7(r)
+    n = r.u8()
+    clens = [_uint7(r) for _ in range(n)]
+    off = at + r.i
+    for cl in clens:
+        _check_arith_rle(f, off, cl)
+        off += cl
+
+
 # CRAM 3.1 method numbers -> codec names, for precise unimplemented errors
 _METHOD_NAMES = {
     7: "fqzcomp quality codec (CRAM 3.1)",
-    8: "name tokenizer (CRAM 3.1)",
 }
 
 
@@ -700,6 +904,8 @@ def _decompress(method: int, data: bytes, raw_size: int) -> bytes:
         return rans_nx16_decode(data, raw_size)
     if method == 6:
         return arith_decode(data, raw_size)
+    if method == 8:
+        return name_tok_decode(data, raw_size)
     name = _METHOD_NAMES.get(method, f"method {method}")
     raise NotImplementedError(f"CRAM block compression: {name}")
 
@@ -1090,18 +1296,14 @@ def validate_container_file(path, h: dict) -> None:
             csize = r.itf8()
             rsize = r.itf8()
             payload_at = pos + r.i
-            if method > 6:
+            if method == 7 or method > 8:
                 name = _METHOD_NAMES.get(method, f"method {method}")
                 raise NotImplementedError(f"CRAM block compression: {name}")
             if method == 6:
                 # arith flags byte: the integrated RLE mode raises by name
-                # here, before any executor work is scheduled
-                f.seek(payload_at)
-                first = f.read(1)
-                if first and first[0] & _NX16_RLE:
-                    raise NotImplementedError(
-                        "arithmetic-coder integrated RLE mode (CRAM 3.1)"
-                    )
+                # here, before any executor work is scheduled — including
+                # when it hides inside a STRIPE substream
+                _check_arith_rle(f, payload_at, csize)
             if ctype == 1:  # compression header: parse fully (codec check)
                 f.seek(payload_at)
                 CompressionHeader(_decompress(method, f.read(csize), rsize))

@@ -450,21 +450,27 @@ def _nx16_alphabet_enc(syms: list[int]) -> bytes:
     return bytes(out)
 
 
-def _nx16_encode0_body(data: bytes, n_way: int = 4) -> bytes:
+def _nx16_encode0_body(data: bytes, n_way: int = 4, store_div: int = 1) -> bytes:
     """Bare rANS Nx16 order-0 stream (alphabet + freqs + states + words),
     no flags/size header — the form embedded for compressed RLE metadata
-    and order-1 frequency tables."""
+    and order-1 frequency tables.  ``store_div`` (a power of two) stores
+    the table at reduced precision — frequencies divided by it, summing to
+    4096/store_div — while the state math still runs at full 4096, the
+    spec's legal space-saving form the decoder must renormalize."""
     from collections import Counter
 
     assert data
     counts = Counter(data)
     syms = sorted(counts)
-    # normalize to sum exactly 4096, every present symbol >= 1
+    # normalize the STORED table to 4096/store_div, every symbol >= 1
+    tot_store = 4096 // store_div
     total = len(data)
-    freq = {s: max(1, (c * 4096) // total) for s, c in counts.items()}
-    drift = 4096 - sum(freq.values())
-    freq[max(counts, key=counts.get)] += drift
-    assert sum(freq.values()) == 4096 and min(freq.values()) >= 1
+    fstore = {s: max(1, (c * tot_store) // total) for s, c in counts.items()}
+    drift = tot_store - sum(fstore.values())
+    fstore[max(counts, key=counts.get)] += drift
+    assert sum(fstore.values()) == tot_store and min(fstore.values()) >= 1
+    # encode-side frequencies are the upscaled ones (sum 4096)
+    freq = {s: v * store_div for s, v in fstore.items()}
     cum = {}
     acc = 0
     for s in syms:
@@ -473,7 +479,7 @@ def _nx16_encode0_body(data: bytes, n_way: int = 4) -> bytes:
 
     head = bytearray(_nx16_alphabet_enc(syms))
     for s in syms:
-        head += _uint7_enc(freq[s])
+        head += _uint7_enc(fstore[s])
 
     tail = bytearray()  # built backwards: appended words are PREPENDED
     states = [1 << 15] * n_way
@@ -527,7 +533,8 @@ def test_rans_nx16_cat_and_nosize():
 
 
 def _nx16_encode1_body(data: bytes, n_way: int = 4, shift: int = 12,
-                       compress_freqs: bool = False) -> bytes:
+                       compress_freqs: bool = False,
+                       store_div: int = 1) -> bytes:
     """Bare rANS Nx16 ORDER-1 stream: comp byte (shift<<4 | compressed-
     freq-table bit), per-context frequency rows RLE'd over the shared
     alphabet, N states; output split into N contiguous slices with the
@@ -551,13 +558,17 @@ def _nx16_encode1_body(data: bytes, n_way: int = 4, shift: int = 12,
             ctx = s
     syms = sorted(present)
     tot = 1 << shift
+    tot_store = tot // store_div
     freq: dict[int, dict[int, int]] = {}
+    fstore: dict[int, dict[int, int]] = {}
     cum: dict[int, dict[int, int]] = {}
     for i, row in F.items():
         t = sum(row.values())
-        nf = {s: max(1, (c * tot) // t) for s, c in row.items()}
-        nf[max(row, key=row.get)] += tot - sum(nf.values())
-        assert sum(nf.values()) == tot and min(nf.values()) >= 1
+        nfs = {s: max(1, (c * tot_store) // t) for s, c in row.items()}
+        nfs[max(row, key=row.get)] += tot_store - sum(nfs.values())
+        assert sum(nfs.values()) == tot_store and min(nfs.values()) >= 1
+        fstore[i] = nfs
+        nf = {s: v * store_div for s, v in nfs.items()}
         freq[i] = nf
         acc = 0
         c = {}
@@ -571,7 +582,7 @@ def _nx16_encode1_body(data: bytes, n_way: int = 4, shift: int = 12,
     # zero-run RLE (explicit 0 followed by a count of further zeros)
     ftab = bytearray(_nx16_alphabet_enc(syms))
     for i in syms:
-        row = freq.get(i, {})
+        row = fstore.get(i, {})
         k = 0
         while k < len(syms):
             f = row.get(syms[k], 0)
@@ -772,17 +783,56 @@ def test_rans_nx16_stripe_transform():
         assert rans_nx16_decode(bytes(enc), len(payload)) == payload, total
 
 
-def test_rans_nx16_unimplemented_fractional_freq_rows():
-    """Order-1 rows not summing to 1<<shift raise NotImplementedError (the
-    loud plan-time gate) rather than decoding garbage."""
+def test_rans_nx16_reduced_precision_freqs():
+    """Spec-legal reduced-precision tables (frequencies stored divided by a
+    power of two; htscodecs NormaliseFrequencies) decode identically after
+    the decoder's renormalization — order 0 and order-1 rows."""
     from sequila_spark.sources.cramcodec import rans_nx16_decode
 
-    payload = b"ACGT" * 50
-    # a lying comp byte: header claims shift=12 but rows sum to 1<<10
-    body = _nx16_encode1_body(payload, 4, shift=10)
-    bad = bytes([0x01]) + _uint7_enc(len(payload)) + bytes([12 << 4]) + body[1:]
-    with pytest.raises(NotImplementedError, match="fractional"):
-        rans_nx16_decode(bad, len(payload))
+    rng = random.Random(55)
+    payload = bytes(rng.choice(b"ACGTN") for _ in range(5000))
+    for div in (2, 4, 16):
+        enc0 = (bytes([0]) + _uint7_enc(len(payload))
+                + _nx16_encode0_body(payload, 4, store_div=div))
+        assert rans_nx16_decode(enc0, len(payload)) == payload, f"o0 div={div}"
+        enc1 = (bytes([0x01]) + _uint7_enc(len(payload))
+                + _nx16_encode1_body(payload, 4, store_div=div))
+        assert rans_nx16_decode(enc1, len(payload)) == payload, f"o1 div={div}"
+
+
+def test_rans_nx16_corrupt_freq_sum_is_loud():
+    """A frequency sum that is NOT a power-of-two fraction of the target
+    cannot come from the spec encoder: ValueError, not garbage output."""
+    from sequila_spark.sources.cramcodec import rans_nx16_decode
+
+    head = bytearray([0]) + _uint7_enc(100)
+    head += _nx16_alphabet_enc([65, 66])
+    head += _uint7_enc(3000) + _uint7_enc(1000)  # sums to 4000
+    head += b"\x00" * 16  # states (never reached)
+    with pytest.raises(ValueError, match="power-of-two"):
+        rans_nx16_decode(bytes(head), 100)
+
+
+def test_arith_stripe_rle_gate_walks_substreams():
+    """The plan-time arith gate must catch the integrated-RLE bit inside a
+    STRIPE substream, not just at the top level (executor-side decode has
+    no pysam fallback)."""
+    import io
+
+    from sequila_spark.sources.cramcodec import _check_arith_rle
+
+    sub_plain = bytes([0x00, 0x05]) + b"x" * 20
+    sub_rle = bytes([0x40, 0x05]) + b"y" * 20
+    stream = (bytes([0x08]) + _uint7_enc(10) + bytes([2])
+              + _uint7_enc(len(sub_plain)) + _uint7_enc(len(sub_rle))
+              + sub_plain + sub_rle)
+    with pytest.raises(NotImplementedError, match="integrated RLE"):
+        _check_arith_rle(io.BytesIO(stream), 0, len(stream))
+    # all-plain substreams pass
+    ok = (bytes([0x08]) + _uint7_enc(10) + bytes([2])
+          + _uint7_enc(len(sub_plain)) + _uint7_enc(len(sub_plain))
+          + sub_plain + sub_plain)
+    _check_arith_rle(io.BytesIO(ok), 0, len(ok))
 
 
 def test_cram_version_detection():
@@ -807,9 +857,8 @@ def test_cram_version_detection():
         with pytest.raises(NotImplementedError, match=f"{major}\\.{minor}"):
             read_file_header(bad)
 
-    for method, name in ((7, "fqzcomp"), (8, "name tokenizer")):
-        with pytest.raises(NotImplementedError, match=name):
-            _decompress(method, b"\x00", 1)
+    with pytest.raises(NotImplementedError, match="fqzcomp"):
+        _decompress(7, b"\x00", 1)
 
 
 # --- spec 13 integer codecs (GOLOMB / GAMMA / SUBEXP / GOLOMB_RICE) ---------
@@ -1125,3 +1174,183 @@ def test_stripe_mixed_substream_modes():
     for s in subs:
         enc += s
     assert arith_decode(bytes(enc), len(payload)) == payload
+
+
+# --- CRAM 3.1 name tokenizer ------------------------------------------------
+# Test-side ENCODER written independently from the hts-specs CRAMcodecs
+# "Name tokenisation" section: tokenize each name (alpha runs / digit runs
+# with and without leading zeros / single chars), encode against the
+# previous name (MATCH / one-byte digit deltas / fresh values), one byte
+# stream per (position, type), each rANS-Nx16 compressed; the decoder must
+# reproduce the exact RN payload.
+
+import re as _re
+
+_TOKRE = _re.compile(r"[0-9]+|[A-Za-z]+|.")
+
+
+def _tok_split(name: str) -> list[tuple]:
+    toks = [None]  # 1-aligned: toks[t] is token at position t
+    for m in _TOKRE.finditer(name):
+        s = m.group(0)
+        if s[0].isdigit() and len(s) <= 9:
+            if s[0] == "0" and len(s) > 1:
+                toks.append(("D0", int(s), len(s)))
+            else:
+                toks.append(("D", int(s)))
+        elif s.isalpha() or len(s) > 9:
+            toks.append(("A", s))
+        else:
+            toks.append(("C", s))
+    return toks
+
+
+def _name_tok_encode(names: list[str], elide_const_types: bool = False,
+                     dup_streams: bool = False) -> bytes:
+    from sequila_spark.sources.cramcodec import (
+        N_ALPHA, N_CHAR, N_DDELTA, N_DDELTA0, N_DIFF, N_DIGITS, N_DIGITS0,
+        N_DUP, N_DZLEN, N_END, N_MATCH, N_TYPE,
+    )
+
+    streams: dict[tuple, bytearray] = {}
+
+    def put(t, typ, data: bytes):
+        streams.setdefault((t, typ), bytearray()).extend(data)
+
+    rows: list[list] = []
+    for n, name in enumerate(names):
+        if n > 0 and names[n - 1] == name:
+            put(0, N_TYPE, bytes([N_DUP]))
+            put(0, N_DUP, struct.pack("<I", 1))
+            rows.append(rows[-1])
+            continue
+        toks = _tok_split(name)
+        dist = 1 if n else 0
+        put(0, N_TYPE, bytes([N_DIFF]))
+        put(0, N_DIFF, struct.pack("<I", dist))
+        ref = rows[n - dist] if n else [None]
+        for t in range(1, len(toks)):
+            tok = toks[t]
+            rt = ref[t] if t < len(ref) else None
+            if rt == tok:
+                put(t, N_TYPE, bytes([N_MATCH]))
+            elif (rt and rt[0] == "D" and tok[0] == "D"
+                  and 0 <= tok[1] - rt[1] <= 255):
+                put(t, N_TYPE, bytes([N_DDELTA]))
+                put(t, N_DDELTA, bytes([tok[1] - rt[1]]))
+            elif (rt and rt[0] == "D0" and tok[0] == "D0" and rt[2] == tok[2]
+                  and 0 <= tok[1] - rt[1] <= 255):
+                put(t, N_TYPE, bytes([N_DDELTA0]))
+                put(t, N_DDELTA0, bytes([tok[1] - rt[1]]))
+            elif tok[0] == "D":
+                put(t, N_TYPE, bytes([N_DIGITS]))
+                put(t, N_DIGITS, struct.pack("<I", tok[1]))
+            elif tok[0] == "D0":
+                put(t, N_TYPE, bytes([N_DIGITS0]))
+                put(t, N_DIGITS0, struct.pack("<I", tok[1]))
+                put(t, N_DZLEN, bytes([tok[2]]))
+            elif tok[0] == "A":
+                put(t, N_TYPE, bytes([N_ALPHA]))
+                put(t, N_ALPHA, tok[1].encode() + b"\x00")
+            else:
+                put(t, N_TYPE, bytes([N_CHAR]))
+                put(t, N_CHAR, tok[1].encode())
+        put(len(toks), N_TYPE, bytes([N_END]))
+        rows.append(toks)
+
+    ulen = sum(len(nm) + 1 for nm in names)
+    out = bytearray(struct.pack("<II", ulen, len(names)))
+    out.append(0)  # rANS Nx16 inner compression
+    written: list[tuple[int, int, bytes]] = []
+    for t in sorted({k[0] for k in streams}):
+        col = sorted(typ for tt, typ in streams if tt == t)
+        if (elide_const_types and N_TYPE in col and len(col) == 2
+                and len(set(streams[(t, N_TYPE)])) == 1
+                and streams[(t, N_TYPE)][0] == col[1]):
+            col = [col[1]]  # constant-type column: drop the TYPE stream
+        first = True
+        for typ in col:
+            raw = bytes(streams[(t, typ)])
+            head = typ | (0x80 if first else 0)
+            first = False
+            src = next(
+                ((st, stp) for st, stp, sraw in written if sraw == raw),
+                None,
+            ) if dup_streams else None
+            if src is not None:
+                out.append(head | 0x40)
+                out += bytes(src)
+            else:
+                comp = _nx16_encode0(raw, 4)
+                out.append(head)
+                out += _uint7_enc(len(comp)) + comp
+            written.append((t, typ, raw))
+    return bytes(out)
+
+
+def _tok_roundtrip(names, **kw):
+    from sequila_spark.sources.cramcodec import name_tok_decode
+
+    enc = _name_tok_encode(names, **kw)
+    expect = b"".join(nm.encode() + b"\x00" for nm in names)
+    got = name_tok_decode(enc, len(expect))
+    assert got == expect, names[:3]
+
+
+def test_name_tokenizer_roundtrip():
+    illumina = [
+        f"M00123:55:000000000-A1B2C:1:{lane}:{x}:{y}"
+        for lane in (1101, 1102)
+        for (x, y) in [(10023, 9971), (10045, 9980), (10431, 10002)]
+    ]
+    _tok_roundtrip(illumina)
+    _tok_roundtrip([f"SRR1234567.{i}" for i in range(1, 40)])
+    _tok_roundtrip(["read_007", "read_008", "read_010", "read_0100"])
+    _tok_roundtrip(["one-name-only"])
+    _tok_roundtrip(["dup", "dup", "dup", "other", "dup2"])
+    # digit run too long for uint32: carried as a verbatim token
+    _tok_roundtrip(["q99999999999999999999x", "q99999999999999999999y"])
+    # mixed separators and punctuation single-chars
+    _tok_roundtrip(["a.1/b#2", "a.2/b#3", "c.9/d#4"])
+
+
+def test_name_tokenizer_reverse_deltas_and_padding():
+    # decreasing numbers (no DDELTA possible) and zero-padding changes
+    _tok_roundtrip(["r9", "r5", "r1"])
+    _tok_roundtrip(["s001", "s002", "s02", "s2", "s0002"])
+
+
+def test_name_tokenizer_const_type_elision():
+    names = [f"L{i}" for i in range(1, 30)]
+    _tok_roundtrip(names, elide_const_types=True)
+    _tok_roundtrip(
+        [f"AB:{i}:{i*7}" for i in range(100, 130)], elide_const_types=True
+    )
+
+
+def test_name_tokenizer_dup_streams():
+    # identical token columns (ALPHA 'A'/digit, ALPHA 'C'/digit) produce
+    # byte-identical TYPE streams -> serialized once, referenced by 0x40
+    names = [f"A{i}C{i}" for i in range(1, 25)]
+    enc_plain = _name_tok_encode(names)
+    enc_dup = _name_tok_encode(names, dup_streams=True)
+    assert len(enc_dup) < len(enc_plain)
+    _tok_roundtrip(names, dup_streams=True)
+
+
+def test_name_tokenizer_via_block_dispatcher():
+    from sequila_spark.sources.cramcodec import _decompress
+
+    names = [f"SRR000001.{i}" for i in range(1, 12)]
+    enc = _name_tok_encode(names)
+    expect = b"".join(nm.encode() + b"\x00" for nm in names)
+    assert _decompress(8, enc, len(expect)) == expect
+
+
+def test_name_tokenizer_corrupt_is_loud():
+    from sequila_spark.sources.cramcodec import name_tok_decode
+
+    enc = bytearray(_name_tok_encode(["abc1", "abc2"]))
+    enc[0] ^= 0xFF  # ulen now wrong
+    with pytest.raises(ValueError, match="name tokenizer|bytes"):
+        name_tok_decode(bytes(enc), 10)

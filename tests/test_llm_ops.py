@@ -285,3 +285,33 @@ def test_ngram_jaccard_lossless_vs_bruteforce(spark):
             f"t={t}: missing={sorted(expected - got)[:5]} "
             f"extra={sorted(got - expected)[:5]}"
         )
+
+
+def test_verify_fast_and_join_paths_identical(spark, docs, monkeypatch):
+    """The replicated-set fast path and the join fallback must produce the
+    same verified pair set; the byte budget decides which runs.  Forcing
+    the budget to 0 rows exercises the join path on the same input."""
+    import sequila_spark.operators.dedup as D
+
+    fast = {
+        (r["id_1"], r["id_2"], round(r["jaccard"], 9))
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    monkeypatch.setattr(D, "_VERIFY_BCAST_MAX_BYTES", 0)
+    joined = {
+        (r["id_1"], r["id_2"], round(r["jaccard"], 9))
+        for r in D.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    assert fast and fast == joined
+
+
+def test_verify_broadcast_budget_and_hygiene(spark, docs):
+    """Budget math: the row cap is the byte budget over per-row transient
+    cost.  Hygiene: repeated verifies keep at most ONE live broadcast —
+    the prior one is unpersisted, not accumulated."""
+    import sequila_spark.operators.dedup as D
+
+    assert D._verify_bcast_row_budget() == (512 << 20) // (8 * 4)
+    D.ngram_jaccard_pairs(docs, threshold=0.9).collect()
+    D.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    assert len(D._VERIFY_BCASTS) == 1

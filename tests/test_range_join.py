@@ -268,3 +268,24 @@ def test_max_width_probe_skips_expensive_lineage(spark):
         assert RJ._PROBE_RUNS == before + 2  # now probed (reads the cache)
     finally:
         right_cached.unpersist()
+
+
+def test_max_width_probe_invalidates_on_rewritten_data(spark, tmp_path):
+    """A semantically identical plan over REWRITTEN files must re-probe:
+    the cache key includes the file-listing snapshot, so a dataset
+    overwritten with wider intervals cannot return the stale (smaller)
+    max width and silently prune the long branch."""
+    from sequila_spark.operators import range_join as RJ
+
+    path = str(tmp_path / "iv")
+    mk(spark, [("A", "1", 10, 60)]).write.mode("overwrite").parquet(path)
+    left = mk(spark, [("L", "1", 1, 1_000_000)])
+    RJ._PROBE_CACHE.clear()
+    before = RJ._PROBE_RUNS
+    r1 = range_join(left, spark.read.parquet(path))
+    assert r1.count() == 1 and RJ._PROBE_RUNS == before + 2
+    # overwrite with a much wider interval; same schema, same plan shape
+    mk(spark, [("B", "1", 10, 500_000)]).write.mode("overwrite").parquet(path)
+    r2 = range_join(left, spark.read.parquet(path))
+    assert RJ._PROBE_RUNS == before + 3  # right side re-probed
+    assert r2.count() == 1  # wide interval still matches: long branch built
