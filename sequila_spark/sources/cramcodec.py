@@ -12,11 +12,12 @@ insertions, deletions, clips, splices) and CIGAR synthesis.
 CRAM 3.1 (same container layout, new codecs) is accepted at the version
 check; of its codecs, rANS Nx16 decodes natively in full — orders 0/1,
 4-/32-way interleave, CAT/NoSize and the STRIPE/RLE/PACK transforms —
-and the adaptive arithmetic (range) coder decodes orders 0/1 with its
-CAT/EXT/PACK/STRIPE modes, while the arithmetic integrated-RLE mode,
-fqzcomp and the name tokenizer raise NotImplementedError naming the
-missing codec at PLAN time (validate_container_file), so callers know
-exactly what a given archive needs.
+the adaptive arithmetic (range) coder decodes orders 0/1 with its
+CAT/EXT/PACK/STRIPE modes and the integrated RLE model, and the name
+tokenizer (method 8) decodes natively; only fqzcomp (method 7) raises
+NotImplementedError naming the missing codec at PLAN time
+(validate_container_file), so callers know exactly what a given archive
+needs.
 
 Parity surface: the reference gates CRAM behind disq/htslib
 (datasources/BAM/CRAMDataSource.scala:7-15); here plain CRAM decodes
@@ -545,8 +546,8 @@ def rans_nx16_decode(data: bytes, raw_size: int) -> bytes:
 # pass their predecessor, and halve (rounding up) when the total crosses
 # MAX_FREQ.  Shares the Nx16 transform flag byte, except bit 0x04 means
 # EXT (bzip2-compressed payload) rather than 32-way interleave and RLE is
-# an integrated model (not side metadata) — the one mode left unimplemented
-# here, raising by name at plan time.
+# an integrated model (symbol, then run length from a 258-model bank) —
+# not side metadata as in rANS Nx16.
 
 _ARITH_EXT = 0x04
 _ARITH_STEP = 16
@@ -642,6 +643,38 @@ def _arith_decode1(r: ByteReader, out_size: int) -> bytes:
     return bytes(out)
 
 
+def _arith_decode_rle(r: ByteReader, out_size: int, order1: bool) -> bytes:
+    """Integrated RLE mode of the CRAM 3.1 adaptive arithmetic coder
+    (CRAMcodecs spec, arithmetic coding section): each literal is decoded
+    from the usual order-0/1 byte model, then its run length from a bank of
+    258 adaptive models — the first length part keyed by the literal symbol,
+    the first continuation by model 256 and all further continuations by
+    model 257, each part adding up to 255 with 255 meaning "more"."""
+    max_sym = r.u8() or 256
+    rc = _RangeDecoder(r)
+    lits = [_AdaptiveModel(max_sym) for _ in range(max_sym if order1 else 1)]
+    runs = [_AdaptiveModel(256) for _ in range(258)]
+    out = bytearray(out_size)
+    i = 0
+    last = 0
+    while i < out_size:
+        sym = lits[last if order1 else 0].decode(rc)
+        last = sym
+        part = runs[sym].decode(rc)
+        run = part
+        rctx = 256
+        while part == 255:
+            part = runs[rctx].decode(rc)
+            rctx = 257
+            run += part
+        end = min(i + run + 1, out_size)
+        for j in range(i, end):
+            out[j] = sym
+        i += run + 1
+    r.i = rc.i
+    return bytes(out)
+
+
 def _arith_stripe(r: ByteReader, out_size: int) -> bytes:
     n = r.u8()
     clens = [_uint7(r) for _ in range(n)]
@@ -658,8 +691,7 @@ def _arith_stripe(r: ByteReader, out_size: int) -> bytes:
 
 def arith_decode(data: bytes, raw_size: int) -> bytes:
     """CRAM 3.1 block method 6 (adaptive arithmetic coding): orders 0/1,
-    CAT, EXT (bzip2), PACK and STRIPE transforms; the integrated RLE mode
-    raises by name (plan-time gate, pysam fallback)."""
+    CAT, EXT (bzip2), PACK, STRIPE and the integrated RLE mode."""
     r = ByteReader(data)
     flags = r.u8()
     out_size = raw_size if flags & _NX16_NOSZ else _uint7(r)
@@ -672,10 +704,6 @@ def arith_decode(data: bytes, raw_size: int) -> bytes:
         nsym = r.u8()
         pmap = [r.u8() for _ in range(nsym)]
         out_size = _uint7(r)
-    if flags & _NX16_RLE:
-        raise NotImplementedError(
-            "arithmetic-coder integrated RLE mode (CRAM 3.1)"
-        )
     if out_size == 0:
         out = b""
     elif flags & _NX16_CAT:
@@ -684,6 +712,8 @@ def arith_decode(data: bytes, raw_size: int) -> bytes:
         out = bz2.decompress(bytes(r.b[r.i :]))
         if len(out) != out_size:
             raise ValueError("arith EXT payload length mismatch")
+    elif flags & _NX16_RLE:
+        out = _arith_decode_rle(r, out_size, bool(flags & _NX16_ORDER1))
     elif flags & _NX16_ORDER1:
         out = _arith_decode1(r, out_size)
     else:
@@ -854,33 +884,6 @@ def name_tok_decode(data: bytes, raw_size: int) -> bytes:
     raise ValueError(
         f"name tokenizer: decoded {len(out)} bytes, header says {ulen}"
     )
-
-
-def _check_arith_rle(f, at: int, avail: int) -> None:
-    """Plan-time gate helper: raise by name if an arith stream's flag byte
-    — or, for STRIPE wrapping, any substream's flag byte, recursively —
-    carries the integrated-RLE bit.  Reads only the stream head (flags +
-    lengths) and one recursion per substream, never payload bytes."""
-    f.seek(at)
-    head = f.read(min(avail, 4096))
-    if not head:
-        return
-    r = ByteReader(head)
-    flags = r.u8()
-    if flags & _NX16_RLE:
-        raise NotImplementedError(
-            "arithmetic-coder integrated RLE mode (CRAM 3.1)"
-        )
-    if not flags & _NX16_STRIPE:
-        return
-    if not flags & _NX16_NOSZ:
-        _uint7(r)
-    n = r.u8()
-    clens = [_uint7(r) for _ in range(n)]
-    off = at + r.i
-    for cl in clens:
-        _check_arith_rle(f, off, cl)
-        off += cl
 
 
 # CRAM 3.1 method numbers -> codec names, for precise unimplemented errors
@@ -1299,11 +1302,6 @@ def validate_container_file(path, h: dict) -> None:
             if method == 7 or method > 8:
                 name = _METHOD_NAMES.get(method, f"method {method}")
                 raise NotImplementedError(f"CRAM block compression: {name}")
-            if method == 6:
-                # arith flags byte: the integrated RLE mode raises by name
-                # here, before any executor work is scheduled — including
-                # when it hides inside a STRIPE substream
-                _check_arith_rle(f, payload_at, csize)
             if ctype == 1:  # compression header: parse fully (codec check)
                 f.seek(payload_at)
                 CompressionHeader(_decompress(method, f.read(csize), rsize))

