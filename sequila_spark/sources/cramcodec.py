@@ -10,12 +10,12 @@ sequence reconstruction against the reference (substitution matrix,
 insertions, deletions, clips, splices) and CIGAR synthesis.
 
 CRAM 3.1 (same container layout, new codecs) is accepted at the version
-check; of its codecs, rANS Nx16 decodes natively in full — orders 0/1,
-4-/32-way interleave, CAT/NoSize and the STRIPE/RLE/PACK transforms —
-the adaptive arithmetic (range) coder decodes orders 0/1 with its
-CAT/EXT/PACK/STRIPE modes and the integrated RLE model, and the name
-tokenizer (method 8) decodes natively; only fqzcomp (method 7) raises
-NotImplementedError naming the missing codec at PLAN time
+check, and every 3.1 block compression method decodes natively: rANS
+Nx16 in full (orders 0/1, 4-/32-way interleave, CAT/NoSize and the
+STRIPE/RLE/PACK transforms), the adaptive arithmetic (range) coder
+(orders 0/1, CAT/EXT/PACK/STRIPE and the integrated RLE model), the
+fqzcomp quality codec (method 7) and the name tokenizer (method 8).
+Unknown future methods still raise NotImplementedError at PLAN time
 (validate_container_file), so callers know exactly what a given archive
 needs.
 
@@ -886,10 +886,204 @@ def name_tok_decode(data: bytes, raw_size: int) -> bytes:
     )
 
 
-# CRAM 3.1 method numbers -> codec names, for precise unimplemented errors
-_METHOD_NAMES = {
-    7: "fqzcomp quality codec (CRAM 3.1)",
-}
+# --- CRAM 3.1 fqzcomp quality codec (block method 7) ------------------------
+# Implemented from the public hts-specs CRAMcodecs "fqzcomp qual codec"
+# section: quality values are coded by the same adaptive range coder as
+# block method 6, with a 16-bit context mixing the recent quality history
+# (qtab-mapped, qshift/qbits window at qloc), the remaining record length
+# (ptab at ploc), the count of quality changes so far (dtab at dloc) and
+# the per-record parameter selector (at sloc).  Parameter sets carry
+# optional symbol remapping (qmap) and the three context tables serialized
+# with the spec's two-level run-length ReadArray format.  Reference parity:
+# the reference consumes fqzcomp via htslib (datasources/BAM/
+# CRAMDataSource.scala:7-15); here it is a from-scratch Python decoder
+# validated against an independently written spec-side encoder in
+# tests/test_cram_native.py.
+
+_FQZ_VERS = 5
+
+_FQZ_GFLAG_MULTI_PARAM = 1
+_FQZ_GFLAG_HAVE_STAB = 2
+_FQZ_GFLAG_DO_REV = 4
+
+_FQZ_PFLAG_DEDUP = 2
+_FQZ_PFLAG_FLEN = 4
+_FQZ_PFLAG_DO_SEL = 8
+_FQZ_PFLAG_HAVE_QMAP = 16
+_FQZ_PFLAG_HAVE_PTAB = 32
+_FQZ_PFLAG_HAVE_DTAB = 64
+_FQZ_PFLAG_HAVE_QTAB = 128
+
+
+def _fqz_read_array(r: ByteReader, size: int) -> list[int]:
+    """The spec's two-level run-length table serialization: level 2 undoes
+    duplicate-byte compression (a byte equal to its predecessor is followed
+    by a count of extra copies), level 1 reads the resulting stream as
+    255-capped run-length chunks for the successive values 0, 1, 2, ... —
+    the tables are non-decreasing step functions, so only run lengths are
+    stored."""
+    chunks: list[int] = []
+    z = 0
+    last = -1
+    while z < size:
+        run = r.u8()
+        chunks.append(run)
+        z += run
+        if run == last:
+            copy = r.u8()
+            chunks.extend([run] * copy)
+            z += run * copy
+        last = run
+    a = [0] * size
+    i = 0
+    j = 0
+    z = 0
+    while i < size:
+        run_len = 0
+        while True:
+            if z >= len(chunks):
+                raise ValueError("fqzcomp: table run data underflow")
+            part = chunks[z]
+            z += 1
+            run_len += part
+            if part != 255:
+                break
+        for _ in range(run_len):
+            if i < size:
+                a[i] = j
+                i += 1
+        j += 1
+    return a
+
+
+class _FqzParam:
+    """One fqzcomp parameter set (spec: fqz_param)."""
+
+    __slots__ = (
+        "context", "pflags", "max_sym", "qbits", "qshift", "qloc", "sloc",
+        "ploc", "dloc", "do_dedup", "fixed_len", "do_sel", "do_qmap",
+        "do_pos", "do_delta", "qmap", "qtab", "ptab", "dtab",
+    )
+
+    def __init__(self, r: ByteReader):
+        self.context = r.u8() | (r.u8() << 8)
+        self.pflags = r.u8()
+        self.max_sym = r.u8()
+        x = r.u8()
+        self.qbits = x >> 4
+        self.qshift = x & 15
+        x = r.u8()
+        self.qloc = x >> 4
+        self.sloc = x & 15
+        x = r.u8()
+        self.ploc = x >> 4
+        self.dloc = x & 15
+        self.do_dedup = bool(self.pflags & _FQZ_PFLAG_DEDUP)
+        self.fixed_len = bool(self.pflags & _FQZ_PFLAG_FLEN)
+        self.do_sel = bool(self.pflags & _FQZ_PFLAG_DO_SEL)
+        self.do_qmap = bool(self.pflags & _FQZ_PFLAG_HAVE_QMAP)
+        self.do_pos = bool(self.pflags & _FQZ_PFLAG_HAVE_PTAB)
+        self.do_delta = bool(self.pflags & _FQZ_PFLAG_HAVE_DTAB)
+        if self.do_qmap:
+            self.qmap = [r.u8() for _ in range(self.max_sym)]
+        else:
+            self.qmap = None
+        if self.pflags & _FQZ_PFLAG_HAVE_QTAB:
+            self.qtab = _fqz_read_array(r, 256)
+        else:
+            self.qtab = list(range(256))
+        self.ptab = _fqz_read_array(r, 1024) if self.do_pos else [0] * 1024
+        self.dtab = _fqz_read_array(r, 256) if self.do_delta else [0] * 256
+
+
+def fqz_decode(data: bytes, raw_size: int) -> bytes:
+    """CRAM 3.1 block method 7 (fqzcomp): decode ``raw_size`` quality
+    bytes.  Record lengths travel inside the stream (4 range-coded bytes,
+    little-endian), so the decoder needs no slice metadata."""
+    r = ByteReader(data)
+    vers = r.u8()
+    if vers != _FQZ_VERS:
+        raise ValueError(f"fqzcomp: version {vers}, expected {_FQZ_VERS}")
+    gflags = r.u8()
+    nparam = r.u8() if gflags & _FQZ_GFLAG_MULTI_PARAM else 1
+    max_sel = nparam - 1 if nparam > 1 else 0
+    if gflags & _FQZ_GFLAG_HAVE_STAB:
+        max_sel = r.u8()
+        stab = _fqz_read_array(r, 256)
+    else:
+        stab = [min(i, nparam - 1) for i in range(256)]
+    params = [_FqzParam(r) for _ in range(nparam)]
+    max_sym = max(p.max_sym for p in params)
+
+    rc = _RangeDecoder(r)
+    nsym = (max_sym + 1) if max_sym else 256
+    qual_models: dict[int, _AdaptiveModel] = {}
+    len_models = [_AdaptiveModel(256) for _ in range(4)]
+    rev_model = _AdaptiveModel(2)
+    dup_model = _AdaptiveModel(2)
+    sel_model = _AdaptiveModel(max_sel + 1) if max_sel else None
+
+    out = bytearray(raw_size)
+    rev_spans: list[tuple[int, int]] = []
+    latched_len: dict[int, int] = {}
+    i = 0
+    while i < raw_size:
+        sel = sel_model.decode(rc) if sel_model is not None else 0
+        x = stab[sel] if sel < len(stab) else nparam - 1
+        pm = params[x]
+        if pm.fixed_len and x in latched_len:
+            rec_len = latched_len[x]
+        else:
+            rec_len = (
+                len_models[0].decode(rc)
+                | (len_models[1].decode(rc) << 8)
+                | (len_models[2].decode(rc) << 16)
+                | (len_models[3].decode(rc) << 24)
+            )
+            if pm.fixed_len:
+                latched_len[x] = rec_len
+        if rec_len <= 0 or i + rec_len > raw_size:
+            raise ValueError(
+                f"fqzcomp: record length {rec_len} overruns block "
+                f"({i}/{raw_size})"
+            )
+        if gflags & _FQZ_GFLAG_DO_REV:
+            if rev_model.decode(rc):
+                rev_spans.append((i, rec_len))
+        if pm.do_dedup and dup_model.decode(rc):
+            if i < rec_len:
+                raise ValueError("fqzcomp: dup flag on the first record")
+            out[i : i + rec_len] = out[i - rec_len : i]
+            i += rec_len
+            continue
+        ctx = pm.context
+        qctx = 0
+        delta = 0
+        prevq = 0
+        p = rec_len
+        qbits_mask = (1 << pm.qbits) - 1
+        for _ in range(rec_len):
+            m = qual_models.get(ctx)
+            if m is None:
+                m = qual_models[ctx] = _AdaptiveModel(nsym)
+            q = m.decode(rc)
+            out[i] = pm.qmap[q] if pm.qmap is not None and q < len(pm.qmap) else q
+            i += 1
+            qctx = ((qctx << pm.qshift) + pm.qtab[q if q < 256 else 255]) & 0xFFFFFFFF
+            ctx = ((qctx & qbits_mask) << pm.qloc)
+            if pm.do_pos:
+                ctx += pm.ptab[p if p < 1024 else 1023] << pm.ploc
+            if pm.do_delta:
+                ctx += pm.dtab[delta if delta < 256 else 255] << pm.dloc
+                delta += 1 if prevq != q else 0
+                prevq = q
+            if pm.do_sel:
+                ctx += sel << pm.sloc
+            p -= 1
+            ctx &= 0xFFFF
+    for start, ln in rev_spans:
+        out[start : start + ln] = out[start : start + ln][::-1]
+    return bytes(out)
 
 
 def _decompress(method: int, data: bytes, raw_size: int) -> bytes:
@@ -907,10 +1101,11 @@ def _decompress(method: int, data: bytes, raw_size: int) -> bytes:
         return rans_nx16_decode(data, raw_size)
     if method == 6:
         return arith_decode(data, raw_size)
+    if method == 7:
+        return fqz_decode(data, raw_size)
     if method == 8:
         return name_tok_decode(data, raw_size)
-    name = _METHOD_NAMES.get(method, f"method {method}")
-    raise NotImplementedError(f"CRAM block compression: {name}")
+    raise NotImplementedError(f"CRAM block compression: method {method}")
 
 
 # --- bit reader for core-stream codecs --------------------------------------
@@ -1190,10 +1385,9 @@ def read_file_header(data: bytes) -> tuple[list[str], str, int]:
     major, minor = data[4], data[5]
     if (major, minor) not in ((3, 0), (3, 1)):
         # v2 uses different container framing (no CRC32); v4 is a draft.
-        # 3.1 shares the 3.0 container layout and is accepted here — its
-        # new codecs are detected per block, with precise per-codec errors
-        # (rANS Nx16 order-0 decodes natively; order-1/arith/fqzcomp/name-
-        # tokenizer raise by name and fall back to pysam when present).
+        # 3.1 shares the 3.0 container layout and is accepted here — all
+        # of its block codecs (rANS Nx16, arith, fqzcomp, name tokenizer)
+        # decode natively; unknown future methods raise per block.
         raise NotImplementedError(f"CRAM version {major}.{minor}")
     r = ByteReader(data, 26)
     h = _read_container_header(r)
@@ -1299,9 +1493,10 @@ def validate_container_file(path, h: dict) -> None:
             csize = r.itf8()
             rsize = r.itf8()
             payload_at = pos + r.i
-            if method == 7 or method > 8:
-                name = _METHOD_NAMES.get(method, f"method {method}")
-                raise NotImplementedError(f"CRAM block compression: {name}")
+            if method > 8:
+                raise NotImplementedError(
+                    f"CRAM block compression: method {method}"
+                )
             if ctype == 1:  # compression header: parse fully (codec check)
                 f.seek(payload_at)
                 CompressionHeader(_decompress(method, f.read(csize), rsize))

@@ -251,7 +251,7 @@ def test_block_compression_methods():
     assert _decompress(2, bz2.compress(payload), len(payload)) == payload
     assert _decompress(3, lzma.compress(payload), len(payload)) == payload
     with _pytest.raises(NotImplementedError):
-        _decompress(7, payload, len(payload))
+        _decompress(9, payload, len(payload))
 
 
 def test_tag_rendering_shared_with_bam_codec():
@@ -835,7 +835,8 @@ def test_cram_version_detection():
         with pytest.raises(NotImplementedError, match=f"{major}\\.{minor}"):
             read_file_header(bad)
 
-    with pytest.raises(NotImplementedError, match="fqzcomp"):
+    # method 7 (fqzcomp) now decodes; a bad version byte is loud, not silent
+    with pytest.raises(ValueError, match="fqzcomp: version"):
         _decompress(7, b"\x00", 1)
 
 
@@ -1388,3 +1389,290 @@ def test_name_tokenizer_corrupt_is_loud():
     enc[0] ^= 0xFF  # ulen now wrong
     with pytest.raises(ValueError, match="name tokenizer|bytes"):
         name_tok_decode(bytes(enc), 10)
+
+
+# --- CRAM 3.1 fqzcomp quality codec ----------------------------------------
+# Test-side ENCODER written independently from the hts-specs CRAMcodecs
+# "fqzcomp qual codec" section: the same range coder + adaptive byte models
+# as the arith codec, a 16-bit context mixing quality history / remaining
+# position / delta count / selector, and the two-level run-length table
+# serialization.  The decoder must reproduce the exact quality bytes.
+
+
+def _fqz_store_array(table: list[int]) -> bytes:
+    """Inverse of cramcodec._fqz_read_array (two-level RLE)."""
+    s1 = bytearray()
+    maxv = table[-1] if table else 0
+    idx = 0
+    for j in range(maxv + 1):
+        run = 0
+        while idx < len(table) and table[idx] == j:
+            run += 1
+            idx += 1
+        while True:
+            c = min(255, run)
+            s1.append(c)
+            run -= c
+            if c != 255:
+                break
+    assert idx == len(table), "table must be non-decreasing"
+    out = bytearray()
+    i = 0
+    last = -1
+    while i < len(s1):
+        b = s1[i]
+        out.append(b)
+        if b == last:
+            j = i + 1
+            copies = 0
+            while j < len(s1) and s1[j] == b and copies < 255:
+                copies += 1
+                j += 1
+            out.append(copies)
+            i = j
+        else:
+            i += 1
+        last = b
+    return bytes(out)
+
+
+def _fqz_encode(recs, params, *, stab=None, max_sel=None, rev=None):
+    """Spec-side fqzcomp encoder.
+
+    recs: list of (qual_bytes, sel).  params: list of dicts with keys
+    context, qbits, qshift, qloc, sloc, ploc, dloc, max_sym and optional
+    qmap (list), qtab/ptab/dtab (non-decreasing tables), fixed_len,
+    dedup, do_sel (bools).  stab: optional non-decreasing 256-entry
+    selector->param table (requires max_sel).  rev: optional per-record
+    reverse flags.
+    """
+    nparam = len(params)
+    gflags = (1 if nparam > 1 else 0) | (2 if stab is not None else 0) | (
+        4 if rev is not None else 0)
+    head = bytearray([5, gflags])
+    if nparam > 1:
+        head.append(nparam)
+    eff_max_sel = nparam - 1 if nparam > 1 else 0
+    if stab is not None:
+        eff_max_sel = max_sel
+        head.append(max_sel)
+        head += _fqz_store_array(stab)
+        stab_l = stab
+    else:
+        stab_l = [min(i, nparam - 1) for i in range(256)]
+    for pm in params:
+        pflags = ((2 if pm.get("dedup") else 0)
+                  | (4 if pm.get("fixed_len") else 0)
+                  | (8 if pm.get("do_sel") else 0)
+                  | (16 if pm.get("qmap") is not None else 0)
+                  | (32 if pm.get("ptab") is not None else 0)
+                  | (64 if pm.get("dtab") is not None else 0)
+                  | (128 if pm.get("qtab") is not None else 0))
+        head += bytes([pm["context"] & 0xFF, pm["context"] >> 8, pflags,
+                       pm["max_sym"],
+                       (pm["qbits"] << 4) | pm["qshift"],
+                       (pm["qloc"] << 4) | pm["sloc"],
+                       (pm["ploc"] << 4) | pm["dloc"]])
+        if pm.get("qmap") is not None:
+            head += bytes(pm["qmap"])
+        if pm.get("qtab") is not None:
+            head += _fqz_store_array(pm["qtab"])
+        if pm.get("ptab") is not None:
+            head += _fqz_store_array(pm["ptab"])
+        if pm.get("dtab") is not None:
+            head += _fqz_store_array(pm["dtab"])
+
+    max_sym_all = max(pm["max_sym"] for pm in params)
+    nsym = (max_sym_all + 1) if max_sym_all else 256
+    rc = _RangeEncoder()
+    qual_models = {}
+    len_models = [_EncModel(256) for _ in range(4)]
+    rev_model = _EncModel(2)
+    dup_model = _EncModel(2)
+    sel_model = _EncModel(eff_max_sel + 1) if eff_max_sel else None
+
+    latched_len = {}
+    prev_bytes = None
+    for ri, (qual, sel) in enumerate(recs):
+        if sel_model is not None:
+            sel_model.encode(rc, sel)
+        x = stab_l[sel]
+        pm = params[x]
+        if not (pm.get("fixed_len") and x in latched_len):
+            ln = len(qual)
+            for shift in (0, 8, 16, 24):
+                len_models[shift // 8].encode(rc, (ln >> shift) & 0xFF)
+            if pm.get("fixed_len"):
+                latched_len[x] = ln
+        if rev is not None:
+            rev_model.encode(rc, 1 if rev[ri] else 0)
+        body = qual[::-1] if (rev is not None and rev[ri]) else qual
+        if pm.get("dedup"):
+            is_dup = prev_bytes == body
+            dup_model.encode(rc, 1 if is_dup else 0)
+            if is_dup:
+                prev_bytes = body
+                continue
+        inv_qmap = ({v: i for i, v in enumerate(pm["qmap"])}
+                    if pm.get("qmap") is not None else None)
+        qtab = pm.get("qtab") or list(range(256))
+        ptab = pm.get("ptab") or [0] * 1024
+        dtab = pm.get("dtab") or [0] * 256
+        ctx = pm["context"]
+        qctx = 0
+        delta = 0
+        prevq = 0
+        p = len(body)
+        qbits_mask = (1 << pm["qbits"]) - 1
+        for byte in body:
+            q = inv_qmap[byte] if inv_qmap is not None else byte
+            m = qual_models.get(ctx)
+            if m is None:
+                m = qual_models[ctx] = _EncModel(nsym)
+            m.encode(rc, q)
+            qctx = ((qctx << pm["qshift"]) + qtab[q]) & 0xFFFFFFFF
+            ctx = (qctx & qbits_mask) << pm["qloc"]
+            if pm.get("ptab") is not None:
+                ctx += ptab[p if p < 1024 else 1023] << pm["ploc"]
+            if pm.get("dtab") is not None:
+                ctx += dtab[delta if delta < 256 else 255] << pm["dloc"]
+                delta += 1 if prevq != q else 0
+                prevq = q
+            if pm.get("do_sel"):
+                ctx += sel << pm["sloc"]
+            p -= 1
+            ctx &= 0xFFFF
+        prev_bytes = body
+    return bytes(head) + rc.finish()
+
+
+def _fqz_quals(rng, n, lo=0, hi=45):
+    return bytes(min(hi, max(lo, int(rng.gauss((lo + hi) / 2, 8)))) for _ in range(n))
+
+
+def test_fqz_store_read_array_roundtrip():
+    from sequila_spark.sources.cramcodec import ByteReader, _fqz_read_array
+
+    rng = random.Random(40)
+    for size in (16, 256, 1024):
+        # non-decreasing step tables incl. long flat runs (>255) and gaps
+        table = []
+        v = 0
+        while len(table) < size:
+            table.extend([v] * min(size - len(table), rng.choice([1, 3, 300, 700])))
+            v += rng.choice([1, 1, 2, 5])
+        enc = _fqz_store_array(table)
+        assert _fqz_read_array(ByteReader(enc), size) == table
+    # all-zero and identity tables
+    enc = _fqz_store_array([0] * 256)
+    assert _fqz_read_array(ByteReader(enc), 256) == [0] * 256
+    ident = list(range(256))
+    enc = _fqz_store_array(ident)
+    assert _fqz_read_array(ByteReader(enc), 256) == ident
+
+
+def _fqz_roundtrip(recs, params, **kw):
+    from sequila_spark.sources.cramcodec import fqz_decode
+
+    enc = _fqz_encode(recs, params, **kw)
+    rev = kw.get("rev")
+    expect = b"".join(q for q, _ in recs)
+    got = fqz_decode(enc, len(expect))
+    assert got == expect
+    return enc
+
+
+def test_fqz_single_param_basic():
+    rng = random.Random(41)
+    recs = [(_fqz_quals(rng, rng.randrange(80, 120)), 0) for _ in range(40)]
+    params = [dict(context=0, qbits=8, qshift=4, qloc=0, sloc=0, ploc=0,
+                   dloc=0, max_sym=45)]
+    _fqz_roundtrip(recs, params)
+
+
+def test_fqz_pos_delta_context():
+    rng = random.Random(42)
+    recs = [(_fqz_quals(rng, 100), 0) for _ in range(60)]
+    # ptab: bucket remaining-position into 16 groups shifted to bits 8..11;
+    # dtab: delta capped at 7 in bits 12..14; qbits window in bits 0..7
+    ptab = [min(15, i // 64) for i in range(1024)]
+    dtab = [min(7, i) for i in range(256)]
+    params = [dict(context=0x1234, qbits=8, qshift=2, qloc=0, sloc=0,
+                   ploc=8, dloc=12, max_sym=45, ptab=ptab, dtab=dtab)]
+    _fqz_roundtrip(recs, params)
+
+
+def test_fqz_qmap_and_qtab():
+    rng = random.Random(43)
+    # binned qualities: only 4 distinct values, qmap decompresses symbols
+    vals = [2, 12, 24, 37]
+    recs = [(bytes(rng.choice(vals) for _ in range(90)), 0) for _ in range(30)]
+    inv = {v: i for i, v in enumerate(vals)}
+    qtab = [0] * 256  # qtab folds all history to one bucket
+    params = [dict(context=7, qbits=2, qshift=1, qloc=0, sloc=0, ploc=0,
+                   dloc=0, max_sym=4, qmap=vals, qtab=qtab)]
+    _fqz_roundtrip(recs, params)
+
+
+def test_fqz_fixed_len_and_dedup():
+    rng = random.Random(44)
+    recs = []
+    for _ in range(25):
+        q = _fqz_quals(rng, 75)
+        recs.append((q, 0))
+        recs.append((q, 0))  # consecutive duplicate -> 1 dup bit, no bases
+    params = [dict(context=0, qbits=6, qshift=3, qloc=0, sloc=0, ploc=0,
+                   dloc=0, max_sym=45, fixed_len=True, dedup=True)]
+    enc_dup = _fqz_roundtrip(recs, params)
+    params_no = [dict(context=0, qbits=6, qshift=3, qloc=0, sloc=0, ploc=0,
+                      dloc=0, max_sym=45, fixed_len=True)]
+    enc_plain = _fqz_roundtrip(recs, params_no)
+    assert len(enc_dup) < len(enc_plain)  # dedup must actually help
+
+
+def test_fqz_multi_param_selector_and_rev():
+    rng = random.Random(45)
+    recs = []
+    for i in range(50):
+        if i % 3 == 0:
+            recs.append((_fqz_quals(rng, 60, 0, 20), 0))
+        else:
+            recs.append((_fqz_quals(rng, 90, 20, 45), 1))
+    rev = [i % 5 == 0 for i in range(50)]
+    params = [
+        dict(context=0, qbits=6, qshift=2, qloc=0, sloc=14, ploc=0, dloc=0,
+             max_sym=45, do_sel=True),
+        dict(context=0x40, qbits=7, qshift=3, qloc=0, sloc=14, ploc=0,
+             dloc=0, max_sym=45, do_sel=True),
+    ]
+    _fqz_roundtrip(recs, params, rev=rev)
+
+
+def test_fqz_explicit_stab():
+    rng = random.Random(46)
+    # 3 selector values mapping onto 2 params via a non-trivial stab
+    stab = [0] * 2 + [1] * 254
+    recs = [(_fqz_quals(rng, 70), rng.choice([0, 1, 2])) for _ in range(40)]
+    params = [
+        dict(context=0, qbits=8, qshift=4, qloc=0, sloc=0, ploc=0, dloc=0,
+             max_sym=45),
+        dict(context=9, qbits=4, qshift=2, qloc=0, sloc=0, ploc=0, dloc=0,
+             max_sym=45),
+    ]
+    _fqz_roundtrip(recs, params, stab=stab, max_sel=2)
+
+
+def test_fqz_via_block_dispatcher_and_errors():
+    from sequila_spark.sources.cramcodec import _decompress, fqz_decode
+
+    rng = random.Random(47)
+    recs = [(_fqz_quals(rng, 50), 0) for _ in range(10)]
+    params = [dict(context=0, qbits=8, qshift=4, qloc=0, sloc=0, ploc=0,
+                   dloc=0, max_sym=45)]
+    enc = _fqz_encode(recs, params)
+    expect = b"".join(q for q, _ in recs)
+    assert _decompress(7, enc, len(expect)) == expect
+    # wrong version byte is loud
+    bad = bytes([9]) + enc[1:]
+    with pytest.raises(ValueError, match="version"):
+        fqz_decode(bad, len(expect))
