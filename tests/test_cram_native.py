@@ -1676,3 +1676,158 @@ def test_fqz_via_block_dispatcher_and_errors():
     bad = bytes([9]) + enc[1:]
     with pytest.raises(ValueError, match="version"):
         fqz_decode(bad, len(expect))
+
+
+# --- CRAM 3.1 end-to-end (container-level transcode) -------------------------
+# Rebuild the real 3.0 fixture as a CRAM 3.1 FILE: every compressible
+# block re-encoded with the 3.1 codec set (fqzcomp on the quality stream,
+# the name tokenizer on read names, arith incl. integrated RLE and rANS
+# Nx16 on the rest), version bumped, container framing and landmarks
+# recomputed.  The decoder must then produce record-identical output to
+# the 3.0 read — proving the whole 3.1 path container -> records, not
+# just isolated block codecs.
+
+import zlib as _zlib
+
+
+def _itf8_enc(v: int) -> bytes:
+    v &= 0xFFFFFFFF
+    if v < 0x80:
+        return bytes([v])
+    if v < 1 << 14:
+        return bytes([0x80 | (v >> 8), v & 0xFF])
+    if v < 1 << 21:
+        return bytes([0xC0 | (v >> 16), (v >> 8) & 0xFF, v & 0xFF])
+    if v < 1 << 28:
+        return bytes([0xE0 | (v >> 24), (v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF])
+    return bytes([
+        0xF0 | ((v >> 28) & 0x0F), (v >> 20) & 0xFF, (v >> 12) & 0xFF,
+        (v >> 4) & 0xFF, v & 0x0F,
+    ])
+
+
+def _ltf8_enc(v: int) -> bytes:
+    # always the 9-byte form (0xFF prefix + 8 BE bytes): legal for any value
+    return bytes([0xFF]) + (v & 0xFFFFFFFFFFFFFFFF).to_bytes(8, "big")
+
+
+def _block31(method: int, ctype: int, cid: int, comp: bytes, rsize: int) -> bytes:
+    body = (bytes([method, ctype]) + _itf8_enc(cid)
+            + _itf8_enc(len(comp)) + _itf8_enc(rsize) + comp)
+    return body + struct.pack("<I", _zlib.crc32(body))
+
+
+def _transcode_cram31(data: bytes) -> bytes:
+    """Rewrite the (single-data-container) fixture as CRAM 3.1."""
+    _names, _text, off = C.read_file_header(data)
+    h = C.scan_containers(data)[0]
+    cont_end = h["data_offset"] + h["length"]
+
+    # parse original blocks (raw spans + decompressed payloads)
+    r = C.ByteReader(data, h["data_offset"])
+    blocks = []
+    qs_id = rn_id = None
+    for _ in range(h["n_blocks"]):
+        start = r.i
+        method = r.u8()
+        ctype = r.u8()
+        cid = r.itf8()
+        csize = r.itf8()
+        rsize = r.itf8()
+        payload = C._decompress(method, bytes(r.read(csize)), rsize)
+        r.read(4)  # crc
+        blocks.append((ctype, cid, payload, data[start : r.i]))
+        if ctype == 1:
+            ch = C.CompressionHeader(payload)
+            qs = ch.ds.get("QS")
+            if qs is not None and qs.codec == 1:
+                qs_id = qs.content_id
+            rn = ch.ds.get("RN")
+            if rn is not None and rn.codec in (1, 5):
+                rn_id = rn.content_id
+    assert r.i == cont_end
+
+    fqz_p = dict(context=0, qbits=8, qshift=4, qloc=0, sloc=0, ploc=0,
+                 dloc=0, max_sym=0)
+    alt_cycle = 0
+    out_blocks = []
+    for ctype, cid, payload, raw in blocks:
+        if ctype == 1:  # compression header -> arith order-0
+            comp = (bytes([0]) + _uint7_enc(len(payload))
+                    + _arith_encode0(payload))
+            out_blocks.append(_block31(6, ctype, cid, comp, len(payload)))
+        elif ctype == 4 and payload:
+            if cid == qs_id:  # quality stream -> fqzcomp, one giant record
+                p = dict(fqz_p, max_sym=max(payload))
+                comp = _fqz_encode([(payload, 0)], [p])
+                out_blocks.append(_block31(7, ctype, cid, comp, len(payload)))
+            elif cid == rn_id and payload.endswith(b"\x00"):
+                names = [n.decode("ascii") for n in payload.split(b"\x00")[:-1]]
+                comp = _name_tok_encode(names)
+                out_blocks.append(_block31(8, ctype, cid, comp, len(payload)))
+            else:  # cycle through the remaining 3.1 codec modes
+                if alt_cycle == 0:
+                    comp = (bytes([0x01]) + _uint7_enc(len(payload))
+                            + _arith_encode1(payload))
+                    m = 6
+                elif alt_cycle == 1:
+                    comp = _nx16_encode0(payload, 4)
+                    m = 5
+                elif alt_cycle == 2:
+                    comp = (bytes([0x40]) + _uint7_enc(len(payload))
+                            + _arith_encode_rle(payload, False))
+                    m = 6
+                else:
+                    comp = _nx16_encode1(payload, 4)
+                    m = 5
+                alt_cycle = (alt_cycle + 1) % 4
+                out_blocks.append(_block31(m, ctype, cid, comp, len(payload)))
+        else:  # core block / empty externals / slice header: copy verbatim
+            out_blocks.append(raw)
+
+    # slice header must follow the compression header immediately: recompute
+    # the single landmark as the new compression-header block size
+    assert len(h["landmarks"]) == 1
+    blocks_bytes = b"".join(out_blocks)
+    hdr = struct.pack("<i", len(blocks_bytes))
+    hdr += _itf8_enc(h["ref_id"]) + _itf8_enc(h["start"]) + _itf8_enc(h["span"])
+    hdr += _itf8_enc(h["n_records"]) + _ltf8_enc(h["counter"])
+    hdr += _ltf8_enc(h["n_bases"]) + _itf8_enc(h["n_blocks"])
+    hdr += _itf8_enc(1) + _itf8_enc(len(out_blocks[0]))
+    hdr += struct.pack("<I", _zlib.crc32(hdr))
+
+    return (data[:4] + bytes([3, 1]) + data[6:off]
+            + hdr + blocks_bytes + data[cont_end:])
+
+
+def test_cram31_transcode_scan_and_validate(tmp_path):
+    data = open(CRAM, "rb").read()
+    crafted = str(tmp_path / "slice31.cram")
+    with open(crafted, "wb") as f:
+        f.write(_transcode_cram31(data))
+    names, _t, _off = C.read_file_header(open(crafted, "rb").read())
+    assert names == C.read_file_header(data)[0]
+    h31 = C.scan_containers_file(crafted)[2]
+    assert len(h31) == 1 and h31[0]["n_records"] == 3172
+    C.validate_container_file(crafted, h31[0])  # all 3.1 codecs accepted
+
+
+def test_cram31_end_to_end_records_identical(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from sequila_spark.sources import read_cram_native
+
+    data = open(CRAM, "rb").read()
+    crafted = str(tmp_path / "slice31.cram")
+    with open(crafted, "wb") as f:
+        f.write(_transcode_cram31(data))
+
+    cols = ["qname", "flag", "contig", "pos_start", "pos_end", "mapq",
+            "cigar", "rnext", "pnext", "tlen", "seq", "qual"]
+    a = read_cram_native(spark, crafted, ref_path=FASTA)
+    b = read_cram_native(spark, CRAM, ref_path=FASTA)
+    assert a.count() == 3172
+    assert (
+        a.select(*cols).exceptAll(b.select(*cols)).count() == 0
+        and b.select(*cols).exceptAll(a.select(*cols)).count() == 0
+    )
