@@ -24,6 +24,11 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 # whose plans were rearchitected for scale (so regressions stay visible
 # round over round).
 BENCH_QUERIES = [
+    # real-data codec throughput FIRST (fixed-size input — a regression
+    # guard on the native CRAM decoder): measured late in the sequence it
+    # absorbs ~3x contamination from the Arrow-heavy queries' accumulated
+    # Python-worker state, which is JVM-session noise, not codec speed
+    "cram_decode",
     "feature_counts",
     "range_join_pairs",
     "range_join_maxgap",
@@ -42,9 +47,6 @@ BENCH_QUERIES = [
     "text_features",
     "events_window_agg",
     "events_asof",
-    # real-data codec throughput (fixed-size input — a regression guard on
-    # the native CRAM decoder, not an sf-scaled query)
-    "cram_decode",
 ]
 
 
@@ -62,6 +64,19 @@ def main() -> None:
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
+        # Throughput GC for a batch workload (ParallelGC settled pileup_agg
+        # at ~6 s vs 7.3 s under G1 and removed pause outliers), plus JIT
+        # settings for Spark's generated code: whole-stage codegen emits
+        # methods past HotSpot's huge-method bytecode limit, and whether
+        # the interpreter-stuck variant got OSR-compiled varied per JVM
+        # session — observed as one pileup-family query randomly pinned at
+        # 2-3x its steady state for a whole bench run.  Compiling huge
+        # methods (plus headroom in the code cache) removes that mode.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:+UseParallelGC -XX:-DontCompileHugeMethods "
+            "-XX:ReservedCodeCacheSize=512m",
+        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -71,13 +86,18 @@ def main() -> None:
     qmap = entrymod.queries()
     names = [n for n in BENCH_QUERIES if n in qmap]
 
-    # Warmup: prime JVM/codegen with the smallest sf.
-    try:
-        qmap[names[0]](spark, "/root/testdata/sf0.001").write.format("noop").mode(
-            "overwrite"
-        ).save()
-    except Exception:
-        pass
+    # Warmup: prime JVM/codegen with the smallest sf — PER QUERY, because
+    # whole-stage codegen compiles per plan: running each query once at
+    # sf0.001 puts its generated code through C2 before any timed run, which
+    # cuts the 3-5-run convergence tail (measured: pileup_agg first sf0.1
+    # run 38 s un-warmed vs ~12 s warmed; steady state ~6 s either way).
+    for n in names:
+        try:
+            qmap[n](spark, "/root/testdata/sf0.001").write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception:
+            pass
 
     # Steady-state measurement: each query runs RUNS times and reports the
     # best — the first execution is dominated by whole-stage-codegen
@@ -104,7 +124,6 @@ def main() -> None:
     for name in names:
         best = float("inf")
         measured = []
-        best_hist: list[float] = []
         # extend up to 3 extra runs while the best is still dropping >8%
         # per run: codegen-heavy queries (measured on pileup) need 3-5
         # runs before whole-stage-codegen + Python worker JIT settles,
@@ -119,19 +138,19 @@ def main() -> None:
             if i == 0:
                 cold[name] = round(dt, 3)
             measured.append(dt)
+            prev_best = best
             best = min(best, dt)
-            best_hist.append(best)
+            improved = i == 0 or best < 0.92 * prev_best
             if dt > 120:  # genuinely long query: one measurement, keep
                 break  # total bounded (a 60s cap once recorded a one-off
                 # GC/machine-noise first run as the query's score)
-            if i >= 1 and best > 10:
-                break  # slow query: 2 runs suffice, 3rd run too expensive
-            if (
-                i == target - 1
-                and target < runs + 3
-                and len(best_hist) >= 2
-                and best_hist[-1] < 0.92 * best_hist[-2]
-            ):
+            if i >= 1 and best > 10 and not improved:
+                # slow query that has CONVERGED: further runs are expensive
+                # and its noise is proportionally small.  (A plain >10s
+                # break once froze pileup_agg at 12 s when its steady state
+                # was 6 s — still mid-JIT on run 2.)
+                break
+            if i == target - 1 and target < runs + 3 and i > 0 and improved:
                 target += 1
             i += 1
         # adaptive extra run when the measurements disagree wildly (GC /
