@@ -194,3 +194,201 @@ def running_user_totals_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+# --- streaming near-duplicate detection (MinHash + LSH) ----------------------
+
+_NEARDUP_OUT = T.StructType(
+    [
+        T.StructField("band", T.IntegerType()),
+        T.StructField("id_1", T.LongType()),
+        T.StructField("id_2", T.LongType()),
+        T.StructField("jaccard", T.DoubleType()),
+    ]
+)
+_NEARDUP_STATE = T.StructType(
+    [
+        T.StructField("anchor", T.LongType()),
+        T.StructField("shset", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def _py_shingle_set(text):
+    """numpy replica of operators.dedup.doc_shingles for ONE document —
+    same Horner polynomial over character codes, same short-text (single
+    zero-padded shingle) behavior, distinct values sorted."""
+    import numpy as np
+
+    from sequila_spark.operators.dedup import SHINGLE_K, _COEFS
+
+    codes = np.array([ord(c) for c in text], dtype=np.int64)
+    n = len(codes)
+    m = max(n - SHINGLE_K + 1, 1)
+    acc = np.zeros(m, dtype=np.int64)
+    for j, c in enumerate(_COEFS):
+        idx = np.arange(m) + j
+        if n:
+            vals = np.where(idx < n, codes[np.minimum(idx, n - 1)], 0)
+        else:
+            vals = np.zeros(m, dtype=np.int64)
+        acc += c * vals
+    return np.unique(acc)
+
+
+def _band_rows(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(band, bkey, doc_id, shset) — one row per (doc, band), the shingle
+    set carried alongside so the bucket operator can verify candidates
+    in-stream.  Map-only (no shuffle): signatures are computed per row
+    with the same fixed permutations as the batch operator."""
+    import numpy as np
+    import pandas as pd
+
+    from sequila_spark.operators.dedup import (
+        BANDS,
+        MINHASH_P,
+        PERM_A,
+        PERM_B,
+        ROWS_PER_BAND,
+    )
+
+    a = np.array(PERM_A, dtype=np.int64)
+    b = np.array(PERM_B, dtype=np.int64)
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"band": [], "bkey": [], "doc_id": [], "shset": []}
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue  # null text never joins (batch parity)
+                sh = _py_shingle_set(text)
+                x = sh % MINHASH_P
+                mh = ((a[:, None] * x[None, :] + b[:, None]) % MINHASH_P).min(axis=1)
+                for band in range(BANDS):
+                    key = ",".join(
+                        str(int(v))
+                        for v in mh[band * ROWS_PER_BAND : (band + 1) * ROWS_PER_BAND]
+                    )
+                    out["band"].append(band)
+                    out["bkey"].append(key)
+                    out["doc_id"].append(int(did))
+                    out["shset"].append(sh)
+            yield pd.DataFrame(out)
+
+    schema = T.StructType(
+        [
+            T.StructField("band", T.IntegerType()),
+            T.StructField("bkey", T.StringType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("shset", T.ArrayType(T.LongType())),
+        ]
+    )
+    return docs.mapInPandas(gen, schema=schema)
+
+
+def stream_lsh_neardup(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming near-duplicate detection: MinHash band buckets keyed by
+    (band, bkey), per-bucket state = the anchor (smallest doc_id seen) and
+    its shingle set; each arriving doc is verified against the anchor with
+    EXACT Jaccard (sorted-array searchsorted merge — the same arithmetic
+    as operators.dedup._verify_jaccard) and emitted as
+    (band, id_1=anchor, id_2, jaccard) when it clears the threshold.
+
+    State per bucket is one id + one shingle set (a few KB) — bounded by
+    the number of distinct buckets, not the stream length; production
+    deployments put a TTL on buckets via timeoutConf.  Under id-ordered
+    arrival (and within any single micro-batch, which is sorted here) the
+    output equals the batch formulation exactly; out-of-order arrival
+    across micro-batches can only anchor a bucket at a larger id — pairs
+    remain valid near-dups against that anchor.
+
+    On a BATCH DataFrame this returns the equivalent batch formulation
+    (bucket-anchor candidates verified with exact Jaccard), so tests pin
+    stream == batch.
+    """
+    import numpy as np
+    import pandas as pd
+
+    tagged = _band_rows(docs, id_col, text_col)
+
+    if not docs.isStreaming:
+        w = Window.partitionBy("band", "bkey")
+        cand = (
+            tagged.withColumn("anchor", F.min("doc_id").over(w))
+            .where(F.col("doc_id") != F.col("anchor"))
+        )
+        anchor_sets = tagged.select(
+            "band", "bkey", F.col("doc_id").alias("anchor"),
+            F.col("shset").alias("anchor_set"),
+        )
+        joined = cand.join(anchor_sets, ["band", "bkey", "anchor"])
+
+        def verify(batches):
+            for pdf in batches:
+                n = len(pdf)
+                jac = np.empty(n, dtype=np.float64)
+                for i in range(n):
+                    xa = np.asarray(pdf["shset"].iloc[i], dtype=np.int64)
+                    ya = np.asarray(pdf["anchor_set"].iloc[i], dtype=np.int64)
+                    if len(xa) > len(ya):
+                        xa, ya = ya, xa
+                    idx = np.searchsorted(ya, xa)
+                    idx[idx == len(ya)] = len(ya) - 1
+                    c = int(np.count_nonzero(ya[idx] == xa))
+                    jac[i] = c / (len(xa) + len(ya) - c)
+                keep = jac >= threshold
+                yield pd.DataFrame(
+                    {
+                        "band": pdf["band"].to_numpy()[keep],
+                        "id_1": pdf["anchor"].to_numpy()[keep],
+                        "id_2": pdf["doc_id"].to_numpy()[keep],
+                        "jaccard": jac[keep],
+                    }
+                )
+
+        return joined.mapInPandas(verify, schema=_NEARDUP_OUT)
+
+    def fn(key, pdf_iter, state):
+        band, _bkey = key
+        if state.exists:
+            anchor_id, anchor_set = state.get
+            anchor_set = np.asarray(anchor_set, dtype=np.int64)
+        else:
+            anchor_id, anchor_set = None, None
+        rows = pd.concat(list(pdf_iter), ignore_index=True).sort_values("doc_id")
+        out = {"band": [], "id_1": [], "id_2": [], "jaccard": []}
+        for did, shset in zip(rows["doc_id"], rows["shset"]):
+            s = np.asarray(shset, dtype=np.int64)
+            if anchor_id is None:
+                anchor_id, anchor_set = int(did), s
+                continue
+            if did == anchor_id:
+                continue
+            xa, ya = (s, anchor_set) if len(s) <= len(anchor_set) else (anchor_set, s)
+            idx = np.searchsorted(ya, xa)
+            idx[idx == len(ya)] = len(ya) - 1
+            c = int(np.count_nonzero(ya[idx] == xa))
+            jac = c / (len(xa) + len(ya) - c)
+            lo, hi = (int(did), anchor_id) if did < anchor_id else (anchor_id, int(did))
+            if did < anchor_id:  # out-of-order arrival: re-anchor at the min
+                anchor_id, anchor_set = int(did), s
+            if jac >= threshold:
+                out["band"].append(band)
+                out["id_1"].append(lo)
+                out["id_2"].append(hi)
+                out["jaccard"].append(jac)
+        state.update((int(anchor_id), [int(v) for v in anchor_set]))
+        yield pd.DataFrame(out)
+
+    return tagged.groupBy("band", "bkey").applyInPandasWithState(
+        fn,
+        outputStructType=_NEARDUP_OUT,
+        stateStructType=_NEARDUP_STATE,
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

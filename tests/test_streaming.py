@@ -211,3 +211,105 @@ def test_append_mode_watermark_emits_closed_windows(spark, tmp_path):
     # also closed when the watermark passed it.
     w1 = base - base % 60
     assert third == {w1: 3, w1 + 480: 1}
+
+
+def _neardup_docs():
+    """Crafted corpus: 1001/1002 near-identical (1-char edit), 1003 an
+    exact duplicate of 1001, 1005/1006 a second near-dup family, the rest
+    unrelated."""
+    base = "the quick brown fox jumps over the lazy dog while the band plays on " * 3
+    other = "completely different content about spark structured streaming state " * 3
+    return [
+        (1001, base),
+        (1002, base[:-5] + "X" + base[-4:]),
+        (1003, base),
+        (1004, other),
+        (1005, other + " tail"),
+        (1006, other + " tail!"),
+        (1007, "short text"),
+        (1008, "unrelated words entirely disjoint vocabulary example row"),
+    ]
+
+
+def _neardup_set(rows):
+    return {(r["band"], r["id_1"], r["id_2"], round(r["jaccard"], 12)) for r in rows}
+
+
+def test_stream_lsh_neardup_equals_batch(spark, tmp_path):
+    """Single micro-batch replay: the stateful bucket operator must emit
+    exactly the batch formulation's verified anchor pairs."""
+    from sequila_spark.streaming.ops import stream_lsh_neardup
+
+    docs = spark.createDataFrame(_neardup_docs(), "doc_id long, text string")
+    d = str(tmp_path / "docs")
+    docs.coalesce(1).write.parquet(d)
+
+    batch = stream_lsh_neardup(spark.read.parquet(d), threshold=0.5)
+    expect = _neardup_set(batch.collect())
+    assert expect, "crafted corpus must produce near-dup pairs"
+    assert {(p[1], p[2]) for p in expect} >= {(1001, 1002), (1001, 1003), (1005, 1006)}
+
+    stream = stream_lsh_neardup(
+        spark.readStream.schema(docs.schema).parquet(d), threshold=0.5
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("neardup1")
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = _neardup_set(spark.sql("SELECT * FROM neardup1").collect())
+    assert got == expect
+
+
+def test_stream_lsh_neardup_state_across_batches(spark, tmp_path):
+    """Two micro-batches: docs arriving in the second batch must verify
+    against anchors remembered in state from the first."""
+    import time
+
+    from sequila_spark.streaming.ops import stream_lsh_neardup
+
+    rows = _neardup_docs()
+    by_id = {r[0]: r for r in rows}
+    # split each near-dup family across the two batches so verification in
+    # batch 2 must hit anchors remembered from batch 1
+    first = [by_id[1001], by_id[1004], by_id[1005]]
+    second = [by_id[i] for i in (1002, 1003, 1006, 1007, 1008)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    d = tmp_path / "docs2"
+    d.mkdir()
+    spark.createDataFrame(first, docs.schema).coalesce(1).write.parquet(
+        str(d / "f1.parquet")
+    )
+    time.sleep(1.1)  # file-source ordering is by modification time
+    spark.createDataFrame(second, docs.schema).coalesce(1).write.parquet(
+        str(d / "f2.parquet")
+    )
+
+    stream = stream_lsh_neardup(
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", "1")
+        .parquet(str(d / "*")),
+        threshold=0.5,
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("neardup2")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = _neardup_set(spark.sql("SELECT * FROM neardup2").collect())
+    expect = _neardup_set(
+        stream_lsh_neardup(spark.read.parquet(str(d / "*")), threshold=0.5).collect()
+    )
+    assert got == expect
+    assert {(p[1], p[2]) for p in got} >= {(1001, 1002), (1005, 1006)}
