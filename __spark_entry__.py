@@ -13,6 +13,7 @@ import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from sequila_spark import testdata as TD
@@ -515,27 +516,12 @@ def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-10 revenue orders for one market segment (dims broadcast)."""
-    cust = _table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
-    orders = _table(spark, sf_dir, "orders")
-    li = _table(spark, sf_dir, "lineitem")
-    rev = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
-    j = li.join(
-        F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
-        li.l_orderkey == F.col("o_orderkey"),
-    )
-    return (
-        j.groupBy("o_orderkey")
-        .agg(F.sum(rev).alias("revenue_cents"))
-        .orderBy(F.col("revenue_cents").desc(), F.col("o_orderkey"))
-        .limit(10)
-    )
-
-
-def _q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q5-shaped multi-join: revenue per nation via customer->orders->lineitem
-    with nation/region dims broadcast."""
+def _q_orders_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5-shaped multi-join revenue per nation PLUS the top revenue order
+    within each nation (broadcast dims, two-level aggregation, window
+    rank) — consolidates the former top_orders and nation_revenue gates
+    into one slot, preserving both queries' operator coverage (multi-way
+    broadcast join, partial agg, window top-k, deterministic ties)."""
     region = _table(spark, sf_dir, "region")
     nation = _table(spark, sf_dir, "nation")
     cust = _table(spark, sf_dir, "customer")
@@ -543,13 +529,66 @@ def _q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _table(spark, sf_dir, "lineitem")
     rev = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
     dims = nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-    return (
+    per_order = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(dims), cust.c_nationkey == F.col("n_nationkey"))
-        .groupBy("r_name", "n_name")
-        .agg(F.sum(rev).alias("revenue_cents"), F.count("*").alias("n_items"))
+        .groupBy("r_name", "n_name", "o_orderkey")
+        .agg(F.sum(rev).alias("order_cents"), F.count("*").alias("n_i"))
     )
+    w = W.partitionBy("r_name", "n_name").orderBy(
+        F.col("order_cents").desc(), F.col("o_orderkey")
+    )
+    return (
+        per_order.withColumn("rk", F.row_number().over(w))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum("order_cents").cast("long").alias("revenue_cents"),
+            F.sum("n_i").cast("long").alias("n_items"),
+            F.max(F.when(F.col("rk") == 1, F.col("o_orderkey"))).cast("long").alias("top_orderkey"),
+            F.max(F.when(F.col("rk") == 1, F.col("order_cents"))).cast("long").alias("top_order_cents"),
+        )
+    )
+
+
+def _q_vcf_genotypes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sample genotype rows decoded from the reference project's own
+    multi-sample VCF (vcf/test.vcf — the surface VCFRelation.scala:25-45
+    exposes via Glow, parsed natively here).  Oracle: the 15 rows of the
+    file hand-transcribed into a VALUES table — fully independent of the
+    parser.  sf_dir is ignored — real data."""
+    from sequila_spark.sources.vcf import read_vcf
+
+    path = "/root/reference/src/test/resources/vcf/test.vcf"
+    g_cols = [
+        F.col("contig"),
+        F.col("pos_start"),
+        F.col("ref"),
+        F.concat_ws(",", "alt").alias("alt_str"),
+        F.col("g.sample_id").alias("sample_id"),
+        F.col("g.phased").alias("phased"),
+        F.array_join(
+            F.transform(F.col("g.calls"), lambda c: c.cast("string")), "/"
+        ).alias("calls_str"),
+        F.col("g.fields")["GQ"].cast("int").alias("gq"),
+        F.col("g.fields")["DP"].cast("int").alias("dp"),
+        F.col("g.fields")["HQ"].alias("hq"),
+    ]
+    if not os.path.exists(path):  # fixture-less environments: empty result
+        return (
+            spark.range(0)
+            .select(
+                F.lit("").alias("contig"), F.lit(0).alias("pos_start"),
+                F.lit("").alias("ref"), F.lit("").alias("alt_str"),
+                F.lit("").alias("sample_id"), F.lit(True).alias("phased"),
+                F.lit("").alias("calls_str"), F.lit(0).alias("gq"),
+                F.lit(0).alias("dp"), F.lit("").alias("hq"),
+            )
+        )
+    return read_vcf(spark, path).select(
+        "contig", "pos_start", "ref", "alt",
+        F.explode("genotypes").alias("g"),
+    ).select(*g_cols)
 
 
 # --- events: windowed aggregation / sessionization (batch forms of the
@@ -781,8 +820,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding": _q_dedup_embedding,
     "coverage_cigar": _q_coverage_cigar,
     "pricing_summary": _q_pricing_summary,
-    "top_orders": _q_top_orders,
-    "nation_revenue": _q_nation_revenue,
+    "orders_analytics": _q_orders_analytics,
+    "vcf_genotypes": _q_vcf_genotypes,
     "events_props_json": _q_events_props_json,
     "similarity_ivf": _q_similarity_ivf,
     "events_asof": _q_events_asof,
@@ -1562,27 +1601,52 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
         """,
-        "top_orders": """
-            SELECT o_orderkey,
-                   CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
-            FROM lineitem
-            JOIN orders ON l_orderkey = o_orderkey
-            JOIN customer ON o_custkey = c_custkey
-            WHERE c_mktsegment = 'BUILDING'
-            GROUP BY o_orderkey
-            ORDER BY revenue_cents DESC, o_orderkey
-            LIMIT 10
-        """,
-        "nation_revenue": """
+        "orders_analytics": """
+            WITH per_order AS (
+              SELECT r_name, n_name, o_orderkey,
+                     CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS order_cents,
+                     COUNT(*) AS n_i
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              GROUP BY r_name, n_name, o_orderkey
+            ),
+            ranked AS (
+              SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY r_name, n_name
+                ORDER BY order_cents DESC, o_orderkey) AS rk
+              FROM per_order
+            )
             SELECT r_name, n_name,
-                   CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
-                   CAST(COUNT(*) AS BIGINT) AS n_items
-            FROM lineitem
-            JOIN orders ON l_orderkey = o_orderkey
-            JOIN customer ON o_custkey = c_custkey
-            JOIN nation ON c_nationkey = n_nationkey
-            JOIN region ON n_regionkey = r_regionkey
-            GROUP BY r_name, n_name
+                   CAST(SUM(order_cents) AS BIGINT) AS revenue_cents,
+                   CAST(SUM(n_i) AS BIGINT) AS n_items,
+                   CAST(MAX(CASE WHEN rk = 1 THEN o_orderkey END) AS BIGINT) AS top_orderkey,
+                   CAST(MAX(CASE WHEN rk = 1 THEN order_cents END) AS BIGINT) AS top_order_cents
+            FROM ranked GROUP BY r_name, n_name
+        """,
+        # Hand-transcribed from vcf/test.vcf (5 sites x 3 samples) — the
+        # oracle is the file read BY EYE, independent of the parser.
+        "vcf_genotypes": """
+            SELECT * FROM (VALUES
+              ('20', 14370,   'G',   'A',      'NA00001', TRUE,  '0/0', 48, 1, '51,51'),
+              ('20', 14370,   'G',   'A',      'NA00002', TRUE,  '1/0', 48, 8, '51,51'),
+              ('20', 14370,   'G',   'A',      'NA00003', FALSE, '1/1', 43, 5, '.,.'),
+              ('20', 17330,   'T',   'A',      'NA00001', TRUE,  '0/0', 49, 3, '58,50'),
+              ('20', 17330,   'T',   'A',      'NA00002', TRUE,  '0/1', 3,  5, '65,3'),
+              ('20', 17330,   'T',   'A',      'NA00003', FALSE, '0/0', 41, 3, NULL),
+              ('20', 1110696, 'A',   'G,T',    'NA00001', TRUE,  '1/2', 21, 6, '23,27'),
+              ('20', 1110696, 'A',   'G,T',    'NA00002', TRUE,  '2/1', 2,  0, '18,2'),
+              ('20', 1110696, 'A',   'G,T',    'NA00003', FALSE, '2/2', 35, 4, NULL),
+              ('20', 1230237, 'T',   '.',      'NA00001', TRUE,  '0/0', 54, 7, '56,60'),
+              ('20', 1230237, 'T',   '.',      'NA00002', TRUE,  '0/0', 48, 4, '51,51'),
+              ('20', 1230237, 'T',   '.',      'NA00003', FALSE, '0/0', 61, 2, NULL),
+              ('20', 1234567, 'GTC', 'G,GTCT', 'NA00001', FALSE, '0/1', 35, 4, NULL),
+              ('20', 1234567, 'GTC', 'G,GTCT', 'NA00002', FALSE, '0/2', 17, 2, NULL),
+              ('20', 1234567, 'GTC', 'G,GTCT', 'NA00003', FALSE, '1/1', 40, 3, NULL)
+            ) AS t(contig, pos_start, ref, alt_str, sample_id, phased,
+                   calls_str, gq, dp, hq)
         """,
         "events_asof": """
             WITH p AS (
