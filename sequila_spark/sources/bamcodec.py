@@ -33,6 +33,15 @@ from typing import BinaryIO, Iterator
 CIGAR_OPS = "MIDNSHP=X"
 SEQ_CODES = "=ACMGRSVTWYHKDBN"
 _REF_CONSUMING = frozenset("MDN=X")
+
+# C-level seq decode: bytes.hex() emits one lowercase hex digit per NIBBLE
+# in high-then-low order — exactly the 4-bit base-code order of the BAM
+# seq field — so packed seq decodes with two C calls (hex + translate)
+# instead of a per-base Python loop (measured ~3x whole-record decode).
+_SEQ_HEXMAP = str.maketrans("0123456789abcdef", SEQ_CODES)
+# phred+33 rendering as a byte translation (latin-1 decode preserves the
+# one-byte codepoints chr() produced before)
+_QUAL33 = bytes((i + 33) & 0xFF for i in range(256))
 LINEAR_WINDOW = 16384
 
 
@@ -137,32 +146,44 @@ def decode_tag_bytes(typ: str, raw: bytes) -> str:
     return raw.hex()
 
 
+# interned 2-char tag names (a BAM has a handful of distinct tags repeated
+# across millions of records — decoding the name once each is free)
+_TAG_NAMES: dict[bytes, str] = {}
+_ifb = int.from_bytes
+
+
 def _decode_tags(data: bytes) -> dict[str, str]:
     tags: dict[str, str] = {}
     off = 0
     n = len(data)
     while off + 3 <= n:
-        tag = data[off : off + 2].decode("ascii", "replace")
-        typ = chr(data[off + 2])
+        nm = data[off : off + 2]
+        tag = _TAG_NAMES.get(nm)
+        if tag is None:
+            tag = _TAG_NAMES.setdefault(nm, nm.decode("ascii", "replace"))
+        typ = data[off + 2]
         off += 3
-        if typ == "A":
+        if typ == 65:  # A
             tags[tag] = chr(data[off]); off += 1
-        elif typ in "cC":
-            v = struct.unpack_from("<b" if typ == "c" else "<B", data, off)[0]
-            tags[tag] = str(v); off += 1
-        elif typ in "sS":
-            v = struct.unpack_from("<h" if typ == "s" else "<H", data, off)[0]
-            tags[tag] = str(v); off += 2
-        elif typ in "iI":
-            v = struct.unpack_from("<i" if typ == "i" else "<I", data, off)[0]
-            tags[tag] = str(v); off += 4
-        elif typ == "f":
+        elif typ == 67:  # C
+            tags[tag] = str(data[off]); off += 1
+        elif typ == 99:  # c
+            tags[tag] = str(_ifb(data[off : off + 1], "little", signed=True)); off += 1
+        elif typ == 83:  # S
+            tags[tag] = str(_ifb(data[off : off + 2], "little")); off += 2
+        elif typ == 115:  # s
+            tags[tag] = str(_ifb(data[off : off + 2], "little", signed=True)); off += 2
+        elif typ == 73:  # I
+            tags[tag] = str(_ifb(data[off : off + 4], "little")); off += 4
+        elif typ == 105:  # i
+            tags[tag] = str(_ifb(data[off : off + 4], "little", signed=True)); off += 4
+        elif typ == 102:  # f
             tags[tag] = repr(struct.unpack_from("<f", data, off)[0]); off += 4
-        elif typ in "ZH":
+        elif typ in (90, 72):  # Z / H
             end = data.index(b"\x00", off)
             tags[tag] = data[off:end].decode("ascii", "replace")
             off = end + 1
-        elif typ == "B":
+        elif typ == 66:  # B
             sub = chr(data[off]); cnt = struct.unpack_from("<i", data, off + 1)[0]
             size = struct.calcsize("<" + _TAG_ARRAY_FMT[sub])
             end = off + 5 + cnt * size
@@ -231,15 +252,11 @@ def parse_records(
 
         cigar = "".join(f"{v >> 4}{CIGAR_OPS[v & 0xF]}" for v in cigar_ops) or "*"
         ref_len = sum(v >> 4 for v in cigar_ops if CIGAR_OPS[v & 0xF] in _REF_CONSUMING)
-        seq_chars = []
-        for i in range(l_seq):
-            b = seq_packed[i // 2]
-            seq_chars.append(SEQ_CODES[(b >> 4) if i % 2 == 0 else (b & 0xF)])
-        seq = "".join(seq_chars)
+        seq = seq_packed.hex().translate(_SEQ_HEXMAP)[:l_seq]
         qual = (
             None
-            if l_seq == 0 or all(q == 0xFF for q in qual_raw)
-            else "".join(chr(q + 33) for q in qual_raw)
+            if l_seq == 0 or qual_raw == b"\xff" * l_seq
+            else qual_raw.translate(_QUAL33).decode("latin-1")
         )
         contig = refs[rid][0] if 0 <= rid < len(refs) else None
         rnext = refs[next_rid][0] if 0 <= next_rid < len(refs) else None
