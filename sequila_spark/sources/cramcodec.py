@@ -1685,8 +1685,11 @@ def _decode_slice_records(
                 if ds["QS"].codec == 1
                 else bytes(ds["QS"].decode_byte(core, ext) for _ in range(rl))
             )
-            if not all(q == 0xFF for q in qraw):
-                qual = "".join(chr(q + 33) for q in qraw)
+            if qraw != b"\xff" * rl:
+                from sequila_spark.sources.bamcodec import _QUAL33
+
+                # C-level phred+33 rendering (same table as the BAM codec)
+                qual = qraw.translate(_QUAL33).decode("latin-1")
         recs.append(
             {
                 "qname": qname,
@@ -1847,7 +1850,13 @@ def _reconstruct(
             )
         refseq = ""
     else:
+        # load_fasta uppercases at load, so slices need no per-read fold
         refseq = ref_seqs[contig]
+
+    if not feats and not (cf & 8) and ap > 0 and ap - 1 + rl <= len(refseq):
+        # featureless full-match read (the common case on high-identity
+        # data): one reference slice, no bytearray walk
+        return refseq[ap - 1 : ap - 1 + rl], f"{rl}M", rl, 0
 
     seq = bytearray(b"N" * rl)
     cig: list[tuple[int, str]] = []
@@ -1866,12 +1875,12 @@ def _reconstruct(
     for fp, code, val in feats:
         gap = (fp - 1) - rpos  # matched bases before this feature
         if gap > 0:
-            seq[rpos : rpos + gap] = refseq[ref_off : ref_off + gap].upper().encode()
+            seq[rpos : rpos + gap] = refseq[ref_off : ref_off + gap].encode()
             add("M", gap)
             rpos += gap
             ref_off += gap
         if code == "X":
-            refb = refseq[ref_off].upper() if ref_off < len(refseq) else "N"
+            refb = refseq[ref_off] if ref_off < len(refseq) else "N"
             table = ch.sub_table.get(refb, "ACGT")
             seq[rpos] = ord(table[val] if val < len(table) else "N")
             add("M", 1)
@@ -1893,7 +1902,7 @@ def _reconstruct(
             nm += 1
             rpos += 1
         elif code == "b":
-            run = refseq[ref_off : ref_off + len(val)].upper().encode()
+            run = refseq[ref_off : ref_off + len(val)].encode()
             nm += sum(1 for a, bch in zip(val, run) if a != bch)
             nm += max(0, len(val) - len(run))
             seq[rpos : rpos + len(val)] = val
@@ -1914,7 +1923,7 @@ def _reconstruct(
         # Q/q only adjust quality streams, handled above
     tail = rl - rpos
     if tail > 0:
-        seq[rpos : rpos + tail] = refseq[ref_off : ref_off + tail].upper().encode()
+        seq[rpos : rpos + tail] = refseq[ref_off : ref_off + tail].encode()
         add("M", tail)
         ref_off += tail
     if cf & 8:  # sequence unknown
@@ -1928,7 +1937,9 @@ def _reconstruct(
 
 
 def load_fasta(path: str) -> dict[str, str]:
-    """{name: sequence} — simple FASTA load for reference-based decode."""
+    """{name: sequence} — simple FASTA load for reference-based decode.
+    Sequences are uppercased here (soft-masking folded once at load), so
+    the per-read reconstruction never re-uppercases reference slices."""
     seqs: dict[str, str] = {}
     name = None
     chunks: list[str] = []
@@ -1937,13 +1948,13 @@ def load_fasta(path: str) -> dict[str, str]:
             line = line.strip()
             if line.startswith(">"):
                 if name is not None:
-                    seqs[name] = "".join(chunks)
+                    seqs[name] = "".join(chunks).upper()
                 name = line[1:].split()[0]
                 chunks = []
             else:
                 chunks.append(line)
     if name is not None:
-        seqs[name] = "".join(chunks)
+        seqs[name] = "".join(chunks).upper()
     return seqs
 
 
