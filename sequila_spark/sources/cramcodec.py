@@ -111,7 +111,8 @@ _RANS_LOW = 1 << 23
 
 
 def _rans_read_freqs0(r: ByteReader) -> tuple[list[int], list[int], list[int]]:
-    """Order-0 frequency table -> (freq[256], cumfreq[256], symbol-of-slot)."""
+    """Order-0 frequency table -> per-slot decode tables
+    (symbol-of-slot, freq-of-slot, slot-bias), each 4096 wide."""
     freq = [0] * 256
     sym = r.u8()
     rle = 0
@@ -132,19 +133,27 @@ def _rans_read_freqs0(r: ByteReader) -> tuple[list[int], list[int], list[int]]:
             sym = nxt
         if sym == 0:
             break
-    cum = [0] * 257
-    for i in range(256):
-        cum[i + 1] = cum[i] + freq[i]
-    # slot -> symbol lookup (total is 4096 per spec normalization)
+    # per-SLOT decode tables (total is 4096 per spec normalization):
+    # symbol-of-slot, freq-of-slot and slot-bias, so the hot loop does one
+    # index per table instead of chaining freq[sym]/cum[sym] per byte
     lookup = [0] * 4096
+    fslot = [0] * 4096
+    bias = [0] * 4096
+    c = 0
     for s in range(256):
-        for slot in range(cum[s], cum[s + 1]):
+        f = freq[s]
+        if not f:
+            continue
+        for slot in range(c, c + f):
             lookup[slot] = s
-    return freq, cum[:256], lookup
+            fslot[slot] = f
+            bias[slot] = slot - c
+        c += f
+    return lookup, fslot, bias
 
 
 def _rans_decode0(r: ByteReader, out_size: int) -> bytes:
-    freq, cum, lookup = _rans_read_freqs0(r)
+    lookup, fslot, bias = _rans_read_freqs0(r)
     states = [struct.unpack("<I", r.read(4))[0] for _ in range(4)]
     out = bytearray(out_size)
     b = r.b
@@ -153,9 +162,8 @@ def _rans_decode0(r: ByteReader, out_size: int) -> bytes:
         j = pos & 3
         x = states[j]
         slot = x & 0xFFF
-        s = lookup[slot]
-        out[pos] = s
-        x = freq[s] * (x >> 12) + slot - cum[s]
+        out[pos] = lookup[slot]
+        x = fslot[slot] * (x >> 12) + bias[slot]
         while x < _RANS_LOW:
             x = (x << 8) | b[i]
             i += 1
@@ -167,16 +175,16 @@ def _rans_decode0(r: ByteReader, out_size: int) -> bytes:
 def _rans_decode1(r: ByteReader, out_size: int) -> bytes:
     """Order-1: 256 conditional tables keyed by previous symbol; four
     interleaved streams each decode a quarter of the output."""
-    freq = [None] * 256
-    cum = [None] * 256
     lookup = [None] * 256
+    fslot = [None] * 256
+    bias = [None] * 256
     sym = r.u8()
     rle = 0
     while True:
-        f, c, lk = _rans_read_freqs0(r)
-        freq[sym] = f
-        cum[sym] = c
+        lk, fs, bi = _rans_read_freqs0(r)
         lookup[sym] = lk
+        fslot[sym] = fs
+        bias[sym] = bi
         if rle > 0:
             rle -= 1
             sym += 1
@@ -202,7 +210,7 @@ def _rans_decode1(r: ByteReader, out_size: int) -> bytes:
             slot = x & 0xFFF
             s = lookup[p][slot]
             out[j * quarter + pos] = s
-            x = freq[p][s] * (x >> 12) + slot - cum[p][s]
+            x = fslot[p][slot] * (x >> 12) + bias[p][slot]
             while x < _RANS_LOW:
                 x = (x << 8) | b[i]
                 i += 1
@@ -215,7 +223,7 @@ def _rans_decode1(r: ByteReader, out_size: int) -> bytes:
         slot = x & 0xFFF
         s = lookup[p][slot]
         out[pos] = s
-        x = freq[p][s] * (x >> 12) + slot - cum[p][s]
+        x = fslot[p][slot] * (x >> 12) + bias[p][slot]
         while x < _RANS_LOW:
             x = (x << 8) | b[i]
             i += 1

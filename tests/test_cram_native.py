@@ -295,8 +295,11 @@ def test_rans_freq_rle_run_adjacent_symbol():
     # terminator symbol 0.
     stream = bytes([10, 100, 11, 1, 50, 25, 13, 0, 25, 0])
     r = ByteReader(stream)
-    freq, _cum, _lookup = _rans_read_freqs0(r)
+    lookup, fslot, _bias = _rans_read_freqs0(r)
+    # slot-table form: symbol s occupies freq[s] consecutive slots
+    freq = {s: lookup.count(s) for s in (10, 11, 12, 13)}
     assert (freq[10], freq[11], freq[12], freq[13]) == (100, 50, 25, 25)
+    assert fslot[lookup.index(11)] == 50
     assert r.i == len(stream)  # every byte consumed, no desync
 
 
