@@ -574,16 +574,14 @@ def _q_vcf_genotypes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("g.fields")["DP"].cast("int").alias("dp"),
         F.col("g.fields")["HQ"].alias("hq"),
     ]
-    if not os.path.exists(path):  # fixture-less environments: empty result
-        return (
-            spark.range(0)
-            .select(
-                F.lit("").alias("contig"), F.lit(0).alias("pos_start"),
-                F.lit("").alias("ref"), F.lit("").alias("alt_str"),
-                F.lit("").alias("sample_id"), F.lit(True).alias("phased"),
-                F.lit("").alias("calls_str"), F.lit(0).alias("gq"),
-                F.lit(0).alias("dp"), F.lit("").alias("hq"),
-            )
+    if not os.path.exists(path):
+        # Fail LOUDLY: the hand-transcribed oracle always returns 15 rows,
+        # so silently returning an empty frame here would surface as a
+        # baffling row-count mismatch instead of a clear missing-fixture
+        # diagnosis.
+        raise FileNotFoundError(
+            f"vcf_genotypes gate requires the reference fixture {path}; "
+            "it is absent in this environment"
         )
     return read_vcf(spark, path).select(
         "contig", "pos_start", "ref", "alt",

@@ -24,7 +24,15 @@ from pyspark.sql import types as T
 
 SHINGLE_K = 8
 _BASE = 131
-_COEFS = [_BASE**i for i in range(SHINGLE_K)]
+# Coefficients reduced mod a Mersenne prime so the flat-sum Horner hash can
+# NEVER overflow int64: max term = (2^31-2) * max_codepoint(0x10FFFF) ~ 2.4e15,
+# x 8 terms ~ 1.9e16 << 2^63.  Unreduced 131^7 * codepoint overflows on
+# non-ASCII text — a hard ARITHMETIC_OVERFLOW error under Spark 4's default
+# ANSI mode and in DuckDB, and (with ANSI off) wraparound-negative hashes
+# whose `%` sign semantics differ between engines.  Non-negative hashes make
+# every downstream `%` (Spark/Java, DuckDB, numpy) agree by construction.
+_COEF_P = (1 << 31) - 1
+_COEFS = [pow(_BASE, i, _COEF_P) for i in range(SHINGLE_K)]
 MINHASH_P = 1_000_003
 NUM_PERM = 16
 BANDS = 4

@@ -402,6 +402,104 @@ def write_bam_header(w: "BgzfWriter", refs: list[tuple[str, int]], text: str = "
         w.write(struct.pack("<i", len(nb)) + nb + struct.pack("<i", length))
 
 
+def _parse_bsize(header: bytes, read_more) -> tuple[int, int]:
+    """(bsize, xlen) from an 18-byte BGZF block header; ``read_more(n)``
+    supplies extra-field bytes past the first 6 when XLEN > 6."""
+    if header[:2] != b"\x1f\x8b":
+        raise ValueError("not a BGZF stream (bad gzip magic)")
+    xlen = struct.unpack_from("<H", header, 10)[0]
+    if xlen < 6:
+        raise ValueError("BGZF block missing BC/BSIZE subfield")
+    extra = header[12:18] + (read_more(xlen - 6) if xlen > 6 else b"")
+    off = 0
+    while off + 4 <= len(extra):
+        si1, si2 = extra[off], extra[off + 1]
+        slen = struct.unpack_from("<H", extra, off + 2)[0]
+        if si1 == 0x42 and si2 == 0x43 and slen == 2:
+            return struct.unpack_from("<H", extra, off + 4)[0], xlen
+        off += 4 + slen
+    raise ValueError("BGZF block missing BC/BSIZE subfield")
+
+
+def is_bgzf(path: str) -> bool:
+    """True iff the file opens with a gzip member carrying the BGZF ``BC``
+    subfield (bgzip/samtools output) — i.e. it is random-accessible, unlike
+    plain single-member gzip."""
+    try:
+        with open(path, "rb") as f:
+            hdr = f.read(18)
+            if len(hdr) < 18 or hdr[:2] != b"\x1f\x8b" or not (hdr[3] & 4):
+                return False
+            _parse_bsize(hdr, f.read)
+            return True
+    except (OSError, ValueError):
+        return False
+
+
+def read_gzi(path: str) -> list[tuple[int, int]]:
+    """bgzip's ``.gzi`` index: ``uint64 n`` then ``n`` little-endian
+    ``(compressed_offset, uncompressed_offset)`` pairs for every block
+    after the first.  Returned with the implicit leading ``(0, 0)`` entry,
+    as ``[(uncompressed_offset, compressed_offset), ...]`` sorted — the
+    shape ``bgzf_fetch_range`` binary-searches."""
+    with open(path, "rb") as f:
+        data = f.read()
+    (n,) = struct.unpack_from("<Q", data, 0)
+    entries = [(0, 0)]
+    for i in range(n):
+        c, u = struct.unpack_from("<QQ", data, 8 + 16 * i)
+        entries.append((u, c))
+    return entries
+
+
+def scan_bgzf_block_index(path: str) -> list[tuple[int, int]]:
+    """``[(uncompressed_offset, compressed_offset)]`` per block WITHOUT
+    decompressing anything: each block's compressed size comes from its
+    ``BSIZE`` header subfield and its uncompressed size from the gzip
+    ``ISIZE`` trailer — one header+trailer read per ~64 KB block, so
+    indexing a whole-genome ``.fa.gz`` touches a few MB of metadata.
+    Equivalent to the ``.gzi`` bgzip would have written."""
+    entries: list[tuple[int, int]] = []
+    size = os.path.getsize(path)
+    coff = uoff = 0
+    with open(path, "rb") as f:
+        while coff < size:
+            f.seek(coff)
+            hdr = f.read(18)
+            if len(hdr) < 18:
+                break
+            bsize, _xlen = _parse_bsize(hdr, f.read)
+            f.seek(coff + bsize + 1 - 4)
+            (isize,) = struct.unpack("<I", f.read(4))
+            entries.append((uoff, coff))
+            coff += bsize + 1
+            uoff += isize
+    return entries
+
+
+def bgzf_fetch_range(
+    path: str, index: list[tuple[int, int]], ustart: int, uend: int
+) -> bytes:
+    """Decompressed bytes ``[ustart, uend)`` of a BGZF file, starting at
+    the latest indexed block at/before ``ustart`` — random access in
+    uncompressed coordinate space (htslib's faidx-on-bgzf model)."""
+    import bisect
+
+    i = bisect.bisect_right(index, (ustart, 1 << 62)) - 1
+    if i < 0:
+        i = 0
+    u0, c0 = index[i]
+    with open(path, "rb") as f:
+        r = BgzfReader(f, c0 << 16)
+        skip = ustart - u0
+        while skip > 0:
+            got = r.read(min(skip, 1 << 20))
+            if not got:
+                return b""
+            skip -= len(got)
+        return r.read(uend - ustart)
+
+
 def read_bai(path: str) -> tuple[list[list[int]], int | None]:
     """(linear, n_no_coor) from a BAI index: the per-reference linear index
     (virtual offset of the first read overlapping each 16 kb window, 0 where

@@ -1033,14 +1033,24 @@ def fqz_decode(data: bytes, raw_size: int) -> bytes:
 
     out = bytearray(raw_size)
     rev_spans: list[tuple[int, int]] = []
-    latched_len: dict[int, int] = {}
+    # Record-length latch: htscodecs (the encoder of real-world 3.1 CRAMs,
+    # fqzcomp_qual.c fqz_state.first_len/last_len) keeps ONE global
+    # first_len flag and ONE global last_len shared by every parameter set:
+    # a length is decoded iff `!pm->fixed_len || state.first_len`, and every
+    # decode updates last_len.  The spec pseudocode can be read as latching
+    # per parameter set, but the two only diverge on multi-param streams
+    # that mix fixed-length params — and such streams in the wild are
+    # htscodecs-encoded, so the global latch is the semantics that decodes
+    # them (pinned by test_fqz_multi_param_fixed_len_global_latch).
+    first_len = True
+    last_len = 0
     i = 0
     while i < raw_size:
         sel = sel_model.decode(rc) if sel_model is not None else 0
         x = stab[sel] if sel < len(stab) else nparam - 1
         pm = params[x]
-        if pm.fixed_len and x in latched_len:
-            rec_len = latched_len[x]
+        if pm.fixed_len and not first_len:
+            rec_len = last_len
         else:
             rec_len = (
                 len_models[0].decode(rc)
@@ -1048,8 +1058,8 @@ def fqz_decode(data: bytes, raw_size: int) -> bytes:
                 | (len_models[2].decode(rc) << 16)
                 | (len_models[3].decode(rc) << 24)
             )
-            if pm.fixed_len:
-                latched_len[x] = rec_len
+            first_len = False
+            last_len = rec_len
         if rec_len <= 0 or i + rec_len > raw_size:
             raise ValueError(
                 f"fqzcomp: record length {rec_len} overruns block "
@@ -1861,7 +1871,7 @@ def _reconstruct(
         # load_fasta uppercases at load, so slices need no per-read fold
         refseq = ref_seqs[contig]
 
-    if not feats and not (cf & 8) and ap > 0 and ap - 1 + rl <= len(refseq):
+    if not feats and not (cf & 8) and ap > 0 and rl > 0 and ap - 1 + rl <= len(refseq):
         # featureless full-match read (the common case on high-identity
         # data): one reference slice, no bytearray walk
         return refseq[ap - 1 : ap - 1 + rl], f"{rl}M", rl, 0
@@ -1947,11 +1957,17 @@ def _reconstruct(
 def load_fasta(path: str) -> dict[str, str]:
     """{name: sequence} — simple FASTA load for reference-based decode.
     Sequences are uppercased here (soft-masking folded once at load), so
-    the per-read reconstruction never re-uppercases reference slices."""
+    the per-read reconstruction never re-uppercases reference slices.
+    ``.gz`` input (bgzip/BGZF is valid multi-member gzip) streams through
+    the gzip module — this path loads whole sequences anyway, so random
+    access buys nothing here."""
+    import gzip
+
     seqs: dict[str, str] = {}
     name = None
     chunks: list[str] = []
-    with open(path) as f:
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rt") as f:
         for line in f:
             line = line.strip()
             if line.startswith(">"):

@@ -277,15 +277,51 @@ def split_multiallelics(
 
 # --- indexed FASTA access ----------------------------------------------------
 
-# executor-side cache of fetched contig sequences, keyed (path, mtime, name)
-_CONTIG_CACHE: dict[tuple, str] = {}
+# Executor-side LRU cache of fetched contig sequences, keyed (path, name).
+# BOUNDED: a human contig is ~250 MB of text, and a long-lived Python worker
+# whose tasks touch many contigs would otherwise accumulate the whole genome
+# (~3 GB per worker, x workers per host).  Tasks are range-partitioned by
+# contig, so 3 entries cover the access pattern; past the cap, re-fetch is a
+# cheap seek+read.
+from collections import OrderedDict
+
+_CONTIG_CACHE: OrderedDict[tuple, str] = OrderedDict()
+_CONTIG_CACHE_MAX = 3
+
+
+def _is_bgzf_fasta(path: str) -> bool:
+    from sequila_spark.sources.bamcodec import is_bgzf
+
+    return path.endswith(".gz") and is_bgzf(path)
+
+
+# executor-side cache of BGZF block indexes, keyed by path — a few entries
+# of (uoff, coff) pairs per 64 KB block (~1 MB for a whole genome)
+_BGZF_INDEX_CACHE: dict[str, list[tuple[int, int]]] = {}
+
+
+def _bgzf_block_index(path: str) -> list[tuple[int, int]]:
+    """Block index for a BGZF FASTA: the ``.gzi`` bgzip wrote when present,
+    else reconstructed from block headers/trailers (no decompression) —
+    cached per path per process."""
+    from sequila_spark.sources.bamcodec import read_gzi, scan_bgzf_block_index
+
+    idx = _BGZF_INDEX_CACHE.get(path)
+    if idx is None:
+        gzi = path + ".gzi"
+        idx = read_gzi(gzi) if os.path.exists(gzi) else scan_bgzf_block_index(path)
+        _BGZF_INDEX_CACHE[path] = idx
+    return idx
 
 
 def load_fasta_region_index(path: str) -> dict[str, tuple[str, int, int]]:
     """``{clean_contig: (raw_name, seq_byte_start, seq_byte_end)}`` for a
-    plain-text FASTA — from the ``.fai`` when present, else one streaming
-    driver-side scan (O(1) memory; never materializes sequences).  This is
-    what gets broadcast: a few entries per contig, not the genome."""
+    plain-text or bgzip-compressed FASTA — from the ``.fai`` when present,
+    else one streaming driver-side scan (O(1) memory; never materializes
+    sequences).  For BGZF input the offsets are in UNCOMPRESSED coordinate
+    space (exactly what samtools faidx records for ``.fa.gz``), resolved at
+    fetch time through the block index.  This is what gets broadcast: a few
+    entries per contig, not the genome."""
     fai = path + ".fai"
     entries: dict[str, tuple[str, int, int]] = {}
     if os.path.exists(fai):
@@ -299,19 +335,43 @@ def load_fasta_region_index(path: str) -> dict[str, tuple[str, int, int]]:
                 entries[clean_contig_py(name)] = (name, offset, offset + span)
         return entries
     # no .fai: stream the file once recording sequence byte spans (robust
-    # to ragged line lengths — the fetch strips whitespace, not offsets)
+    # to ragged line lengths — the fetch strips whitespace, not offsets).
+    # BGZF input streams through the block decoder; offsets stay in
+    # uncompressed space either way.
+    def _lines():
+        if _is_bgzf_fasta(path):
+            from sequila_spark.sources.bamcodec import BgzfReader
+
+            with open(path, "rb") as f:
+                r = BgzfReader(f)
+                tail = b""
+                while True:
+                    chunk = r.read(1 << 20)
+                    if not chunk:
+                        break
+                    tail += chunk
+                    cut = tail.rfind(b"\n") + 1
+                    if cut:
+                        yield from tail[:cut].splitlines(keepends=True)
+                        tail = tail[cut:]
+                if tail:
+                    yield tail
+        else:
+            with open(path, "rb") as f:
+                yield from f
+        return
+
     name, start = None, 0
-    with open(path, "rb") as f:
-        pos = 0
-        for raw in f:
-            if raw.startswith(b">"):
-                if name is not None:
-                    entries[clean_contig_py(name)] = (name, start, pos)
-                name = raw[1:].split()[0].decode()
-                start = pos + len(raw)
-            pos += len(raw)
-        if name is not None:
-            entries[clean_contig_py(name)] = (name, start, pos)
+    pos = 0
+    for raw in _lines():
+        if raw.startswith(b">"):
+            if name is not None:
+                entries[clean_contig_py(name)] = (name, start, pos)
+            name = raw[1:].split()[0].decode()
+            start = pos + len(raw)
+        pos += len(raw)
+    if name is not None:
+        entries[clean_contig_py(name)] = (name, start, pos)
     return entries
 
 
@@ -323,11 +383,20 @@ def fetch_contig_seq(path: str, span: tuple[str, int, int]) -> str:
     key = (path, span[0])
     seq = _CONTIG_CACHE.get(key)
     if seq is None:
-        with open(path, "rb") as f:
-            f.seek(span[1])
-            raw = f.read(span[2] - span[1])
+        if _is_bgzf_fasta(path):
+            from sequila_spark.sources.bamcodec import bgzf_fetch_range
+
+            raw = bgzf_fetch_range(path, _bgzf_block_index(path), span[1], span[2])
+        else:
+            with open(path, "rb") as f:
+                f.seek(span[1])
+                raw = f.read(span[2] - span[1])
         seq = raw.decode().replace("\n", "").replace("\r", "")
         _CONTIG_CACHE[key] = seq
+        while len(_CONTIG_CACHE) > _CONTIG_CACHE_MAX:
+            _CONTIG_CACHE.popitem(last=False)
+    else:
+        _CONTIG_CACHE.move_to_end(key)
     return seq
 
 
@@ -352,10 +421,11 @@ def normalize_variants(
 
     spark = df.sparkSession
     if ref_genome_path is not None:
-        if ref_genome_path.endswith(".gz"):
+        if ref_genome_path.endswith(".gz") and not _is_bgzf_fasta(ref_genome_path):
             raise ValueError(
-                "normalize: compressed FASTA not supported — decompress or "
-                "provide the plain-text reference"
+                "normalize: plain gzip FASTA is not random-accessible — "
+                "recompress with bgzip (BGZF), the standard reference "
+                "distribution format, or provide the uncompressed file"
             )
         bref = spark.sparkContext.broadcast(
             load_fasta_region_index(ref_genome_path)

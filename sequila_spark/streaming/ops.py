@@ -262,8 +262,16 @@ def _band_rows(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
                 if text is None:
                     continue  # null text never joins (batch parity)
                 sh = _py_shingle_set(text)
-                x = sh % MINHASH_P
-                mh = ((a[:, None] * x[None, :] + b[:, None]) % MINHASH_P).min(axis=1)
+                # np.fmod, NOT %: Spark's remainder is Java-truncated
+                # (sign of the dividend), numpy's % is Python-floored
+                # (sign of the divisor).  Shingle hashes go negative via
+                # int64 wraparound on non-ASCII text (131^6 * codepoint
+                # overflows), so floored % would diverge from the batch
+                # operator's signatures there.  fmod == Java % exactly.
+                x = np.fmod(sh, MINHASH_P)
+                mh = np.fmod(a[:, None] * x[None, :] + b[:, None], MINHASH_P).min(
+                    axis=1
+                )
                 for band in range(BANDS):
                     key = ",".join(
                         str(int(v))
@@ -291,6 +299,7 @@ def stream_lsh_neardup(
     threshold: float = 0.8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    state_ttl_ms: int | None = None,
 ) -> DataFrame:
     """Streaming near-duplicate detection: MinHash band buckets keyed by
     (band, bkey), per-bucket state = the anchor (smallest doc_id seen) and
@@ -300,8 +309,17 @@ def stream_lsh_neardup(
     (band, id_1=anchor, id_2, jaccard) when it clears the threshold.
 
     State per bucket is one id + one shingle set (a few KB) — bounded by
-    the number of distinct buckets, not the stream length; production
-    deployments put a TTL on buckets via timeoutConf.  Under id-ordered
+    the number of distinct buckets, not the stream length.  For unbounded
+    streams pass ``state_ttl_ms``: buckets idle longer than the TTL are
+    dropped (ProcessingTimeTimeout) and the next doc to hit the bucket
+    re-anchors it — trading cross-epoch recall for bounded state, the
+    standard streaming-dedup contract.  Pair ``state_ttl_ms`` with a real
+    trigger interval (``.trigger(processingTime=...)``): Spark evaluates
+    processing-time timeouts by scheduling a no-data micro-batch every
+    trigger (FlatMapGroupsWithStateExec.shouldRunAnotherBatch), so the
+    default as-fast-as-possible trigger busy-loops empty batches — and
+    ``processAllAvailable()`` never returns on such a query.  Under
+    id-ordered
     arrival (and within any single micro-batch, which is sorted here) the
     output equals the batch formulation exactly; out-of-order arrival
     across micro-batches can only anchor a bucket at a larger id — pairs
@@ -355,6 +373,11 @@ def stream_lsh_neardup(
 
     def fn(key, pdf_iter, state):
         band, _bkey = key
+        if state_ttl_ms is not None and state.hasTimedOut:
+            # idle bucket expired: drop the anchor; the next arrival
+            # re-anchors the bucket from scratch
+            state.remove()
+            return
         if state.exists:
             anchor_id, anchor_set = state.get
             anchor_set = np.asarray(anchor_set, dtype=np.int64)
@@ -383,6 +406,8 @@ def stream_lsh_neardup(
                 out["id_2"].append(hi)
                 out["jaccard"].append(jac)
         state.update((int(anchor_id), [int(v) for v in anchor_set]))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
         yield pd.DataFrame(out)
 
     return tagged.groupBy("band", "bkey").applyInPandasWithState(
@@ -390,5 +415,7 @@ def stream_lsh_neardup(
         outputStructType=_NEARDUP_OUT,
         stateStructType=_NEARDUP_STATE,
         outputMode="append",
-        timeoutConf="NoTimeout",
+        timeoutConf=(
+            "ProcessingTimeTimeout" if state_ttl_ms is not None else "NoTimeout"
+        ),
     )

@@ -1494,19 +1494,28 @@ def _fqz_encode(recs, params, *, stab=None, max_sel=None, rev=None):
     dup_model = _EncModel(2)
     sel_model = _EncModel(eff_max_sel + 1) if eff_max_sel else None
 
-    latched_len = {}
+    # htscodecs-style GLOBAL length latch (fqz_state.first_len/last_len in
+    # fqzcomp_qual.c): a length is emitted iff !fixed_len || first_len, and
+    # every emitted length updates the shared last_len.
+    first_len = True
+    last_len = 0
     prev_bytes = None
     for ri, (qual, sel) in enumerate(recs):
         if sel_model is not None:
             sel_model.encode(rc, sel)
         x = stab_l[sel]
         pm = params[x]
-        if not (pm.get("fixed_len") and x in latched_len):
+        if pm.get("fixed_len") and not first_len:
+            assert len(qual) == last_len, (
+                "fixed_len param record length differs from the global "
+                "last_len latch — htscodecs would not encode this stream"
+            )
+        else:
             ln = len(qual)
             for shift in (0, 8, 16, 24):
                 len_models[shift // 8].encode(rc, (ln >> shift) & 0xFF)
-            if pm.get("fixed_len"):
-                latched_len[x] = ln
+            first_len = False
+            last_len = ln
         if rev is not None:
             rev_model.encode(rc, 1 if rev[ri] else 0)
         body = qual[::-1] if (rev is not None and rev[ri]) else qual
@@ -1649,6 +1658,33 @@ def test_fqz_multi_param_selector_and_rev():
              dloc=0, max_sym=45, do_sel=True),
     ]
     _fqz_roundtrip(recs, params, rev=rev)
+
+
+def test_fqz_multi_param_fixed_len_global_latch():
+    """Pin the htscodecs length-latch semantics (fqzcomp_qual.c
+    fqz_state.first_len/last_len): ONE global first_len flag and ONE
+    global last_len shared across parameter sets.
+
+    The stream below opens with a NON-fixed-param record, which consumes
+    the global first_len; every later fixed-param record therefore carries
+    NO length field and reuses the global last_len.  A decoder that
+    latched per parameter set (one reading of the spec pseudocode) would
+    attempt to range-decode a length for the fixed param's first record
+    and desync — so a round-trip here proves the global semantics."""
+    rng = random.Random(48)
+    recs = []
+    recs.append((_fqz_quals(rng, 90), 1))          # non-fixed: len 90 emitted
+    recs += [(_fqz_quals(rng, 90), 0) for _ in range(6)]   # fixed: reuse 90
+    recs.append((_fqz_quals(rng, 60), 1))          # non-fixed: last_len -> 60
+    recs.append((_fqz_quals(rng, 90), 1))          # non-fixed: last_len -> 90
+    recs += [(_fqz_quals(rng, 90), 0) for _ in range(5)]   # fixed: reuse 90
+    params = [
+        dict(context=0, qbits=6, qshift=2, qloc=0, sloc=14, ploc=0, dloc=0,
+             max_sym=45, do_sel=True, fixed_len=True),
+        dict(context=0x40, qbits=7, qshift=3, qloc=0, sloc=14, ploc=0,
+             dloc=0, max_sym=45, do_sel=True),
+    ]
+    _fqz_roundtrip(recs, params)
 
 
 def test_fqz_explicit_stab():

@@ -313,3 +313,119 @@ def test_stream_lsh_neardup_state_across_batches(spark, tmp_path):
     )
     assert got == expect
     assert {(p[1], p[2]) for p in got} >= {(1001, 1002), (1005, 1006)}
+
+
+def test_band_rows_non_ascii_parity_with_batch_minhash(spark):
+    """The streaming signature path (numpy) must produce exactly the batch
+    operator's band keys on non-ASCII text, where the shingle Horner hash
+    overflows int64 (131^6 * CJK codepoint) and goes negative — Spark's %
+    is Java-truncated (sign of the dividend) while numpy's % is floored,
+    so this pins the np.fmod choice in streaming._band_rows."""
+    from sequila_spark.operators.dedup import (
+        BANDS,
+        ROWS_PER_BAND,
+        minhash_signatures,
+    )
+    from sequila_spark.streaming.ops import _band_rows
+
+    rows = [
+        (1, "中文文本去重测试，流式与批式签名必须一致。中文文本去重测试。"),
+        (2, "中文文本去重测试，流式与批式签名必须一致。中文文本去重测试！"),
+        (3, "données dupliquées — détection de quasi-doublons en continu"),
+        (4, "ascii only control row for the same pipeline and bands"),
+        (5, "中文" * 20),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sig = minhash_signatures(docs).collect()
+    expect = set()
+    for r in sig:
+        for band in range(BANDS):
+            key = ",".join(
+                str(r[f"mh{band * ROWS_PER_BAND + i}"]) for i in range(ROWS_PER_BAND)
+            )
+            expect.add((band, key, r["doc_id"]))
+
+    got = {
+        (r["band"], r["bkey"], r["doc_id"])
+        for r in _band_rows(docs, "doc_id", "text").collect()
+    }
+    assert got == expect
+
+
+def test_stream_lsh_neardup_state_ttl_reanchors(spark, tmp_path):
+    """With state_ttl_ms set, an idle bucket's anchor expires: a near-dup
+    arriving after the TTL does NOT pair with the pre-expiry anchor, but
+    re-anchors the bucket and pairs with later arrivals.
+
+    Processing-time timeouts make Spark schedule a no-data micro-batch per
+    trigger forever (FlatMapGroupsWithStateExec.shouldRunAnotherBatch), so
+    ``processAllAvailable()`` never returns on this query — the test paces
+    with a real trigger and polls query progress for input-row counts
+    instead."""
+    import time
+
+    from sequila_spark.streaming.ops import stream_lsh_neardup
+
+    rows = _neardup_docs()
+    by_id = {r[0]: r for r in rows}
+    schema = "doc_id long, text string"
+    d = tmp_path / "docs_ttl"
+    d.mkdir()
+
+    def write_batch(name, ids):
+        spark.createDataFrame([by_id[i] for i in ids], schema).coalesce(1).write.parquet(
+            str(d / name)
+        )
+
+    def await_inputs(q, n, deadline_s=60):
+        """Poll until the query has consumed ``n`` input rows in total."""
+        t0 = time.time()
+        while time.time() - t0 < deadline_s:
+            if q.exception() is not None:
+                raise q.exception()
+            total = sum(p["numInputRows"] for p in (q.recentProgress or []))
+            if total >= n:
+                return
+            time.sleep(0.2)
+        raise AssertionError(f"stream never consumed {n} rows")
+
+    # TTL must dwarf inter-batch latency (trigger 200 ms + file discovery +
+    # progress-poll lag): 1002's re-anchor has to survive until 1003's batch
+    ttl_ms = 8_000
+    write_batch("f1.parquet", [1001])          # anchors the base-family buckets
+    stream = stream_lsh_neardup(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(str(d / "*")),
+        threshold=0.5,
+        state_ttl_ms=ttl_ms,
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("neardup_ttl")
+        .trigger(processingTime="200 milliseconds")
+        .option("checkpointLocation", str(tmp_path / "ck_ttl"))
+        .start()
+    )
+    try:
+        await_inputs(q, 1)
+        time.sleep(ttl_ms / 1000 + 3.0)        # TTL lapses; a no-data batch
+        # expires 1001's buckets during this window
+        write_batch("f3.parquet", [1002])      # near-dup of 1001 — bucket empty,
+        await_inputs(q, 2)                     # so 1002 re-anchors (no pair)
+        write_batch("f4.parquet", [1003])      # exact dup of 1001 — pairs w/ 1002
+        await_inputs(q, 3)
+        t0 = time.time()
+        while time.time() - t0 < 30:
+            got = _neardup_set(spark.sql("SELECT * FROM neardup_ttl").collect())
+            if {(p[1], p[2]) for p in got} & {(1002, 1003), (1001, 1003)}:
+                break
+            time.sleep(0.2)
+    finally:
+        q.stop()
+
+    pairs = {(p[1], p[2]) for p in got}
+    assert (1001, 1002) not in pairs, "expired anchor must not pair"
+    assert (1001, 1003) not in pairs
+    assert (1002, 1003) in pairs, "bucket must re-anchor at 1002 after expiry"

@@ -149,3 +149,26 @@ def test_split_then_normalize_composition(spark):
 def test_invalid_mode_raises(spark):
     with pytest.raises(ValueError, match="normalization_mode"):
         read_vcf(spark, f"{FIX}/test.vcf", normalization_mode="bogus")
+
+
+def test_contig_cache_lru_bounded(tmp_path):
+    """fetch_contig_seq must never hold more than _CONTIG_CACHE_MAX contig
+    sequences per worker process (a human contig is ~250 MB — unbounded
+    growth would accumulate a whole genome in a long-lived worker)."""
+    from sequila_spark.sources import vcf as V
+
+    fa = tmp_path / "many.fa"
+    seqs = {f"C{i}": ("ACGT" * (i + 1) + "NNAC")[: 8 + i] for i in range(6)}
+    fa.write_text("".join(f">{n}\n{s}\n" for n, s in seqs.items()))
+
+    idx = V.load_fasta_region_index(str(fa))
+    V._CONTIG_CACHE.clear()
+    for name, seq in seqs.items():
+        assert V.fetch_contig_seq(str(fa), idx[name]) == seq
+        assert len(V._CONTIG_CACHE) <= V._CONTIG_CACHE_MAX
+    # results stay correct for evicted entries on re-fetch
+    for name, seq in seqs.items():
+        assert V.fetch_contig_seq(str(fa), idx[name]) == seq
+    assert len(V._CONTIG_CACHE) <= V._CONTIG_CACHE_MAX
+    # LRU order: most-recently-used is last
+    assert list(V._CONTIG_CACHE)[-1][1] == idx["C5"][0]

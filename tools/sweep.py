@@ -90,6 +90,78 @@ def check_clusters_invariants(spark, sf_dir: str) -> dict:
     }
 
 
+# Types whose engine-native CAST-to-string is identical in Spark and DuckDB,
+# making the distributed hash below a faithful value comparison.  Floats are
+# excluded (formatting differs); every wide query in this suite is int/string.
+_DIST_HASHABLE = {"tinyint", "smallint", "int", "bigint", "string", "boolean"}
+_SEP = "\x1f"
+_NULLTOK = "\x02NULL"
+_SUM_P = 1_000_000_007
+
+
+def distributed_hash_check(sdf, sql: str, sf_dir: str) -> dict | None:
+    """Full value-fidelity comparison WITHOUT collecting the result: both
+    engines canonicalize each row (name-sorted columns joined on an
+    unprintable separator, NULLs tokenized), md5 it, take the top 60 bits as
+    a bigint, and aggregate (count, bit_xor, sum mod p) — order-independent
+    and computed where the data lives.  Spark side stays one distributed agg
+    (no driver materialization); DuckDB side wraps the oracle SQL.  Returns
+    None when a column type's string rendering could differ between engines
+    (floats/timestamps) — caller falls back to rows+schema."""
+    from tests.oracle import duck_connection
+
+    if any(
+        f.dataType.simpleString() not in _DIST_HASHABLE for f in sdf.schema.fields
+    ):
+        return None
+    cols = sorted(sdf.columns)
+
+    s_canon = "concat_ws('{sep}', {parts})".format(
+        sep=_SEP,
+        parts=", ".join(
+            f"coalesce(cast(`{c}` as string), '{_NULLTOK}')" for c in cols
+        ),
+    )
+    s_h = f"cast(conv(substr(md5({s_canon}), 1, 15), 16, 10) as bigint)"
+    srow = (
+        sdf.selectExpr(f"{s_h} as h")
+        .selectExpr(
+            "count(*) as n", "bit_xor(h) as x", f"sum(h % {_SUM_P}L) as s"
+        )
+        .collect()[0]
+    )
+
+    d_canon = "concat_ws(chr(31), {parts})".format(
+        parts=", ".join(
+            f"coalesce(CAST(\"{c}\" AS VARCHAR), chr(2) || 'NULL')" for c in cols
+        )
+    )
+    d_h = f"CAST('0x' || substr(md5({d_canon}), 1, 15) AS BIGINT)"
+    con = duck_connection(sf_dir)
+    try:
+        drow = con.execute(
+            f"SELECT count(*) AS n, bit_xor(h) AS x, sum(h % {_SUM_P}) AS s "
+            f"FROM (SELECT {d_h} AS h FROM ({sql}) __oracle) __hashed"
+        ).fetchone()
+    finally:
+        con.close()
+
+    match = (
+        int(srow["n"]) == int(drow[0])
+        and (srow["x"] is None) == (drow[1] is None)
+        and (srow["x"] is None or int(srow["x"]) == int(drow[1]))
+        and (srow["s"] is None or int(srow["s"]) == int(drow[2]))
+    )
+    return {
+        "rows_match": int(srow["n"]) == int(drow[0]),
+        "hash_match": match,
+        "spark_rows": int(srow["n"]),
+        "oracle_rows": int(drow[0]),
+        "err": None,
+        "method": "distributed_full_hash",
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
@@ -146,11 +218,13 @@ def main() -> None:
                 }
             else:
                 con = duck_connection(args.sf_dir)
-                res = con.execute(sql)
-                duck_cols = [d[0] for d in res.description]
+                # plan-only: column names without executing the query
+                duck_cols = [
+                    r[0] for r in con.execute(f"DESCRIBE {sql}").fetchall()
+                ]
                 schema_match = sorted(spark_cols) == sorted(duck_cols)
                 if n_spark <= args.hash_cap:
-                    duck_rows = res.fetchall()
+                    duck_rows = con.execute(sql).fetchall()
                     spark_rows = [tuple(r) for r in sdf.collect()]
                     n_s, h_s = normalize(spark_rows, spark_cols)
                     n_d, h_d = normalize(duck_rows, duck_cols)
@@ -164,16 +238,25 @@ def main() -> None:
                         "method": "full_hash",
                     }
                 else:
-                    n_duck = len(res.fetchall())
-                    results[name] = {
-                        "rows_match": n_spark == n_duck,
-                        "schema_match": schema_match,
-                        "hash_match": None,
-                        "spark_rows": n_spark,
-                        "oracle_rows": n_duck,
-                        "err": None,
-                        "method": "rows_schema_only_above_hash_cap",
-                    }
+                    dist = distributed_hash_check(sdf, sql, args.sf_dir)
+                    if dist is not None:
+                        dist["schema_match"] = schema_match
+                        results[name] = dist
+                    else:
+                        con2 = duck_connection(args.sf_dir)
+                        n_duck = con2.execute(
+                            f"SELECT count(*) FROM ({sql}) __q"
+                        ).fetchone()[0]
+                        con2.close()
+                        results[name] = {
+                            "rows_match": n_spark == n_duck,
+                            "schema_match": schema_match,
+                            "hash_match": None,
+                            "spark_rows": n_spark,
+                            "oracle_rows": n_duck,
+                            "err": None,
+                            "method": "rows_schema_only_above_hash_cap",
+                        }
                 con.close()
         except Exception as e:  # noqa: BLE001 — sweep must record, not die
             results[name] = {
