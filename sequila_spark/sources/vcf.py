@@ -63,18 +63,27 @@ def _open_text(path: str):
     return open(path)
 
 
-def read_vcf_header(path: str) -> VcfHeader:
-    """Parse header lines of the first file matching ``path`` (driver-side,
-    reads only the header bytes — never the record body)."""
+def _resolve_vcf_files(path: str) -> list[str]:
+    """All concrete VCF files a path spec (file, glob, or directory) names,
+    sorted — the same file set Spark's text reader will scan."""
     matches = sorted(_glob.glob(path)) or [path]
-    target = matches[0]
-    if os.path.isdir(target):
-        inner = sorted(
-            p
-            for p in _glob.glob(os.path.join(target, "*"))
-            if not os.path.basename(p).startswith(("_", "."))
-        )
-        target = inner[0] if inner else target
+    files: list[str] = []
+    for m in matches:
+        if os.path.isdir(m):
+            files.extend(
+                sorted(
+                    p
+                    for p in _glob.glob(os.path.join(m, "*"))
+                    if not os.path.basename(p).startswith(("_", "."))
+                    and not os.path.isdir(p)
+                )
+            )
+        else:
+            files.append(m)
+    return files
+
+
+def _read_one_header(target: str) -> VcfHeader:
     samples: list[str] = []
     info_numbers: dict[str, str] = {}
     format_numbers: dict[str, str] = {}
@@ -94,6 +103,21 @@ def read_vcf_header(path: str) -> VcfHeader:
     except OSError:
         pass  # non-local path: header metadata unavailable, heuristics apply
     return VcfHeader(samples, info_numbers, format_numbers)
+
+
+def read_vcf_header(path: str) -> VcfHeader:
+    """Parse header lines of the first file matching ``path`` (driver-side,
+    reads only the header bytes — never the record body)."""
+    files = _resolve_vcf_files(path)
+    return _read_one_header(files[0] if files else path)
+
+
+def read_vcf_headers(path: str) -> dict[str, VcfHeader]:
+    """Per-file headers for every file ``path`` names (Glow resolves VCF
+    headers per file; a cohort directory can mix sample columns).  Only
+    header bytes are read, driver-side — one small sequential read per
+    file at plan time."""
+    return {f: _read_one_header(f) for f in _resolve_vcf_files(path)}
 
 
 def _norm_one(
@@ -136,16 +160,50 @@ def _is_symbolic(a: str) -> bool:
     return (not a) or a == "." or a == "*" or a[0] == "<" or "[" in a or "]" in a
 
 
+def _binom(m: Column, i: Column) -> Column:
+    """Exact integer C(m, i) as a JVM-side expression: the iterative
+    ``acc <- acc * (m - i + t) / t`` for t = 1..i keeps ``acc = C(m-i+t, t)``
+    — an integer at every step, so the double division is exact (values are
+    far below 2^53 for any real ploidy/allele count)."""
+    return F.when(i <= 0, F.lit(1).cast("long")).otherwise(
+        F.aggregate(
+            F.sequence(F.lit(1), i.cast("int")),
+            F.lit(1).cast("long"),
+            lambda acc, t: (acc * (m.cast("long") - i + t) / t).cast("long"),
+        )
+    )
+
+
+def _genotype_index(a: Column, p: Column, j: Column) -> Column:
+    """VCF ordered-genotype index of the ploidy-``p`` genotype with ``j``
+    copies of allele ``a`` and ``p - j`` copies of the reference (the only
+    genotypes representable after a biallelic split).  The VCF spec orders
+    genotypes by ``Index(a1<=...<=ap) = sum_i C(a_i + i - 1, i)``; with the
+    sorted tuple (0,...,0,a,...,a) only the last ``j`` terms are nonzero."""
+    return F.when(j <= 0, F.lit(0).cast("long")).otherwise(
+        F.aggregate(
+            F.sequence((p - j + 1).cast("int"), p.cast("int")),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc + _binom(a + i - 1, i),
+        )
+    )
+
+
 def _per_alt_value(
     value: Column, n: Column, alt_idx: Column, key: Column | None,
-    numbers: dict[str, str] | None,
+    numbers: dict[str, str] | None, ploidy: Column | None = None,
 ) -> Column:
     """Renumber one comma-separated value for the alt at 0-based ``alt_idx``.
 
     Header-driven when ``numbers`` declares the key (Glow/bcftools are
     header-driven); the Number=A arity heuristic applies only to undeclared
     keys.  Declared-but-mismatched arities replicate unchanged (defensive —
-    a malformed field must not silently reindex)."""
+    a malformed field must not silently reindex).
+
+    ``ploidy`` (FORMAT context: the sample's GT call count) generalizes
+    Number=G to any ploidy via the spec's combinadic genotype ordering;
+    without it (INFO context, where no per-sample ploidy exists) Number=G
+    assumes diploid."""
     parts = F.split(value, ",")
     a = alt_idx + 1  # 1-based allele index of this alt
     pick_a = F.when(
@@ -155,18 +213,37 @@ def _per_alt_value(
         F.size(parts) == n + 1,
         F.concat_ws(",", F.element_at(parts, 1), F.element_at(parts, alt_idx + 2)),
     ).otherwise(value)
-    # Number=G, diploid: genotype (j,k) j<=k sits at k(k+1)/2 + j.  The
-    # split keeps genotypes over {ref, this alt}: (0,0), (0,a), (a,a).
-    g_arity = (n + 1) * (n + 2) / F.lit(2)
-    pick_g = F.when(
-        F.size(parts).cast("long") == g_arity.cast("long"),
-        F.concat_ws(
-            ",",
-            F.element_at(parts, 1),
-            F.element_at(parts, (a * (a + 1) / 2).cast("int") + 1),
-            F.element_at(parts, (a * (a + 1) / 2 + a).cast("int") + 1),
-        ),
-    ).otherwise(value)
+    if ploidy is None:
+        # Number=G, diploid: genotype (j,k) j<=k sits at k(k+1)/2 + j.  The
+        # split keeps genotypes over {ref, this alt}: (0,0), (0,a), (a,a).
+        g_arity = (n + 1) * (n + 2) / F.lit(2)
+        pick_g = F.when(
+            F.size(parts).cast("long") == g_arity.cast("long"),
+            F.concat_ws(
+                ",",
+                F.element_at(parts, 1),
+                F.element_at(parts, (a * (a + 1) / 2).cast("int") + 1),
+                F.element_at(parts, (a * (a + 1) / 2 + a).cast("int") + 1),
+            ),
+        ).otherwise(value)
+    else:
+        # any ploidy p: the split keeps the p+1 genotypes ref^(p-j) alt^j,
+        # j = 0..p, whose source positions follow the combinadic ordering
+        p = ploidy.cast("long")
+        g_arity = _binom(n.cast("long") + p, p)
+        picked = F.transform(
+            F.sequence(F.lit(0), p.cast("int")),
+            lambda j: F.coalesce(
+                F.element_at(
+                    parts, (_genotype_index(a.cast("long"), p, j) + 1).cast("int")
+                ),
+                F.lit("."),
+            ),
+        )
+        pick_g = F.when(
+            F.size(parts).cast("long") == g_arity,
+            F.array_join(picked, ","),
+        ).otherwise(value)
     heuristic = F.when(
         (F.size(parts) == n) & (n > 1), F.element_at(parts, alt_idx + 1)
     ).otherwise(value)
@@ -263,7 +340,16 @@ def split_multiallelics(
                         lambda e: F.struct(
                             e["key"].alias("key"),
                             _per_alt_value(
-                                e["value"], n, idx, e["key"], format_numbers
+                                e["value"], n, idx, e["key"], format_numbers,
+                                # sample ploidy from its GT call count;
+                                # no/empty GT -> the conventional diploid
+                                ploidy=F.coalesce(
+                                    F.when(
+                                        F.size(g["calls"]) > 0,
+                                        F.size(g["calls"]),
+                                    ),
+                                    F.lit(2),
+                                ),
                             ).alias("value"),
                         ),
                     )
@@ -495,9 +581,32 @@ def read_vcf(
             f"normalization_mode must be one of {_MODES}, got "
             f"{normalization_mode!r}"
         )
-    header = read_vcf_header(path)
+    headers = read_vcf_headers(path)
+    # Number= declarations merged across files (first file wins on a
+    # conflicting re-declaration of the same key)
+    info_numbers: dict[str, str] = {}
+    format_numbers: dict[str, str] = {}
+    for h in headers.values():
+        for k, v in h.info_numbers.items():
+            info_numbers.setdefault(k, v)
+        for k, v in h.format_numbers.items():
+            format_numbers.setdefault(k, v)
+    sample_lists = [h.samples for h in headers.values()]
+    distinct_sample_lists = {tuple(s) for s in sample_lists}
+    heterogeneous = len(distinct_sample_lists) > 1
+    header = VcfHeader(
+        sample_lists[0] if sample_lists else [], info_numbers, format_numbers
+    )
     lines = spark.read.text(path)
     rows = lines.where(~F.col("value").startswith("#") & (F.trim("value") != ""))
+    if heterogeneous:
+        # per-file sample columns (Glow resolves headers per file): tag each
+        # line with its source file and broadcast-join the tiny
+        # file -> samples table — the text scan itself stays one pass
+        rows = rows.withColumn(
+            "_vcf_file",
+            F.regexp_replace(F.input_file_name(), "^[a-z]+:/+", "/"),
+        )
     f = F.split(F.col("value"), "\t")
 
     def field(i: int):
@@ -527,39 +636,67 @@ def read_vcf(
         .otherwise(info_map)
         .alias("info"),
     ]
-    if header.samples:
-        keys = F.split(field(8), ":")
-        entries = []
-        for i, name in enumerate(header.samples):
-            vals = F.split(field(9 + i), ":")
-            # trailing FORMAT fields may be dropped per sample (spec §1.6.2)
-            m = F.least(F.size(keys), F.size(vals))
-            fmap = F.map_from_arrays(
-                F.slice(keys, 1, m), F.slice(vals, 1, m)
-            )
-            gpos = F.array_position(keys, "GT").cast("int")
-            gt = F.when(
-                (gpos > 0) & (gpos <= F.size(vals)), F.element_at(vals, gpos)
-            )
-            calls = F.when(
-                gt.isNotNull(),
+    keys = F.split(field(8), ":")
+
+    def geno_entry(name_col: Column, sample_field: Column) -> Column:
+        """One genotypes struct from a sample's raw colon-joined value."""
+        vals = F.split(sample_field, ":")
+        # trailing FORMAT fields may be dropped per sample (spec §1.6.2)
+        m = F.least(F.size(keys), F.size(vals))
+        fmap = F.map_from_arrays(F.slice(keys, 1, m), F.slice(vals, 1, m))
+        gpos = F.array_position(keys, "GT").cast("int")
+        gt = F.when(
+            (gpos > 0) & (gpos <= F.size(vals)), F.element_at(vals, gpos)
+        )
+        calls = F.when(
+            gt.isNotNull(),
+            F.transform(
+                F.split(gt, "[/|]"),
+                lambda x: F.when((x == ".") | (x == ""), F.lit(-1))
+                .otherwise(x)
+                .cast("int"),
+            ),
+        )
+        return F.struct(
+            name_col.alias("sample_id"),
+            F.coalesce(gt.contains("|"), F.lit(False)).alias("phased"),
+            calls.alias("calls"),
+            F.map_filter(fmap, lambda k, v: k != "GT").alias("fields"),
+        )
+
+    if heterogeneous and any(h.samples for h in headers.values()):
+        # samples resolved per source file at runtime: genotype i parses
+        # column 9+i against THIS file's sample list, so every call lands
+        # under the right sample_id even when files disagree on columns
+        samples_col = F.col("_samples")
+        cols.append(
+            F.when(
+                field(8).isNotNull() & (F.size(samples_col) > 0),
                 F.transform(
-                    F.split(gt, "[/|]"),
-                    lambda x: F.when((x == ".") | (x == ""), F.lit(-1))
-                    .otherwise(x)
-                    .cast("int"),
+                    samples_col,
+                    lambda s, i: geno_entry(s, F.get(f, i + F.lit(9))),
                 ),
-            )
-            entries.append(
-                F.struct(
-                    F.lit(name).alias("sample_id"),
-                    F.coalesce(gt.contains("|"), F.lit(False)).alias("phased"),
-                    calls.alias("calls"),
-                    F.map_filter(fmap, lambda k, v: k != "GT").alias("fields"),
-                )
-            )
+            ).alias("genotypes")
+        )
+    elif header.samples:
+        entries = [
+            geno_entry(F.lit(name), field(9 + i))
+            for i, name in enumerate(header.samples)
+        ]
         cols.append(
             F.when(field(8).isNotNull(), F.array(*entries)).alias("genotypes")
+        )
+    if heterogeneous:
+        file_rows = [
+            (os.path.abspath(fp), list(h.samples)) for fp, h in headers.items()
+        ]
+        files_df = spark.createDataFrame(
+            file_rows, "_vcf_file string, _samples array<string>"
+        )
+        rows = rows.join(
+            F.broadcast(files_df),
+            rows["_vcf_file"] == files_df["_vcf_file"],
+            "left",
         )
     df = rows.select(*cols)
     if normalization_mode in ("split", "split_and_normalize"):

@@ -228,3 +228,152 @@ def test_fasta_region_index_uses_fai(tmp_path):
     idx = load_fasta_region_index(str(fa))
     assert fetch_contig_seq(str(fa), idx["c1"]) == "AACCGG"
     assert fetch_contig_seq(str(fa), idx["c2"]) == "TTTT"
+
+
+def _write_vcf(path, samples, records):
+    """Minimal VCF with a given sample list; records are (chrom, pos, ref,
+    alt, format, *sample_values)."""
+    hdr = [
+        "##fileformat=VCFv4.2",
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">',
+        '##FORMAT=<ID=DP,Number=1,Type=Integer,Description="Depth">',
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO"
+        + ("\tFORMAT\t" + "\t".join(samples) if samples else ""),
+    ]
+    body = []
+    for chrom, pos, ref, alt, fmt, *vals in records:
+        row = [chrom, str(pos), ".", ref, alt, "50", "PASS", "."]
+        if samples:
+            row.append(fmt)
+            row.extend(vals)
+        body.append("\t".join(row))
+    path.write_text("\n".join(hdr + body) + "\n")
+
+
+def test_per_file_headers_heterogeneous_samples(spark, tmp_path):
+    """A directory of VCFs with DIFFERENT sample columns must parse each
+    file against its own header (Glow resolves headers per file): every
+    genotype lands under the sample_id its source file declares, at the
+    right column index."""
+    d = tmp_path / "cohort"
+    d.mkdir()
+    _write_vcf(
+        d / "a.vcf",
+        ["ALICE", "BOB"],
+        [("1", 100, "A", "G", "GT:DP", "0/1:11", "1|1:22")],
+    )
+    _write_vcf(
+        d / "b.vcf",
+        ["CAROL"],
+        [("2", 200, "C", "T", "GT:DP", "0/0:33")],
+    )
+    df = read_vcf(spark, str(d))
+    rows = {r["contig"]: r for r in df.collect()}
+    assert set(rows) == {"1", "2"}
+
+    g1 = {g["sample_id"]: g for g in rows["1"]["genotypes"]}
+    assert set(g1) == {"ALICE", "BOB"}
+    assert g1["ALICE"]["calls"] == [0, 1] and not g1["ALICE"]["phased"]
+    assert g1["ALICE"]["fields"]["DP"] == "11"
+    assert g1["BOB"]["calls"] == [1, 1] and g1["BOB"]["phased"]
+    assert g1["BOB"]["fields"]["DP"] == "22"
+
+    g2 = {g["sample_id"]: g for g in rows["2"]["genotypes"]}
+    assert set(g2) == {"CAROL"}
+    assert g2["CAROL"]["calls"] == [0, 0]
+    assert g2["CAROL"]["fields"]["DP"] == "33"
+
+
+def test_per_file_headers_mixed_sampleless(spark, tmp_path):
+    """Heterogeneous dir where one file has no sample columns: its rows get
+    null genotypes; the other file's samples still parse correctly."""
+    d = tmp_path / "mixed"
+    d.mkdir()
+    _write_vcf(d / "sites.vcf", [], [("3", 300, "G", "C", None)])
+    _write_vcf(
+        d / "calls.vcf", ["DAVE"], [("4", 400, "T", "A", "GT", "0|1")]
+    )
+    df = read_vcf(spark, str(d))
+    rows = {r["contig"]: r for r in df.collect()}
+    assert rows["3"]["genotypes"] is None
+    g = {g["sample_id"]: g for g in rows["4"]["genotypes"]}
+    assert g["DAVE"]["calls"] == [0, 1] and g["DAVE"]["phased"]
+
+
+def test_homogeneous_dir_still_static_path(spark, tmp_path):
+    """Identical sample lists across files keep the literal-driven parse
+    (no broadcast join in the plan)."""
+    d = tmp_path / "homog"
+    d.mkdir()
+    _write_vcf(d / "a.vcf", ["S1"], [("1", 10, "A", "T", "GT", "0/1")])
+    _write_vcf(d / "b.vcf", ["S1"], [("2", 20, "C", "G", "GT", "1/1")])
+    df = read_vcf(spark, str(d))
+    assert "BroadcastHashJoin" not in df._jdf.queryExecution().executedPlan().toString()
+    rows = {r["contig"]: r["genotypes"][0]["calls"] for r in df.collect()}
+    assert rows == {"1": [0, 1], "2": [1, 1]}
+
+
+def test_number_g_haploid_and_triploid_renumber(spark, tmp_path):
+    """Number=G FORMAT fields renumber per SAMPLE PLOIDY (GT call count),
+    not an assumed diploid: haploid GL keeps (ref, alt) likelihoods;
+    triploid keeps the 4 genotypes ref^(3-j) alt^j via the spec's
+    combinadic ordering.
+
+    Oracle indices, 2 alts (n=2), combinadic Index(a1<=..<=ap) =
+    sum_i C(a_i+i-1, i):
+      haploid  p=1, arity C(3,1)=3:  alt a -> [0, a]
+      diploid  p=2, arity C(4,2)=6:  alt 1 -> [0,1,2]; alt 2 -> [0,3,5]
+      triploid p=3, arity C(5,3)=10: alt 1 -> [0,1,2,3]; alt 2 -> [0,4,7,9]
+    """
+    vcf = tmp_path / "ploidy.vcf"
+    vcf.write_text(
+        "\n".join(
+            [
+                "##fileformat=VCFv4.2",
+                '##FORMAT=<ID=GT,Number=1,Type=String,Description="g">',
+                '##FORMAT=<ID=GL,Number=G,Type=Float,Description="gl">',
+                "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT"
+                "\tHAP\tDIP\tTRI",
+                # GL values encode their own index so picks are legible
+                "1\t100\t.\tA\tG,T\t50\tPASS\t.\tGT:GL"
+                "\t1:g0,g1,g2"
+                "\t1/2:g0,g1,g2,g3,g4,g5"
+                "\t0/1/2:g0,g1,g2,g3,g4,g5,g6,g7,g8,g9",
+            ]
+        )
+        + "\n"
+    )
+    df = read_vcf(spark, str(vcf), normalization_mode="split")
+    out = {}
+    for r in df.collect():
+        for g in r["genotypes"]:
+            out[(r["alt"][0], g["sample_id"])] = g["fields"]["GL"]
+    assert out[("G", "HAP")] == "g0,g1"
+    assert out[("T", "HAP")] == "g0,g2"
+    assert out[("G", "DIP")] == "g0,g1,g2"
+    assert out[("T", "DIP")] == "g0,g3,g5"
+    assert out[("G", "TRI")] == "g0,g1,g2,g3"
+    assert out[("T", "TRI")] == "g0,g4,g7,g9"
+
+
+def test_number_g_arity_mismatch_replicates(spark, tmp_path):
+    """A Number=G value whose arity doesn't match the sample's ploidy
+    replicates unchanged (defensive: malformed input must never silently
+    reindex)."""
+    vcf = tmp_path / "bad.vcf"
+    vcf.write_text(
+        "\n".join(
+            [
+                "##fileformat=VCFv4.2",
+                '##FORMAT=<ID=GT,Number=1,Type=String,Description="g">',
+                '##FORMAT=<ID=GL,Number=G,Type=Float,Description="gl">',
+                "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tS",
+                # haploid GT but 6 GL values (diploid arity): mismatched
+                "1\t100\t.\tA\tG,T\t50\tPASS\t.\tGT:GL\t1:a,b,c,d,e,f",
+            ]
+        )
+        + "\n"
+    )
+    df = read_vcf(spark, str(vcf), normalization_mode="split")
+    for r in df.collect():
+        assert r["genotypes"][0]["fields"]["GL"] == "a,b,c,d,e,f"
