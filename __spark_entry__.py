@@ -832,6 +832,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
 
+# Misaligned with the default 5000 (not a divisor or multiple): every bin
+# boundary, explode fan-out and anchor-bin assignment differs from the
+# primary plan's, so a boundary/anchor bug cannot produce the same wrong
+# answer in both.  1700 also changes which rows the bin_cap long-branch
+# routing would see (cap * 1700 vs cap * 5000 thresholds).
+_XCHECK_BIN = 1700
+
+
+def _xq_range_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    reads = TD.reads(spark, sf_dir)
+    targets = TD.targets(spark, sf_dir)
+    j = range_join(reads, targets, how="inner", max_width=_SYNTH_MAX_WIDTH,
+                   bin_size=_XCHECK_BIN)
+    return j.select(
+        "qname",
+        "target_id",
+        IV.overlap_length(S.START, S.END, f"{S.START}_r", f"{S.END}_r").alias("overlap_len"),
+    )
+
+
+def _xq_range_join_minoverlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    reads = TD.reads(spark, sf_dir)
+    targets = TD.targets(spark, sf_dir)
+    j = range_join(reads, targets, how="inner", min_overlap=100,
+                   max_width=_SYNTH_MAX_WIDTH, bin_size=_XCHECK_BIN)
+    return j.select("qname", "target_id")
+
+
+def _xq_range_join_maxgap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    reads = TD.reads(spark, sf_dir)
+    targets = TD.targets(spark, sf_dir)
+    j = range_join(reads, targets, how="inner", max_gap=1000,
+                   max_width=_SYNTH_MAX_WIDTH, bin_size=_XCHECK_BIN)
+    return j.select("qname", "target_id")
+
+
+def crosscheck_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Independent-plan variants of the queries whose result sets outgrow a
+    single-node DuckDB oracle at large scale factors (the interval-join trio
+    is output-quadratic in sf: ~3.3-8.1 BILLION pairs at sf1).  Each builds
+    the same result through a structurally different execution: a misaligned
+    bin size shifts every explode boundary and anchor-dedup decision.  The
+    primary plan is full-hash verified against DuckDB at sf0.01 (driver gate)
+    and sf0.1 (sweep); tools/sweep.py uses these variants plus a distributed
+    hash aggregate to extend value-fidelity verification to scales where the
+    oracle engine, not this engine, is the bottleneck."""
+    return {
+        "range_join_pairs": _xq_range_join_pairs,
+        "range_join_minoverlap": _xq_range_join_minoverlap,
+        "range_join_maxgap": _xq_range_join_maxgap,
+    }
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------

@@ -99,6 +99,67 @@ _NULLTOK = "\x02NULL"
 _SUM_P = 1_000_000_007
 
 
+def _spark_hash_agg(sdf) -> tuple | None:
+    """(count, bit_xor, sum mod p) over per-row md5 of the name-sorted,
+    canonicalized columns — one distributed agg, no driver materialization.
+    None when a column type's string rendering is engine-ambiguous."""
+    if any(
+        f.dataType.simpleString() not in _DIST_HASHABLE for f in sdf.schema.fields
+    ):
+        return None
+    cols = sorted(sdf.columns)
+    s_canon = "concat_ws('{sep}', {parts})".format(
+        sep=_SEP,
+        parts=", ".join(
+            f"coalesce(cast(`{c}` as string), '{_NULLTOK}')" for c in cols
+        ),
+    )
+    s_h = f"cast(conv(substr(md5({s_canon}), 1, 15), 16, 10) as bigint)"
+    row = (
+        sdf.selectExpr(f"{s_h} as h")
+        .selectExpr(
+            "count(*) as n", "bit_xor(h) as x", f"sum(h % {_SUM_P}L) as s"
+        )
+        .collect()[0]
+    )
+    return (int(row["n"]), row["x"], row["s"])
+
+
+def spark_crosscheck(sdf, adf) -> dict:
+    """Value-fidelity check with NO external oracle: the primary plan's
+    result vs an independent-plan variant of the same query (see
+    __spark_entry__.crosscheck_queries), both reduced to the same
+    order-independent distributed hash.  Used where the result set is too
+    large for DuckDB to materialize single-node — the point at which the
+    oracle engine, not this engine, is the scaling bottleneck."""
+    t0 = time.time()
+    primary = _spark_hash_agg(sdf)
+    t_primary = round(time.time() - t0, 1)
+    t0 = time.time()
+    alt = _spark_hash_agg(adf)
+    t_alt = round(time.time() - t0, 1)
+    if primary is None or alt is None:
+        return {
+            "rows_match": False,
+            "schema_match": sorted(sdf.columns) == sorted(adf.columns),
+            "hash_match": False,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": "crosscheck: non-hashable column type",
+        }
+    return {
+        "rows_match": primary[0] == alt[0],
+        "schema_match": sorted(sdf.columns) == sorted(adf.columns),
+        "hash_match": primary == alt,
+        "spark_rows": primary[0],
+        "oracle_rows": alt[0],
+        "err": None,
+        "method": "spark_plan_crosscheck_full_hash",
+        "sec_primary_plan": t_primary,
+        "sec_alt_plan": t_alt,
+    }
+
+
 def distributed_hash_check(sdf, sql: str, sf_dir: str) -> dict | None:
     """Full value-fidelity comparison WITHOUT collecting the result: both
     engines canonicalize each row (name-sorted columns joined on an
@@ -110,26 +171,10 @@ def distributed_hash_check(sdf, sql: str, sf_dir: str) -> dict | None:
     (floats/timestamps) — caller falls back to rows+schema."""
     from tests.oracle import duck_connection
 
-    if any(
-        f.dataType.simpleString() not in _DIST_HASHABLE for f in sdf.schema.fields
-    ):
+    srow = _spark_hash_agg(sdf)
+    if srow is None:
         return None
     cols = sorted(sdf.columns)
-
-    s_canon = "concat_ws('{sep}', {parts})".format(
-        sep=_SEP,
-        parts=", ".join(
-            f"coalesce(cast(`{c}` as string), '{_NULLTOK}')" for c in cols
-        ),
-    )
-    s_h = f"cast(conv(substr(md5({s_canon}), 1, 15), 16, 10) as bigint)"
-    srow = (
-        sdf.selectExpr(f"{s_h} as h")
-        .selectExpr(
-            "count(*) as n", "bit_xor(h) as x", f"sum(h % {_SUM_P}L) as s"
-        )
-        .collect()[0]
-    )
 
     d_canon = "concat_ws(chr(31), {parts})".format(
         parts=", ".join(
@@ -146,16 +191,17 @@ def distributed_hash_check(sdf, sql: str, sf_dir: str) -> dict | None:
     finally:
         con.close()
 
+    s_n, s_x, s_s = srow
     match = (
-        int(srow["n"]) == int(drow[0])
-        and (srow["x"] is None) == (drow[1] is None)
-        and (srow["x"] is None or int(srow["x"]) == int(drow[1]))
-        and (srow["s"] is None or int(srow["s"]) == int(drow[2]))
+        s_n == int(drow[0])
+        and (s_x is None) == (drow[1] is None)
+        and (s_x is None or int(s_x) == int(drow[1]))
+        and (s_s is None or int(s_s) == int(drow[2]))
     )
     return {
-        "rows_match": int(srow["n"]) == int(drow[0]),
+        "rows_match": s_n == int(drow[0]),
         "hash_match": match,
-        "spark_rows": int(srow["n"]),
+        "spark_rows": s_n,
         "oracle_rows": int(drow[0]),
         "err": None,
         "method": "distributed_full_hash",
@@ -168,6 +214,13 @@ def main() -> None:
     ap.add_argument("--out", default=None)
     ap.add_argument("--hash-cap", type=int, default=5_000_000)
     ap.add_argument("--only", default=None, help="comma-separated query names")
+    ap.add_argument(
+        "--crosscheck",
+        default=None,
+        help="comma-separated query names verified against their "
+        "independent-plan variant (crosscheck_queries) instead of DuckDB — "
+        "for result sets the single-node oracle cannot materialize",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -190,6 +243,11 @@ def main() -> None:
     qmap = E.queries()
     oracles = E.oracle_sql()
     only = set(args.only.split(",")) if args.only else None
+    xcheck = set(args.crosscheck.split(",")) if args.crosscheck else set()
+    xmap = E.crosscheck_queries() if xcheck else {}
+    unknown = xcheck - set(xmap)
+    if unknown:
+        raise SystemExit(f"no crosscheck variant for: {sorted(unknown)}")
     results: dict[str, dict] = {}
 
     for name, fn in qmap.items():
@@ -197,6 +255,13 @@ def main() -> None:
             continue
         t0 = time.time()
         try:
+            if name in xcheck:
+                results[name] = spark_crosscheck(
+                    fn(spark, args.sf_dir), xmap[name](spark, args.sf_dir)
+                )
+                results[name]["sec"] = round(time.time() - t0, 1)
+                print(f"{name}: {results[name]}", flush=True)
+                continue
             if name == "dedup_clusters":
                 results[name] = check_clusters_invariants(spark, args.sf_dir)
                 results[name]["sec"] = round(time.time() - t0, 1)
