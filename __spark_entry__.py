@@ -868,20 +868,32 @@ def _xq_range_join_maxgap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select("qname", "target_id")
 
 
+def _xq_range_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    reads = TD.reads(spark, sf_dir)
+    targets = TD.targets(spark, sf_dir)
+    j = range_join(targets, reads, how="left_semi", max_width=_SYNTH_MAX_WIDTH,
+                   bin_size=_XCHECK_BIN)
+    return j.select("target_id", S.CONTIG, S.START, S.END)
+
+
 def crosscheck_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Independent-plan variants of the queries whose result sets outgrow a
-    single-node DuckDB oracle at large scale factors (the interval-join trio
-    is output-quadratic in sf: ~3.3-8.1 BILLION pairs at sf1).  Each builds
-    the same result through a structurally different execution: a misaligned
-    bin size shifts every explode boundary and anchor-dedup decision.  The
-    primary plan is full-hash verified against DuckDB at sf0.01 (driver gate)
-    and sf0.1 (sweep); tools/sweep.py uses these variants plus a distributed
-    hash aggregate to extend value-fidelity verification to scales where the
+    """Independent-plan variants of the queries whose DuckDB oracle outgrows a
+    single node at large scale factors: the interval-join trio's result set
+    is output-quadratic in sf (~3.3-8.1 BILLION pairs at sf1), and
+    range_join_semi's EXISTS oracle — 20k-row *output* — still walks the same
+    quadratic pair space inside DuckDB (measured: >35 min single-threaded at
+    sf1 vs 30 s at sf0.1).  Each variant builds the same result through a
+    structurally different execution: a misaligned bin size shifts every
+    explode boundary and anchor-dedup/semi-dedup decision.  The primary plan
+    is full-hash verified against DuckDB at sf0.01 (driver gate) and sf0.1
+    (sweep); tools/sweep.py uses these variants plus a distributed hash
+    aggregate to extend value-fidelity verification to scales where the
     oracle engine, not this engine, is the bottleneck."""
     return {
         "range_join_pairs": _xq_range_join_pairs,
         "range_join_minoverlap": _xq_range_join_minoverlap,
         "range_join_maxgap": _xq_range_join_maxgap,
+        "range_join_semi": _xq_range_join_semi,
     }
 
 
