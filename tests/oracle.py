@@ -18,6 +18,13 @@ from sequila_spark.testdata import TABLES
 
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # The oracle runs in the same process as the Spark driver; uncapped,
+    # DuckDB assumes it owns the whole machine (default limit is 80% of
+    # RAM) and a per-base-expansion oracle at sf1 OOM-kills the process
+    # (observed: 122 GB anon-rss).  Cap it and let it spill to disk.
+    con.execute("SET memory_limit='24GB'")
+    con.execute("SET temp_directory='/tmp/duck_spill'")
+    con.execute("SET max_temp_directory_size='60GB'")
     for name in TABLES:
         con.execute(
             f"CREATE OR REPLACE VIEW {name} AS "
