@@ -868,6 +868,18 @@ def _xq_range_join_maxgap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select("qname", "target_id")
 
 
+def _xq_pileup_indels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    reads = TD.reads_indel(spark, sf_dir)
+    p = pileup(reads, ref=TD.ref_base_col, alts=True, strategy="dense")
+    return p.groupBy(S.CONTIG).agg(
+        F.count("*").alias("n_pos"),
+        F.sum(S.COVERAGE).cast("long").alias("sum_cov"),
+        F.sum(S.COUNT_REF).cast("long").alias("sum_ref"),
+        F.sum(S.COUNT_NONREF).cast("long").alias("sum_nonref"),
+        F.sum(F.when(F.col(S.COUNT_NONREF) > 0, 1).otherwise(0)).cast("long").alias("n_alt_pos"),
+    )
+
+
 def _xq_range_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     reads = TD.reads(spark, sf_dir)
     targets = TD.targets(spark, sf_dir)
@@ -888,12 +900,21 @@ def crosscheck_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     is full-hash verified against DuckDB at sf0.01 (driver gate) and sf0.1
     (sweep); tools/sweep.py uses these variants plus a distributed hash
     aggregate to extend value-fidelity verification to scales where the
-    oracle engine, not this engine, is the bottleneck."""
+    oracle engine, not this engine, is the bottleneck.
+
+    pileup_indels joins the set for a different reason: its 5-row output is
+    tiny, but the oracle must expand every base of every read single-node —
+    at sf1 DuckDB exhausted a 24 GB memory cap plus a 56 GB spill budget
+    evaluating it.  Its variant pins the other physical pileup plan
+    (strategy='dense', explode-every-base) against the sparse-mismatch
+    primary — independent executions whose row-identity the oracle parity
+    suite verifies at gate scale."""
     return {
         "range_join_pairs": _xq_range_join_pairs,
         "range_join_minoverlap": _xq_range_join_minoverlap,
         "range_join_maxgap": _xq_range_join_maxgap,
         "range_join_semi": _xq_range_join_semi,
+        "pileup_indels": _xq_pileup_indels,
     }
 
 

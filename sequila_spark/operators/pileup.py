@@ -416,6 +416,7 @@ def pileup(
     min_mapq: int = 0,
     use_cigar: bool | None = None,
     strand_case: bool = False,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Per-position pileup rows (pos_start == pos_end == pos), matching the
     pileup TVF's 4 overloads: coverage-only, +alts, +quals, +binSize.
@@ -430,13 +431,27 @@ def pileup(
     attribute bases to the correct reference positions.  ``strand_case``
     renders mismatch bases from reverse-strand reads lowercase
     (samtools-comparison mode); ref-match counting is always case-folded.
+
+    ``strategy`` pins the physical plan: ``"sparse"`` (mismatch-filtered,
+    needs an expression-computable ref and quals=False), ``"dense"``
+    (explode every base), or ``"auto"`` (sparse when eligible).  The two
+    plans produce identical rows; the sweep's crosscheck uses the dense
+    plan as an independent execution at scale factors where the DuckDB
+    oracle cannot evaluate the per-base expansion single-node.
     """
     from sequila_spark.operators.coverage import filter_reads
 
+    if strategy not in ("auto", "sparse", "dense"):
+        raise ValueError(f"unknown pileup strategy: {strategy!r}")
     if flag_mask or min_mapq:
         reads = filter_reads(reads, flag_mask=flag_mask, min_mapq=min_mapq)
 
-    if not quals and callable(ref) and not isinstance(ref, DataFrame):
+    sparse_ok = not quals and callable(ref) and not isinstance(ref, DataFrame)
+    if strategy == "sparse" and not sparse_ok:
+        raise ValueError(
+            "strategy='sparse' needs an expression-computable ref and quals=False"
+        )
+    if sparse_ok and strategy in ("auto", "sparse"):
         return _pileup_sparse(reads, ref, alts, use_cigar=use_cigar, strand_case=strand_case)
 
     per_base = expand_bases(
