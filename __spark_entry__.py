@@ -880,6 +880,37 @@ def _xq_pileup_indels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _xq_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive all-shared-shingles formulation (the oracle's own plan,
+    distributed): no prefix filter, no candidate restriction — every shared
+    shingle flows through the self-join.  Structurally independent of the
+    primary's asymmetric-PPJoin + positional-filter execution."""
+    from sequila_spark.operators.dedup import doc_shingles
+
+    sh = doc_shingles(_docs(spark, sf_dir))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("id_1"), "sh")
+    b = sh.select(F.col("doc_id").alias("id_2"), "sh")
+    shared = (
+        a.join(b, "sh")
+        .where(F.col("id_1") < F.col("id_2"))
+        .groupBy("id_1", "id_2")
+        .agg(F.count("*").alias("c"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("id_1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("id_2"), F.col("n").alias("n2"))
+    return (
+        shared.join(s1, "id_1")
+        .join(s2, "id_2")
+        .withColumn(
+            "jaccard",
+            F.col("c").cast("double") / (F.col("n1") + F.col("n2") - F.col("c")),
+        )
+        .where(F.col("jaccard") >= 0.8)
+        .select("id_1", "id_2", "jaccard")
+    )
+
+
 def _xq_range_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     reads = TD.reads(spark, sf_dir)
     targets = TD.targets(spark, sf_dir)
@@ -915,6 +946,7 @@ def crosscheck_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_maxgap": _xq_range_join_maxgap,
         "range_join_semi": _xq_range_join_semi,
         "pileup_indels": _xq_pileup_indels,
+        "dedup_ngram_jaccard": _xq_dedup_ngram_jaccard,
     }
 
 
