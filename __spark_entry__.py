@@ -911,6 +911,19 @@ def _xq_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _xq_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-verify execution: per-doc shingle sets attach to the candidate
+    list via broadcast-hash joins and the exact intersection runs in an
+    Arrow-batched pandas UDF — a different code path end-to-end from the
+    primary's replicated-broadcast mapInPandas verify.  (Candidates are
+    semantically pinned by the fixed MinHash permutations, so candidate
+    generation is shared; what diverges is the whole verification
+    execution.)"""
+    from sequila_spark.operators.dedup import minhash_dedup_pairs
+
+    return minhash_dedup_pairs(_docs(spark, sf_dir), threshold=0.8, verify="join")
+
+
 def _xq_range_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     reads = TD.reads(spark, sf_dir)
     targets = TD.targets(spark, sf_dir)
@@ -947,6 +960,7 @@ def crosscheck_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_semi": _xq_range_join_semi,
         "pileup_indels": _xq_pileup_indels,
         "dedup_ngram_jaccard": _xq_dedup_ngram_jaccard,
+        "dedup_minhash_pairs": _xq_dedup_minhash_pairs,
     }
 
 

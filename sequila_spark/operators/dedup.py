@@ -269,15 +269,24 @@ def minhash_dedup_pairs(
     threshold: float,
     id_col: str = "doc_id",
     text_col: str = "text",
+    verify: str = "auto",
 ) -> DataFrame:
     """MinHash+LSH candidates, verified with exact Jaccard on the candidate
     set only.  Output (id_1, id_2, jaccard) — a (probabilistic-recall,
-    exact-precision) near-dup pair list."""
+    exact-precision) near-dup pair list.
+
+    ``verify`` pins the verification execution: ``"broadcast"`` (replicated
+    per-doc set table + mapInPandas), ``"join"`` (broadcast-hash joins +
+    Arrow-batched pandas UDF — the path that scales when the corpus
+    outgrows one broadcast), or ``"auto"`` (broadcast within the byte
+    budget).  Both produce identical rows; the sweep's crosscheck runs one
+    against the other at scale factors where the DuckDB oracle cannot walk
+    the shared-shingle pair space single-node."""
     sh = doc_shingles(df, id_col, text_col).persist()
     cands = lsh_candidate_pairs(
         minhash_signatures(df, id_col, text_col, _shingles=sh), id_col
     )
-    return _verify_jaccard(sh, cands, threshold, id_col)
+    return _verify_jaccard(sh, cands, threshold, id_col, mode=verify)
 
 
 def _intersect_size_batch():
@@ -330,7 +339,8 @@ _VERIFY_BCASTS: list = []
 
 
 def _verify_jaccard(
-    sh: DataFrame, cands: DataFrame, threshold: float, id_col: str
+    sh: DataFrame, cands: DataFrame, threshold: float, id_col: str,
+    mode: str = "auto",
 ) -> DataFrame:
     """Exact-Jaccard verification of candidate pairs.
 
@@ -347,8 +357,12 @@ def _verify_jaccard(
     attach via broadcast-hash joins and the merge runs in an Arrow-
     batched pandas UDF — the formulation that scales with executors when
     the corpus itself outgrows one broadcast."""
-    n_sh = sh.count()  # callers persist sh, so this reuses the cache
-    if n_sh <= _verify_bcast_row_budget():
+    if mode not in ("auto", "broadcast", "join"):
+        raise ValueError(f"unknown verify mode: {mode!r}")
+    if mode == "auto":
+        n_sh = sh.count()  # callers persist sh, so this reuses the cache
+        mode = "broadcast" if n_sh <= _verify_bcast_row_budget() else "join"
+    if mode == "broadcast":
         # Arrow collect (toPandas): array<long> cells arrive as numpy
         # arrays, never boxed Python ints — the Row-based collect held
         # tens of bytes per shingle transiently at the cap
