@@ -99,11 +99,17 @@ _NULLTOK = "\x02NULL"
 _SUM_P = 1_000_000_007
 
 
-def _spark_hash_agg(sdf) -> tuple | None:
+def _spark_hash_agg(sdf, same_engine: bool = False) -> tuple | None:
     """(count, bit_xor, sum mod p) over per-row md5 of the name-sorted,
     canonicalized columns — one distributed agg, no driver materialization.
-    None when a column type's string rendering is engine-ambiguous."""
-    if any(
+    None when a column type's string rendering is engine-ambiguous.
+
+    ``same_engine`` lifts the type restriction: for the Spark-vs-Spark
+    plan crosscheck both sides render through the identical CAST, so any
+    type is faithful as long as its VALUES are deterministic (the dedup
+    jaccard doubles are exact-integer ratios — one IEEE division — so
+    both plans produce bit-identical doubles)."""
+    if not same_engine and any(
         f.dataType.simpleString() not in _DIST_HASHABLE for f in sdf.schema.fields
     ):
         return None
@@ -133,10 +139,10 @@ def spark_crosscheck(sdf, adf) -> dict:
     large for DuckDB to materialize single-node — the point at which the
     oracle engine, not this engine, is the scaling bottleneck."""
     t0 = time.time()
-    primary = _spark_hash_agg(sdf)
+    primary = _spark_hash_agg(sdf, same_engine=True)
     t_primary = round(time.time() - t0, 1)
     t0 = time.time()
-    alt = _spark_hash_agg(adf)
+    alt = _spark_hash_agg(adf, same_engine=True)
     t_alt = round(time.time() - t0, 1)
     if primary is None or alt is None:
         return {
