@@ -881,18 +881,29 @@ def _xq_pileup_indels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _xq_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Naive all-shared-shingles formulation (the oracle's own plan,
+    """Naive all-shared-shingles formulation (the oracle's own semantics,
     distributed): no prefix filter, no candidate restriction — every shared
-    shingle flows through the self-join.  Structurally independent of the
-    primary's asymmetric-PPJoin + positional-filter execution."""
+    shingle contributes to every pair count.  Structurally independent of
+    the primary's asymmetric-PPJoin + positional-filter execution.
+
+    Shuffle-bounded shape: a raw self-join would shuffle the full pair
+    stream (measured: filled the disk at sf1).  Instead shingles group
+    first (singleton shingles — the vast majority — prune before any pair
+    exists), pairs generate post-shuffle from each shingle's doc list, and
+    the partial aggregate collapses repeats before the only pair-keyed
+    shuffle, which carries distinct shared pairs once each."""
     from sequila_spark.operators.dedup import doc_shingles
 
     sh = doc_shingles(_docs(spark, sf_dir))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.select(F.col("doc_id").alias("id_1"), "sh")
-    b = sh.select(F.col("doc_id").alias("id_2"), "sh")
+    grp = (
+        sh.groupBy("sh")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .where(F.size("ids") > 1)
+    )
     shared = (
-        a.join(b, "sh")
+        grp.select(F.explode("ids").alias("id_1"), F.col("ids"))
+        .select("id_1", F.explode("ids").alias("id_2"))
         .where(F.col("id_1") < F.col("id_2"))
         .groupBy("id_1", "id_2")
         .agg(F.count("*").alias("c"))
