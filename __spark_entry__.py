@@ -886,39 +886,21 @@ def _xq_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle contributes to every pair count.  Structurally independent of
     the primary's asymmetric-PPJoin + positional-filter execution.
 
-    Shuffle-bounded shape: a raw self-join would shuffle the full pair
-    stream (measured: filled the disk at sf1).  Instead shingles group
-    first (singleton shingles — the vast majority — prune before any pair
-    exists), pairs generate post-shuffle from each shingle's doc list, and
-    the partial aggregate collapses repeats before the only pair-keyed
-    shuffle, which carries distinct shared pairs once each."""
-    from sequila_spark.operators.dedup import doc_shingles
+    Feasibility note, measured at sf1: the naive all-shared-shingles
+    formulation is not materializable on one machine — DuckDB exhausted a
+    60 GB spill budget, and two Spark shapes of it (raw self-join; group-
+    by-shingle with pre-shuffle partial agg) each filled an 80 GB disk,
+    because the distinct shared-pair space itself is the blowup.  So the
+    independent execution stays in the PPJoin family but flips every
+    data-dependent decision: the prefixes are taken under the REVERSED
+    frequency-tie order (lossless for any total order — Xiao et al. 2008),
+    relocating each equal-frequency prefix boundary and positional-filter
+    rank, and verification runs the join path instead of the primary's
+    replicated broadcast."""
+    from sequila_spark.operators.dedup import ngram_jaccard_pairs
 
-    sh = doc_shingles(_docs(spark, sf_dir))
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    grp = (
-        sh.groupBy("sh")
-        .agg(F.collect_list("doc_id").alias("ids"))
-        .where(F.size("ids") > 1)
-    )
-    shared = (
-        grp.select(F.explode("ids").alias("id_1"), F.col("ids"))
-        .select("id_1", F.explode("ids").alias("id_2"))
-        .where(F.col("id_1") < F.col("id_2"))
-        .groupBy("id_1", "id_2")
-        .agg(F.count("*").alias("c"))
-    )
-    s1 = sizes.select(F.col("doc_id").alias("id_1"), F.col("n").alias("n1"))
-    s2 = sizes.select(F.col("doc_id").alias("id_2"), F.col("n").alias("n2"))
-    return (
-        shared.join(s1, "id_1")
-        .join(s2, "id_2")
-        .withColumn(
-            "jaccard",
-            F.col("c").cast("double") / (F.col("n1") + F.col("n2") - F.col("c")),
-        )
-        .where(F.col("jaccard") >= 0.8)
-        .select("id_1", "id_2", "jaccard")
+    return ngram_jaccard_pairs(
+        _docs(spark, sf_dir), threshold=0.8, order="rarity_rev", verify="join"
     )
 
 

@@ -121,6 +121,8 @@ def ngram_jaccard_pairs(
     threshold: float,
     id_col: str = "doc_id",
     text_col: str = "text",
+    order: str = "rarity",
+    verify: str = "auto",
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs with **prefix filtering**
     (AllPairs/PPJoin family): two sets with Jaccard >= t must share at least
@@ -129,16 +131,28 @@ def ngram_jaccard_pairs(
     join.  Candidates are then verified with exact |A∩B| via a full shingle
     join restricted to candidate pairs.  EXACT results (the filter is
     lossless); the DuckDB oracle computes the naive formulation and must
-    match.  Returns (id_1, id_2, jaccard) with id_1 < id_2."""
+    match.  Returns (id_1, id_2, jaccard) with id_1 < id_2.
+
+    ``order`` picks the shared global shingle order the prefixes are taken
+    under — the PPJoin theorems hold for ANY total order, rarity-first just
+    minimizes candidates.  ``"rarity"`` breaks frequency ties ascending;
+    ``"rarity_rev"`` descending, which relocates every equal-frequency
+    prefix boundary and positional-filter rank while provably preserving
+    the result — the sweep's crosscheck pairs it with ``verify='join'``
+    (see minhash_dedup_pairs) for an independent execution at scale
+    factors where the naive formulation cannot materialize."""
+    if order not in ("rarity", "rarity_rev"):
+        raise ValueError(f"unknown prefix order: {order!r}")
     sh = doc_shingles(df, id_col, text_col).persist()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
 
     # global rarity order: (frequency, shingle) — deterministic
     freq = sh.groupBy("sh").agg(F.count("*").alias("f"))
+    tie = F.col("sh") if order == "rarity" else F.col("sh").desc()
     ranked = sh.join(freq, "sh").withColumn(
         "rk",
         F.row_number().over(
-            Window.partitionBy(id_col).orderBy("f", "sh")
+            Window.partitionBy(id_col).orderBy(F.col("f"), tie)
         ),
     )
     ranked = ranked.join(sizes, id_col)
@@ -217,7 +231,7 @@ def ngram_jaccard_pairs(
         )
     )
 
-    return _verify_jaccard(sh, cands, threshold, id_col)
+    return _verify_jaccard(sh, cands, threshold, id_col, mode=verify)
 
 
 def minhash_signatures(
