@@ -363,7 +363,13 @@ def _q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sequila_spark.operators.dedup import minhash_dedup_pairs
 
-    return minhash_dedup_pairs(_docs(spark, sf_dir), threshold=0.8)
+    # verify is PINNED to 'broadcast' (not 'auto') so the sweep's
+    # crosscheck — which runs verify='join' — always exercises a genuinely
+    # different execution; under 'auto' a corpus past the byte budget would
+    # silently resolve to 'join' and make the crosscheck vacuous.
+    return minhash_dedup_pairs(
+        _docs(spark, sf_dir), threshold=0.8, verify="broadcast"
+    )
 
 
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 
 import duckdb
 
@@ -22,7 +23,17 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     # DuckDB assumes it owns the whole machine (default limit is 80% of
     # RAM) and a per-base-expansion oracle at sf1 OOM-kills the process
     # (observed: 122 GB anon-rss).  Cap it and let it spill to disk.
-    con.execute("SET memory_limit='24GB'")
+    # The cap itself adapts to the host (min of 24GB and ~60% of physical
+    # RAM) so a smaller machine is not pushed past its real memory;
+    # SPARK_GRAFT_DUCK_MEM overrides for harness experiments.
+    cap_gb = os.environ.get("SPARK_GRAFT_DUCK_MEM")
+    if cap_gb is None:
+        try:
+            page = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+            cap_gb = str(min(24, max(1, int(page * 0.6 / 2**30))))
+        except (ValueError, OSError):
+            cap_gb = "24"
+    con.execute(f"SET memory_limit='{cap_gb}GB'")
     con.execute("SET temp_directory='/tmp/duck_spill'")
     con.execute("SET max_temp_directory_size='60GB'")
     for name in TABLES:

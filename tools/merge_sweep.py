@@ -22,12 +22,14 @@ def main() -> None:
         with open(p) as f:
             d = json.load(f)
         queries.update(d.get("queries", d))
-    n_pass = sum(
-        1
-        for v in queries.values()
-        if v.get("rows_match") and v.get("schema_match") is not False
-        and v.get("hash_match") is not False
-    )
+    def _passes(v: dict) -> bool:
+        return bool(
+            v.get("rows_match")
+            and v.get("schema_match") is not False
+            and v.get("hash_match") is not False
+        )
+
+    n_pass = sum(1 for v in queries.values() if _passes(v))
     artifact = {
         "summary": {"sf_dir": sf_dir, "pass": n_pass, "total": len(queries)},
         "queries": queries,
@@ -36,7 +38,7 @@ def main() -> None:
         json.dump(artifact, f, indent=1)
     print(f"{out_path}: {n_pass}/{len(queries)} pass")
     for name, v in queries.items():
-        if not (v.get("rows_match") and v.get("hash_match")):
+        if not _passes(v):
             print("  FAIL:", name, str(v.get("err"))[:120])
 
 
