@@ -6,6 +6,16 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is materialized with the noop writer (full execution, no driver
 collect).  Wall time excludes session startup; a warmup query primes the JVM.
+
+Variance protocol (round 7): a single JVM session's numbers carry
+session-level state — JIT/OSR luck, code-cache layout, page cache, host
+thermal — measured at up to ±20% on the TOTAL (r5 spread 30.2-41.2 s for an
+identical build; the r6 artifact shipped a +20% swing undiagnosed).  The
+harness therefore runs SPARK_GRAFT_BENCH_SESSIONS (default 3) fresh JVM
+sessions sequentially, each itself taking min-of-converged-runs per query,
+and reports the per-query MEDIAN across sessions.  The JSON carries every
+session's per-query numbers plus the session-total spread, so a swing is
+visible in the artifact instead of silently becoming the round's number.
 """
 
 from __future__ import annotations
@@ -50,7 +60,7 @@ BENCH_QUERIES = [
 ]
 
 
-def main() -> None:
+def run_session() -> None:
     from pyspark.sql import SparkSession
 
     spark = (
@@ -178,6 +188,110 @@ def main() -> None:
         )
     )
     spark.stop()
+
+
+def _cpu_calibration() -> dict:
+    """Spark-independent single-core throughput probe, recorded alongside
+    the bench numbers: round-over-round TOTAL drift that tracks these
+    numbers is HOST drift (sandbox placement, noisy neighbors, thermal),
+    not plan regressions.  Measured r5->r7: every query including the
+    pure-Python CRAM decode moved by the same ~1.1-1.35x factor."""
+    import hashlib
+    import time as _t
+
+    import numpy as np
+
+    t0 = _t.perf_counter()
+    h = hashlib.md5()
+    blk = bytes(range(256)) * 4096  # 1 MiB
+    for _ in range(256):
+        h.update(blk)
+    md5_s = _t.perf_counter() - t0
+
+    rng = np.random.default_rng(7)
+    a = rng.random((1536, 1536))
+    _ = a @ a  # BLAS thread-pool warmup, outside the timed region
+    t0 = _t.perf_counter()
+    for _ in range(6):
+        a = a @ a
+        a /= np.abs(a).max()
+    blas_s = _t.perf_counter() - t0
+    return {"md5_256mb": round(md5_s, 3), "matmul_1536_x6": round(blas_s, 3)}
+
+
+def main() -> None:
+    """Orchestrate N fresh JVM sessions (subprocesses of this script) and
+    print the median-of-sessions aggregate as the ONE bench JSON line."""
+    import statistics
+    import subprocess
+
+    sessions = int(os.environ.get("SPARK_GRAFT_BENCH_SESSIONS", "3"))
+    if sessions <= 1 or os.environ.get("SPARK_GRAFT_BENCH_CHILD") == "1":
+        run_session()
+        return
+
+    calib = _cpu_calibration()
+    per_session: list[dict] = []
+    env = dict(os.environ, SPARK_GRAFT_BENCH_CHILD="1")
+    for i in range(sessions):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+        )
+        line = None
+        for out_line in reversed(proc.stdout.strip().splitlines()):
+            if out_line.startswith("{"):
+                line = out_line
+                break
+        if line is None:
+            print(
+                f"session {i} produced no JSON (rc={proc.returncode}):\n"
+                + proc.stderr[-2000:],
+                file=sys.stderr,
+            )
+            continue
+        per_session.append(json.loads(line))
+        print(
+            f"# session {i}: total {per_session[-1]['value']} s",
+            file=sys.stderr,
+        )
+        # aggregate-so-far after EVERY session: the last stdout JSON line
+        # is always a valid artifact even if the harness is cut off
+        names = [
+            n
+            for n in per_session[0]["queries"]
+            if all(n in s["queries"] for s in per_session)
+        ]
+        med = {
+            n: round(statistics.median(s["queries"][n] for s in per_session), 3)
+            for n in names
+        }
+        totals = [round(sum(s["queries"][n] for n in names), 3) for s in per_session]
+        print(
+            json.dumps(
+                {
+                    "metric": "headline_queries_total_runtime",
+                    "value": round(sum(med.values()), 3),
+                    "unit": "sec",
+                    "queries": med,
+                    "sessions": len(per_session),
+                    "session_totals": totals,
+                    "session_queries": [s["queries"] for s in per_session],
+                    "spread_pct": round(
+                        100.0 * (max(totals) - min(totals)) / min(totals), 1
+                    ),
+                    "agg": "median_of_sessions__min_of_converged_runs",
+                    "cpu_calib_sec": calib,
+                    "sf": per_session[0]["sf"],
+                }
+            ),
+            flush=True,
+        )
+
+    if not per_session:
+        raise SystemExit("all bench sessions failed")
 
 
 if __name__ == "__main__":

@@ -312,6 +312,7 @@ def expand_bases(
     with_quals: bool = False,
     use_cigar: bool | None = None,
     strand_case: bool = False,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Explode alignment rows into per-base rows (contig, pos, base [, qual]).
 
@@ -320,6 +321,9 @@ def expand_bases(
     soft-clipped and inserted bases are skipped, deletions/splices jump the
     reference coordinate.  Without it, seq is assumed to align 1:1 from
     pos_start (gapless).  Native expressions only; qual is phred+33.
+
+    ``carry`` names extra read-level columns copied onto every per-base row
+    (used by mate-overlap adjustment, which needs read identity).
     """
     if use_cigar is None:
         use_cigar = S.CIGAR in reads.columns
@@ -331,7 +335,9 @@ def expand_bases(
 
     if use_cigar:
         blocks = _cigar_query_blocks(F.col(S.CIGAR), F.col(S.START))
-        keep = [S.CONTIG] + ([S.FLAG] if strand_case and S.FLAG in reads.columns else [])
+        keep = [S.CONTIG] + (
+            [S.FLAG] if strand_case and S.FLAG in reads.columns else []
+        ) + list(carry)
         blk = reads.select(
             *keep,
             F.col(S.SEQUENCE).alias("__seq"),
@@ -371,6 +377,7 @@ def expand_bases(
                 (F.col("__s") + F.col("__i")).cast("int").alias("pos"),
                 base(F.col("__bq.b")).alias("base"),
                 (F.ascii(F.col("__bq.q")) - 33).cast("int").alias("qual"),
+                *[F.col(c) for c in carry],
             )
         out = blk.select(
             *keep,
@@ -381,11 +388,12 @@ def expand_bases(
             F.col(S.CONTIG),
             (F.col("__s") + F.col("__i")).cast("int").alias("pos"),
             base(F.col("__b")).alias("base"),
+            *[F.col(c) for c in carry],
         )
 
     keep = [S.CONTIG, S.START] + (
         [S.FLAG] if strand_case and S.FLAG in reads.columns else []
-    )
+    ) + list(carry)
     if with_quals:
         qual_chars = F.slice(F.split(F.col(S.BASEQ), "(?!^)"), 1, F.length(S.BASEQ))
         zipped = F.arrays_zip(seq_chars.alias("b"), qual_chars.alias("q"))
@@ -395,13 +403,83 @@ def expand_bases(
             (F.col(S.START) + F.col("__i")).cast("int").alias("pos"),
             base(F.col("__bq.b")).alias("base"),
             (F.ascii(F.col("__bq.q")) - 33).cast("int").alias("qual"),
+            *[F.col(c) for c in carry],
         )
     out = reads.select(*keep, F.posexplode(seq_chars).alias("__i", "__b"))
     return out.select(
         F.col(S.CONTIG),
         (F.col(S.START) + F.col("__i")).cast("int").alias("pos"),
         base(F.col("__b")).alias("base"),
+        *[F.col(c) for c in carry],
     )
+
+
+def _mate_overlap_adjust(per_base: DataFrame) -> DataFrame:
+    """samtools-default mate-overlap handling — the behavior of htslib's
+    ``tweak_overlap_quality`` (sam.c), reimplemented as native expressions:
+    where both mates of a pair have an aligned base at the same reference
+    position, the first-encountered mate 'a' (earlier start; file order on
+    ties — the stream order the single-node pileup engine sees) absorbs the
+    evidence:
+
+      bases agree    -> qual_a = min(qual_a + qual_b, 200); qual_b = 0
+      bases disagree -> higher-qual base keeps int(0.8 * qual), other 0
+                        (tie: 'a' keeps)
+
+    Only QUAL values change — base identity, coverage and alt counts are
+    untouched, exactly like samtools mpileup without ``-x``.  Rows group by
+    (contig, pos, mate key); groups are read pairs, so the collected array
+    is 2 elements (the rare >2 same-name case pairs consecutively by
+    arrival).  Cost: one extra shuffle of the paired-read bases keyed by
+    position+qname — opt-in, and never touches the sparse path.
+
+    ``per_base`` needs carry columns ``__mk`` (qname when overlap-eligible,
+    else null), ``__ps`` (read start) and ``__ov`` (arrival tie-break).
+    """
+    elig = per_base.filter(F.col("__mk").isNotNull())
+    rest = per_base.filter(F.col("__mk").isNull()).drop("__mk", "__ps", "__ov")
+
+    g = elig.groupBy(S.CONTIG, "pos", "__mk").agg(
+        F.array_sort(
+            F.collect_list(F.struct("__ps", "__ov", "base", "qual"))
+        ).alias("rs")
+    )
+    rs = F.col("rs")
+
+    def adj(r, i):
+        j = i + 1 - 2 * (i % 2)  # partner = other element of my pair
+        p = F.get(rs, j)  # null (not ANSI error) when no partner
+        me_first = (i % 2) == 0
+        qa = F.when(me_first, r["qual"]).otherwise(p["qual"])
+        qb = F.when(me_first, p["qual"]).otherwise(r["qual"])
+        match = F.upper(r["base"]) == F.upper(p["base"])
+        newq = F.when(
+            match,
+            F.when(me_first, F.least(qa + qb, F.lit(200))).otherwise(F.lit(0)),
+        ).otherwise(
+            F.when(
+                qa >= qb,
+                F.when(me_first, (qa * 0.8).cast("int")).otherwise(F.lit(0)),
+            ).otherwise(
+                F.when(me_first, F.lit(0)).otherwise((qb * 0.8).cast("int"))
+            )
+        )
+        return F.struct(
+            r["base"].alias("base"),
+            F.when(p.isNull(), r["qual"]).otherwise(newq).cast("int").alias("qual"),
+        )
+
+    adjusted = g.select(
+        F.col(S.CONTIG),
+        F.col("pos"),
+        F.explode(F.transform(rs, adj)).alias("__bq"),
+    ).select(
+        S.CONTIG,
+        "pos",
+        F.col("__bq.base").alias("base"),
+        F.col("__bq.qual").alias("qual"),
+    )
+    return adjusted.unionByName(rest)
 
 
 def pileup(
@@ -417,6 +495,7 @@ def pileup(
     use_cigar: bool | None = None,
     strand_case: bool = False,
     strategy: str = "auto",
+    mate_overlap: bool = False,
 ) -> DataFrame:
     """Per-position pileup rows (pos_start == pos_end == pos), matching the
     pileup TVF's 4 overloads: coverage-only, +alts, +quals, +binSize.
@@ -438,6 +517,15 @@ def pileup(
     plans produce identical rows; the sweep's crosscheck uses the dense
     plan as an independent execution at scale factors where the DuckDB
     oracle cannot evaluate the per-base expansion single-node.
+
+    ``mate_overlap=True`` applies samtools' DEFAULT overlap handling (the
+    reference engine and the existing golden match ``mpileup -x``, which
+    disables it): overlapping mate bases have their qualities combined/
+    zeroed per htslib ``tweak_overlap_quality`` — see _mate_overlap_adjust.
+    Requires ``quals=True`` (only qualities are affected) and the qname/
+    flag/rnext columns; if reads carry a ``__ord`` file-order column
+    (read_bam_native(with_ordinal=True)), same-start ties break exactly as
+    htslib's stream order does.
     """
     from sequila_spark.operators.coverage import filter_reads
 
@@ -454,9 +542,47 @@ def pileup(
     if sparse_ok and strategy in ("auto", "sparse"):
         return _pileup_sparse(reads, ref, alts, use_cigar=use_cigar, strand_case=strand_case)
 
+    carry: tuple[str, ...] = ()
+    if mate_overlap:
+        if not quals:
+            raise ValueError(
+                "mate_overlap only affects base qualities — enable quals=True"
+            )
+        needed = [S.QNAME, S.FLAG, S.RNEXT]
+        missing = [c for c in needed if c not in reads.columns]
+        if missing:
+            raise ValueError(f"mate_overlap needs read columns {missing}")
+        from sequila_spark.functions.intervals import clean_contig
+
+        paired = (F.col(S.FLAG).bitwiseAND(1) != 0) & (
+            F.col(S.FLAG).bitwiseAND(8) == 0
+        )
+        same_ctg = (F.col(S.RNEXT) == "=") | (
+            clean_contig(F.col(S.RNEXT)) == F.col(S.CONTIG)
+        )
+        arrival = (
+            F.col("__ord").cast("long")
+            if "__ord" in reads.columns
+            # no file order available: first-in-pair first — deterministic,
+            # and only observable for same-start overlapping mates
+            else F.when(F.col(S.FLAG).bitwiseAND(64) != 0, 0).otherwise(1).cast("long")
+        )
+        reads = (
+            reads.withColumn("__mk", F.when(paired & same_ctg, F.col(S.QNAME)))
+            .withColumn("__ps", F.col(S.START).cast("int"))
+            .withColumn("__ov", arrival)
+        )
+        carry = ("__mk", "__ps", "__ov")
+
     per_base = expand_bases(
-        reads, with_quals=quals, use_cigar=use_cigar, strand_case=strand_case
+        reads,
+        with_quals=quals,
+        use_cigar=use_cigar,
+        strand_case=strand_case,
+        carry=carry,
     )
+    if mate_overlap:
+        per_base = _mate_overlap_adjust(per_base)
 
     group1 = [S.CONTIG, "pos", "base"]
     if quals:

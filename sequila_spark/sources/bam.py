@@ -287,6 +287,7 @@ def read_bam_native(
     chunk: int = 10_000_000,
     with_tags: bool = True,
     typed_tags: bool = False,
+    with_ordinal: bool = False,
 ) -> DataFrame:
     """Decode BAM with the pure-Python BGZF/BAM/BAI codec (sources/bamcodec
     — no pysam/htslib needed), partitioned by genomic chunk: the driver
@@ -306,7 +307,15 @@ def read_bam_native(
     (AlignmentRelation.scala:311-324).
 
     ``typed_tags=True`` appends the reference's 52 typed ``tag_*`` columns
-    (lazy projection — see with_typed_tags)."""
+    (lazy projection — see with_typed_tags).
+
+    ``with_ordinal=True`` appends ``__ord`` (long) — the record's file
+    order encoded as ``span_index << 32 | index_within_span``.  Spans are
+    planned in file/coordinate order, so for a coordinate-sorted BAM
+    ordering by ``(pos_start, __ord)`` reproduces the exact record stream
+    order htslib's pileup engine sees (reads at the same start live in the
+    same owner-by-start span, where ``__ord`` is byte-exact file order) —
+    the tie-break mate-overlap detection needs."""
     import glob as _glob
 
     from sequila_spark.sources import bamcodec as B
@@ -351,7 +360,7 @@ def read_bam_native(
             spans.append((p, sample, None))
 
     def gen(task):
-        p, sample, span = task
+        span_idx, (p, sample, span) = task
         refs = refs_by_path[p]
         with open(p, "rb") as fh:
             if span is None:
@@ -374,15 +383,23 @@ def read_bam_native(
                 it = B.parse_records(
                     st, refs, ref_id=rid, start0=s0, end0=e0, with_tags=with_tags
                 )
-            for rec in it:
-                yield (sample, *rec)
+            if with_ordinal:
+                base_ord = span_idx << 32
+                for i, rec in enumerate(it):
+                    yield (sample, *rec, base_ord | i)
+            else:
+                for rec in it:
+                    yield (sample, *rec)
 
-    rdd = spark.sparkContext.parallelize(spans, max(len(spans), 1)).flatMap(gen)
+    rdd = spark.sparkContext.parallelize(
+        list(enumerate(spans)), max(len(spans), 1)
+    ).flatMap(gen)
     df = rdd.toDF(
         f"{S.SAMPLE} string, {S.QNAME} string, {S.FLAG} int, {S.CONTIG} string, "
         f"{S.START} int, {S.END} int, {S.MAPQ} int, {S.CIGAR} string, "
         f"{S.RNEXT} string, {S.PNEXT} int, {S.TLEN} int, {S.SEQUENCE} string, "
         f"{S.BASEQ} string, tags map<string,string>"
+        + (", __ord long" if with_ordinal else "")
     )
     df = df.withColumn(S.CONTIG, clean_contig(F.col(S.CONTIG)))
     return with_typed_tags(df) if typed_tags else df

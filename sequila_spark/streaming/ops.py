@@ -236,11 +236,14 @@ def _py_shingle_set(text):
     return np.unique(acc)
 
 
-def _band_rows(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(band, bkey, doc_id, shset) — one row per (doc, band), the shingle
-    set carried alongside so the bucket operator can verify candidates
-    in-stream.  Map-only (no shuffle): signatures are computed per row
-    with the same fixed permutations as the batch operator."""
+def _band_rows(
+    docs: DataFrame, id_col: str, text_col: str, ts_col: str | None = None
+) -> DataFrame:
+    """(band, bkey, doc_id, shset[, ts]) — one row per (doc, band), the
+    shingle set carried alongside so the bucket operator can verify
+    candidates in-stream.  Map-only (no shuffle): signatures are computed
+    per row with the same fixed permutations as the batch operator.
+    ``ts_col`` carries the event-time column through (event-time TTL)."""
     import numpy as np
     import pandas as pd
 
@@ -258,7 +261,10 @@ def _band_rows(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     def gen(batches):
         for pdf in batches:
             out = {"band": [], "bkey": [], "doc_id": [], "shset": []}
-            for did, text in zip(pdf[id_col], pdf[text_col]):
+            if ts_col is not None:
+                out["ts"] = []
+            tss = pdf[ts_col] if ts_col is not None else pdf[id_col]
+            for did, text, ts in zip(pdf[id_col], pdf[text_col], tss):
                 if text is None:
                     continue  # null text never joins (batch parity)
                 sh = _py_shingle_set(text)
@@ -281,17 +287,19 @@ def _band_rows(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
                     out["bkey"].append(key)
                     out["doc_id"].append(int(did))
                     out["shset"].append(sh)
+                    if ts_col is not None:
+                        out["ts"].append(ts)
             yield pd.DataFrame(out)
 
-    schema = T.StructType(
-        [
-            T.StructField("band", T.IntegerType()),
-            T.StructField("bkey", T.StringType()),
-            T.StructField("doc_id", T.LongType()),
-            T.StructField("shset", T.ArrayType(T.LongType())),
-        ]
-    )
-    return docs.mapInPandas(gen, schema=schema)
+    fields = [
+        T.StructField("band", T.IntegerType()),
+        T.StructField("bkey", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("shset", T.ArrayType(T.LongType())),
+    ]
+    if ts_col is not None:
+        fields.append(T.StructField("ts", T.TimestampType()))
+    return docs.mapInPandas(gen, schema=T.StructType(fields))
 
 
 def stream_lsh_neardup(
@@ -300,6 +308,9 @@ def stream_lsh_neardup(
     id_col: str = "doc_id",
     text_col: str = "text",
     state_ttl_ms: int | None = None,
+    ttl_mode: str = "processing",
+    ts_col: str = "ts",
+    watermark: str | None = None,
 ) -> DataFrame:
     """Streaming near-duplicate detection: MinHash band buckets keyed by
     (band, bkey), per-bucket state = the anchor (smallest doc_id seen) and
@@ -325,6 +336,18 @@ def stream_lsh_neardup(
     across micro-batches can only anchor a bucket at a larger id — pairs
     remain valid near-dups against that anchor.
 
+    ``ttl_mode='event'`` keys the TTL to EVENT time instead of the wall
+    clock: state expires when the stream's watermark passes (bucket's last
+    event time + TTL).  That is what a replayed or backfilled stream needs
+    — a week-long replay finishing in minutes would expire nothing under
+    ProcessingTimeTimeout, and a paused stream would expire everything.
+    Requires ``ts_col`` (event-time column on ``docs``) and ``watermark``
+    (delay string, e.g. '10 seconds'); the watermark is applied here, after
+    the band explode, because mapInPandas does not propagate event-time
+    metadata.  The timeout timestamp is clamped above the current watermark
+    (late-but-admitted rows could otherwise set an already-expired timeout,
+    which Spark rejects).
+
     On a BATCH DataFrame this returns the equivalent batch formulation
     (bucket-anchor candidates verified with exact Jaccard), so tests pin
     stream == batch.
@@ -332,7 +355,19 @@ def stream_lsh_neardup(
     import numpy as np
     import pandas as pd
 
-    tagged = _band_rows(docs, id_col, text_col)
+    if ttl_mode not in ("processing", "event"):
+        raise ValueError(f"unknown ttl_mode: {ttl_mode!r}")
+    event_ttl = ttl_mode == "event" and state_ttl_ms is not None and docs.isStreaming
+    if event_ttl:
+        if watermark is None:
+            raise ValueError("ttl_mode='event' needs a watermark delay string")
+        if ts_col not in docs.columns:
+            raise ValueError(f"ttl_mode='event' needs event-time column {ts_col!r}")
+        tagged = _band_rows(docs, id_col, text_col, ts_col=ts_col).withWatermark(
+            "ts", watermark
+        )
+    else:
+        tagged = _band_rows(docs, id_col, text_col)
 
     if not docs.isStreaming:
         w = Window.partitionBy("band", "bkey")
@@ -407,15 +442,28 @@ def stream_lsh_neardup(
                 out["jaccard"].append(jac)
         state.update((int(anchor_id), [int(v) for v in anchor_set]))
         if state_ttl_ms is not None:
-            state.setTimeoutDuration(state_ttl_ms)
+            if event_ttl:
+                # expire when the WATERMARK passes last-event-time + TTL;
+                # clamp above the current watermark — a late-but-admitted
+                # batch could otherwise compute an already-passed timeout,
+                # which Spark rejects as an error
+                max_ts_ms = int(rows["ts"].max().value // 1_000_000)
+                wm = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(max(max_ts_ms + state_ttl_ms, wm + 1))
+            else:
+                state.setTimeoutDuration(state_ttl_ms)
         yield pd.DataFrame(out)
 
+    if state_ttl_ms is None:
+        timeout_conf = "NoTimeout"
+    elif event_ttl:
+        timeout_conf = "EventTimeTimeout"
+    else:
+        timeout_conf = "ProcessingTimeTimeout"
     return tagged.groupBy("band", "bkey").applyInPandasWithState(
         fn,
         outputStructType=_NEARDUP_OUT,
         stateStructType=_NEARDUP_STATE,
         outputMode="append",
-        timeoutConf=(
-            "ProcessingTimeTimeout" if state_ttl_ms is not None else "NoTimeout"
-        ),
+        timeoutConf=timeout_conf,
     )

@@ -141,3 +141,91 @@ def test_quals_match(golden, ours):
                 if cnt:
                     oq[(folded, qual)] += cnt
         assert oq == gq, key
+
+
+# ---- samtools DEFAULT mode (no -x): mate-overlap quality adjustment ----
+#
+# samtools.pileup in the same fixture dir is the identical mpileup command
+# WITHOUT -x: base columns are identical to samtools_x.pileup (overlap
+# handling never drops a base), only the quality strings differ — the
+# first-encountered mate absorbs the pair's evidence per htslib
+# tweak_overlap_quality.  pileup(mate_overlap=True) must reproduce those
+# quality multisets exactly; reads carry the codec's __ord file-order
+# column so same-start mate ties break exactly as htslib's stream does.
+
+PILEUP_DEFAULT = f"{MDBAM_DIR}/samtools.pileup"
+
+
+@pytest.fixture(scope="module")
+def golden_overlap():
+    rows = {}
+    with open(PILEUP_DEFAULT) as f:
+        for line in f:
+            c, pos, ref, _cov, bases, quals = line.rstrip("\n").split("\t")
+            entries = _clean_entries(bases, quals)
+            if entries:
+                rows[(_clean_contig(c), int(pos))] = (ref.upper(), entries)
+    return rows
+
+
+@pytest.fixture(scope="module")
+def ours_overlap(spark):
+    from sequila_spark.operators.pileup import pileup
+    from sequila_spark.sources import read_bam_native
+    from sequila_spark.sources.fasta import read_fasta_bases
+
+    reads = read_bam_native(spark, BAM, chunk=2_000_000, with_ordinal=True)
+    ref = read_fasta_bases(spark, FASTA)
+    p = pileup(
+        reads,
+        ref=ref,
+        alts=True,
+        quals=True,
+        max_qual=MAX_QUAL,
+        flag_mask=1796,
+        strand_case=True,
+        mate_overlap=True,
+    )
+    return {(r["contig"], r["pos_start"]): r for r in p.collect()}
+
+
+def test_overlap_same_positions_and_counts(golden_overlap, ours_overlap):
+    assert set(ours_overlap) == set(golden_overlap)
+    for key, (ref, entries) in golden_overlap.items():
+        r = ours_overlap[key]
+        assert r["coverage"] == len(entries), key
+        n_ref = sum(1 for b, _ in entries if b in ".,")
+        assert r["countRef"] == n_ref, key
+        alts = Counter(b for b, _ in entries if b not in ".,")
+        assert dict(r["alts"] or {}) == dict(alts), key
+
+
+def test_overlap_quals_match(golden_overlap, ours_overlap):
+    mismatched = []
+    for key, (ref, entries) in golden_overlap.items():
+        gq = Counter()
+        for b, q in entries:
+            base = ref if b in ".," else b
+            gq[(base, ord(q) - 33)] += 1
+        oq = Counter()
+        for base, hist in (ours_overlap[key]["quals"] or {}).items():
+            folded = ref if base.upper() == ref else base
+            for qual, cnt in enumerate(hist):
+                if cnt:
+                    oq[(folded, qual)] += cnt
+        if oq != gq:
+            mismatched.append((key, gq - oq, oq - gq))
+    assert not mismatched, (len(mismatched), mismatched[:5])
+
+
+def test_overlap_differs_from_x_somewhere(golden, golden_overlap):
+    """Sanity: the two goldens genuinely differ (else the new test would
+    be vacuous)."""
+    diff = sum(
+        1
+        for k in golden
+        if k in golden_overlap
+        and sorted(q for _, q in golden[k][1])
+        != sorted(q for _, q in golden_overlap[k][1])
+    )
+    assert diff > 100, diff

@@ -429,3 +429,121 @@ def test_stream_lsh_neardup_state_ttl_reanchors(spark, tmp_path):
     assert (1001, 1002) not in pairs, "expired anchor must not pair"
     assert (1001, 1003) not in pairs
     assert (1002, 1003) in pairs, "bucket must re-anchor at 1002 after expiry"
+
+
+def test_stream_lsh_neardup_event_time_ttl_replay(spark, tmp_path):
+    """Event-time TTL (ttl_mode='event'): state expires when the WATERMARK
+    passes (bucket's last event time + TTL) — the contract a replayed or
+    backfilled stream needs.  This replay runs in seconds of wall clock but
+    its event times span ~10 minutes; with a 60 s event-time TTL the
+    anchor set at 10:00:00 must be gone once the watermark (driven by an
+    unrelated 10:10:00 row) passes 10:01:00, so a near-dup arriving later
+    in event time re-anchors instead of pairing.  Under the
+    processing-time variant nothing would expire here (the whole replay
+    fits inside the TTL in wall-clock terms), which is exactly the gap
+    this mode closes."""
+    from sequila_spark.streaming.ops import stream_lsh_neardup
+
+    by_id = {r[0]: r for r in _neardup_docs()}
+    schema = "doc_id long, text string, ts timestamp"
+    d = tmp_path / "docs_evttl"
+    d.mkdir()
+
+    def write_batch(name, items):
+        spark.createDataFrame(
+            [(i, by_id[i][1], ts) for i, ts in items], schema
+        ).coalesce(1).write.parquet(str(d / name))
+
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2026, 1, 1, 10, 0, 0) + dt.timedelta(seconds=s)  # noqa: E731
+
+    write_batch("f1.parquet", [(1001, t(0))])  # anchors at event time 10:00:00
+    stream = stream_lsh_neardup(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d / "*")),
+        threshold=0.5,
+        state_ttl_ms=60_000,
+        ttl_mode="event",
+        ts_col="ts",
+        watermark="10 seconds",
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("neardup_evttl")
+        .option("checkpointLocation", str(tmp_path / "ck_evttl"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # unrelated row 10 min later: advances the watermark to ~10:09:50,
+        # far past the bucket's 10:01:00 timeout -> expiry fires
+        write_batch("f2.parquet", [(1008, t(600))])
+        q.processAllAvailable()
+        # near-dup of 1001, event time after the expiry: must re-anchor
+        write_batch("f3.parquet", [(1002, t(605))])
+        q.processAllAvailable()
+        # exact dup of 1001: pairs with the new anchor 1002, never 1001
+        write_batch("f4.parquet", [(1003, t(610))])
+        q.processAllAvailable()
+        got = _neardup_set(spark.sql("SELECT * FROM neardup_evttl").collect())
+    finally:
+        q.stop()
+
+    pairs = {(p[1], p[2]) for p in got}
+    assert (1001, 1002) not in pairs, "event-time-expired anchor must not pair"
+    assert (1001, 1003) not in pairs
+    assert (1002, 1003) in pairs, "bucket must re-anchor at 1002 after expiry"
+
+
+def test_stream_lsh_neardup_event_time_ttl_no_expiry_keeps_pairs(spark, tmp_path):
+    """Same replay, event gaps WITHIN the TTL: nothing expires and the
+    output equals the processing-time/no-TTL behavior (1001 stays anchor)."""
+    from sequila_spark.streaming.ops import stream_lsh_neardup
+
+    by_id = {r[0]: r for r in _neardup_docs()}
+    schema = "doc_id long, text string, ts timestamp"
+    d = tmp_path / "docs_evttl2"
+    d.mkdir()
+
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2026, 1, 1, 10, 0, 0) + dt.timedelta(seconds=s)  # noqa: E731
+
+    def write_batch(name, items):
+        spark.createDataFrame(
+            [(i, by_id[i][1], ts) for i, ts in items], schema
+        ).coalesce(1).write.parquet(str(d / name))
+
+    write_batch("f1.parquet", [(1001, t(0))])
+    stream = stream_lsh_neardup(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d / "*")),
+        threshold=0.5,
+        state_ttl_ms=3_600_000,  # 1h event-time TTL >> 10 min replay span
+        ttl_mode="event",
+        ts_col="ts",
+        watermark="10 seconds",
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("neardup_evttl2")
+        .option("checkpointLocation", str(tmp_path / "ck_evttl2"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write_batch("f2.parquet", [(1008, t(600))])
+        q.processAllAvailable()
+        write_batch("f3.parquet", [(1002, t(605))])
+        q.processAllAvailable()
+        got = _neardup_set(spark.sql("SELECT * FROM neardup_evttl2").collect())
+    finally:
+        q.stop()
+
+    pairs = {(p[1], p[2]) for p in got}
+    assert (1001, 1002) in pairs, "anchor within TTL must still pair"
