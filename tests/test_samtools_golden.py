@@ -162,6 +162,12 @@ def golden_overlap():
     with open(PILEUP_DEFAULT) as f:
         for line in f:
             c, pos, ref, _cov, bases, quals = line.rstrip("\n").split("\t")
+            # fixture artifact: exactly 7 lines have the qual string's
+            # LEADING '"' CSV-escaped as '\"' (quals elsewhere contain
+            # real backslash = phred 59 chars, so only the leading pair
+            # is an escape)
+            if quals.startswith('\\"'):
+                quals = quals[1:]
             entries = _clean_entries(bases, quals)
             if entries:
                 rows[(_clean_contig(c), int(pos))] = (ref.upper(), entries)
