@@ -258,37 +258,57 @@ def main() -> None:
             file=sys.stderr,
         )
         # aggregate-so-far after EVERY session: the last stdout JSON line
-        # is always a valid artifact even if the harness is cut off
+        # is always a valid artifact even if the harness is cut off.
+        # The line stays COMPACT (the r7 artifact embedded every session's
+        # per-query dict and overflowed the driver's tail capture —
+        # "parsed": null); full session detail goes to bench_sessions.json.
         names = [
             n
             for n in per_session[0]["queries"]
             if all(n in s["queries"] for s in per_session)
         ]
+        dropped = sorted(
+            {n for s in per_session for n in s["queries"]} - set(names)
+        )
+        if dropped:
+            # a query that crashed in one session would otherwise vanish
+            # from the headline total silently, making round-over-round
+            # totals incomparable without warning
+            print(f"# WARNING dropped from aggregate: {dropped}", file=sys.stderr)
         med = {
             n: round(statistics.median(s["queries"][n] for s in per_session), 3)
             for n in names
         }
         totals = [round(sum(s["queries"][n] for n in names), 3) for s in per_session]
-        print(
-            json.dumps(
-                {
-                    "metric": "headline_queries_total_runtime",
-                    "value": round(sum(med.values()), 3),
-                    "unit": "sec",
-                    "queries": med,
-                    "sessions": len(per_session),
-                    "session_totals": totals,
-                    "session_queries": [s["queries"] for s in per_session],
-                    "spread_pct": round(
-                        100.0 * (max(totals) - min(totals)) / min(totals), 1
-                    ),
-                    "agg": "median_of_sessions__min_of_converged_runs",
-                    "cpu_calib_sec": calib,
-                    "sf": per_session[0]["sf"],
-                }
+        summary = {
+            "metric": "headline_queries_total_runtime",
+            "value": round(sum(med.values()), 3),
+            "unit": "sec",
+            "queries": med,
+            "sessions": len(per_session),
+            "session_totals": totals,
+            "spread_pct": round(
+                100.0 * (max(totals) - min(totals)) / min(totals), 1
             ),
-            flush=True,
-        )
+            "agg": "median_of_sessions__min_of_converged_runs",
+            "cpu_calib_sec": calib,
+            "sf": per_session[0]["sf"],
+        }
+        if dropped:
+            summary["dropped_queries"] = dropped
+        try:
+            with open(
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_sessions.json"), "w"
+            ) as fh:
+                json.dump(
+                    {**summary, "session_queries": [s["queries"] for s in per_session],
+                     "session_cold_runs": [s.get("cold_runs") for s in per_session]},
+                    fh, indent=1,
+                )
+        except OSError as exc:
+            print(f"# bench_sessions.json not written: {exc}", file=sys.stderr)
+        print(json.dumps(summary), flush=True)
 
     if not per_session:
         raise SystemExit("all bench sessions failed")

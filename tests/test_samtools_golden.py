@@ -147,13 +147,19 @@ def test_quals_match(golden, ours):
 #
 # samtools.pileup in the same fixture dir is the identical mpileup command
 # WITHOUT -x: base columns are identical to samtools_x.pileup (overlap
-# handling never drops a base), only the quality strings differ — the
-# first-encountered mate absorbs the pair's evidence per htslib
-# tweak_overlap_quality.  pileup(mate_overlap=True) must reproduce those
-# quality multisets exactly; reads carry the codec's __ord file-order
-# column so same-start mate ties break exactly as htslib's stream does.
+# handling never drops a base), only the quality strings differ — BAQ
+# (sam_prob_realn, extended mode, against the fixture's own FASTA) caps
+# each base's quality, then the first-encountered mate absorbs the pair's
+# evidence per htslib tweak_overlap_quality.  pileup(mate_overlap=True,
+# baq=...) must reproduce those quality multisets exactly; reads carry the
+# codec's __ord file-order column so same-start mate ties break exactly as
+# htslib's stream does.
 
 PILEUP_DEFAULT = f"{MDBAM_DIR}/samtools.pileup"
+# BAQ realigns against the reference samtools saw — the assembly18 small
+# FASTA (pileup_commands.sh passes it as --fasta-ref).  The mdbam dir's own
+# NA12878.multichrom.fasta is NOT it: its chrM is truncated by 7 leading
+# bases, which would misalign every early-chrM read's BAQ window.
 
 
 @pytest.fixture(scope="module")
@@ -191,6 +197,7 @@ def ours_overlap(spark):
         flag_mask=1796,
         strand_case=True,
         mate_overlap=True,
+        baq=FASTA,
     )
     return {(r["contig"], r["pos_start"]): r for r in p.collect()}
 
