@@ -214,6 +214,91 @@ def distributed_hash_check(sdf, sql: str, sf_dir: str) -> dict | None:
     }
 
 
+# Contig-sliced external oracle: the join trio's sf1 result sets (3.3/2.6/8.1
+# billion rows) exceed what single-node DuckDB can hash-aggregate in one go,
+# but every output row belongs to exactly one contig, so the oracle runs once
+# per contig slice and the order-independent hash components merge exactly
+# (count: sum, bit_xor: xor, sum-mod-p: modular sum).  Each entry: the
+# predicate appended to the oracle SQL per slice, and the marker of the main
+# SELECT (everything before it is the CTE prologue, reused to enumerate the
+# contig domain).
+_SLICE_SPECS = {
+    "range_join_pairs": (" WHERE r.contig = '{c}'", "SELECT r.qname"),
+    "range_join_minoverlap": (" WHERE r.contig = '{c}'", "SELECT r.qname"),
+    "range_join_maxgap": (" WHERE r.contig = '{c}'", "SELECT r.qname"),
+    "range_join_semi": (" AND t.contig = '{c}'", "SELECT t.target_id"),
+}
+
+
+def duckdb_sliced_hash_check(sdf, sql: str, sf_dir: str, name: str) -> dict | None:
+    """Full value-fidelity vs the EXTERNAL DuckDB oracle for results too
+    large for one oracle pass: per-contig oracle slices, each reduced to the
+    same order-independent (count, bit_xor, sum mod p) digest as the Spark
+    side, merged across slices."""
+    from tests.oracle import duck_connection
+
+    spec = _SLICE_SPECS.get(name)
+    if spec is None:
+        return None
+    pred_tpl, select_marker = spec
+    srow = _spark_hash_agg(sdf)
+    if srow is None:
+        return None
+    cols = sorted(sdf.columns)
+    d_canon = "concat_ws(chr(31), {parts})".format(
+        parts=", ".join(
+            f"coalesce(CAST(\"{c}\" AS VARCHAR), chr(2) || 'NULL')" for c in cols
+        )
+    )
+    d_h = f"CAST('0x' || substr(md5({d_canon}), 1, 15) AS BIGINT)"
+
+    cut = sql.rfind(select_marker)
+    if cut < 0:
+        return None
+    prologue = sql[:cut]
+    con = duck_connection(sf_dir)
+    try:
+        contigs = [
+            r[0]
+            for r in con.execute(
+                prologue + " SELECT DISTINCT contig FROM reads ORDER BY 1"
+            ).fetchall()
+        ]
+        n_tot, x_tot, s_tot = 0, 0, 0
+        slice_secs = []
+        for c in contigs:
+            sliced = sql + pred_tpl.format(c=c)
+            t0 = time.time()
+            n, x, s = con.execute(
+                f"SELECT count(*) AS n, bit_xor(h) AS x, sum(h % {_SUM_P}) AS s "
+                f"FROM (SELECT {d_h} AS h FROM ({sliced}) __oracle) __hashed"
+            ).fetchone()
+            slice_secs.append(round(time.time() - t0, 1))
+            n_tot += int(n)
+            if x is not None:
+                x_tot ^= int(x)
+                s_tot += int(s)  # raw sum of (h % p): exact across slices
+    finally:
+        con.close()
+
+    s_n, s_x, s_s = srow
+    match = (
+        s_n == n_tot
+        and int(s_x or 0) == x_tot
+        and int(s_s or 0) == s_tot
+    )
+    return {
+        "rows_match": s_n == n_tot,
+        "hash_match": match,
+        "spark_rows": s_n,
+        "oracle_rows": n_tot,
+        "err": None,
+        "method": "duckdb_external_oracle_contig_sliced_hash",
+        "slices": len(contigs),
+        "slice_secs": slice_secs,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
@@ -226,6 +311,13 @@ def main() -> None:
         help="comma-separated query names verified against their "
         "independent-plan variant (crosscheck_queries) instead of DuckDB — "
         "for result sets the single-node oracle cannot materialize",
+    )
+    ap.add_argument(
+        "--duck-sliced",
+        default=None,
+        help="comma-separated query names verified against the EXTERNAL "
+        "DuckDB oracle run per contig slice (exact hash merge) — for "
+        "result sets too large for one oracle pass",
     )
     args = ap.parse_args()
 
@@ -249,6 +341,10 @@ def main() -> None:
     qmap = E.queries()
     oracles = E.oracle_sql()
     only = set(args.only.split(",")) if args.only else None
+    dsliced = set(args.duck_sliced.split(",")) if args.duck_sliced else set()
+    unknown_ds = dsliced - set(_SLICE_SPECS)
+    if unknown_ds:
+        raise SystemExit(f"no slice spec for: {sorted(unknown_ds)}")
     xcheck = set(args.crosscheck.split(",")) if args.crosscheck else set()
     xmap = E.crosscheck_queries() if xcheck else {}
     unknown = xcheck - set(xmap)
@@ -261,6 +357,17 @@ def main() -> None:
             continue
         t0 = time.time()
         try:
+            if name in dsliced:
+                res = duckdb_sliced_hash_check(
+                    fn(spark, args.sf_dir), oracles[name], args.sf_dir, name
+                )
+                if res is None:
+                    raise RuntimeError("sliced oracle not applicable")
+                res["schema_match"] = True  # names checked by the hash canon
+                results[name] = res
+                results[name]["sec"] = round(time.time() - t0, 1)
+                print(f"{name}: {results[name]}", flush=True)
+                continue
             if name in xcheck:
                 results[name] = spark_crosscheck(
                     fn(spark, args.sf_dir), xmap[name](spark, args.sf_dir)
