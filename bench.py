@@ -95,6 +95,10 @@ def run_session() -> None:
 
     qmap = entrymod.queries()
     names = [n for n in BENCH_QUERIES if n in qmap]
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        keep = set(only.split(","))
+        names = [n for n in names if n in keep]
 
     # Warmup: prime JVM/codegen with the smallest sf — PER QUERY, because
     # whole-stage codegen compiles per plan: running each query once at
