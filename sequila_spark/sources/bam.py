@@ -38,8 +38,14 @@ def write_alignments(df: DataFrame, path: str, mode: str = "overwrite") -> None:
       - DISTINCT sample_id             -> partition listing, no data read
         (reference: scan elision, SequilaDataSourceStrategy.scala:38-54)
     """
+    # Range-partition by (sample, contig, pos) rather than hashing
+    # (sample, contig): hash partitioning collapses a single-contig
+    # dataset (one WGS chromosome, an amplified fixture) into ONE writer
+    # task — measured 5x slower on the 17M-read single-contig anchor —
+    # while ranges spread a contig across tasks AND keep each output
+    # file's (contig, pos) row-group min/max spans tight for skipping.
     (
-        df.repartition(S.SAMPLE, S.CONTIG)
+        df.repartitionByRange(S.SAMPLE, S.CONTIG, S.START)
         .sortWithinPartitions(S.CONTIG, S.START)
         .write.mode(mode)
         .partitionBy(S.SAMPLE)
@@ -143,6 +149,7 @@ def write_bam(
     sort: bool = True,
     sharded: bool = False,
     shard_dir: str | None = None,
+    index: bool = False,
 ) -> None:
     """Write an alignment relation as a BAM file with the native codec
     (closes SURVEY §2.1's last row — the reference wraps
@@ -175,6 +182,14 @@ def write_bam(
       the filesystem fallback of that plan, not the design.
 
     ``refs`` defaults to the observed contigs with max(pos_end) as length.
+
+    ``index=True`` additionally writes a spec-complete ``.bai`` (binning +
+    linear + samtools pseudo-bin) alongside — built IN PARALLEL: each
+    partition tracks its records' virtual offsets while encoding (a
+    per-partition BaiBuilder summary, a few KB), and the driver merges
+    summaries with each fragment's byte shift applied.  No second pass
+    over the data, and the indexed file immediately chunk-decodes in
+    parallel through read_bam_native (requires ``sort=True``).
     """
     from sequila_spark.sources import bamcodec as B
 
@@ -212,7 +227,30 @@ def write_bam(
             .drop("__sq_rid")
         )
 
+    if index and not sort:
+        raise ValueError("index=True requires sort=True (BAI assumes "
+                         "coordinate order)")
+    # column positions for the index builder (matches `cols` above)
+    _IFLAG, _ICTG, _ISTART, _IEND = 1, 2, 3, 4
+
+    def _encode_with_index(rows, w):
+        bld = B.BaiBuilder()
+        for r in rows:
+            t = tuple(r)
+            v0 = w.tell_virtual()
+            w.write(B.encode_record(t, ref_ids))
+            bld.add(
+                ref_ids.get(t[_ICTG], -1) if t[_ICTG] is not None else -1,
+                (t[_ISTART] or 1) - 1,
+                t[_IEND] or (t[_ISTART] or 1),
+                t[_IFLAG] or 0,
+                v0,
+                w.tell_virtual(),
+            )
+        return bld.summary()
+
     if sharded:
+        import pickle as _pickle
         import shutil as _shutil
 
         sdir = shard_dir or (path + ".shards")
@@ -229,13 +267,25 @@ def write_bam(
             frag = os.path.join(sdir, f"part-{idx:09d}.bgzf")
             with open(frag, "wb") as fh:
                 w = B.BgzfWriter(fh)
-                n = 0
-                for r in rows:
-                    w.write(B.encode_record(tuple(r), ref_ids))
-                    n += 1
+                if index:
+                    summ = _encode_with_index(rows, w)
+                else:
+                    summ = None
+                    n = 0
+                    for r in rows:
+                        w.write(B.encode_record(tuple(r), ref_ids))
+                        n += 1
                 w.close(eof=False)
-            if n == 0:
+            empty = (
+                summ is not None
+                and not summ["refs"]
+                and summ["n_no_coor"] == 0
+            ) or (summ is None and n == 0)
+            if empty:
                 os.remove(frag)
+            elif index:
+                with open(frag + ".baisum", "wb") as sf:
+                    _pickle.dump(summ, sf)
             return iter(())
 
         out.rdd.mapPartitionsWithIndex(write_shard).count()  # run the job
@@ -243,20 +293,30 @@ def write_bam(
         # listdir order diverges past the pad width (and older 5-digit
         # shards would misorder at >=100k partitions)
         shard_names = sorted(
-            os.listdir(sdir),
+            (n for n in os.listdir(sdir) if n.endswith(".bgzf")),
             key=lambda n: int(n.split("-", 1)[1].split(".", 1)[0]),
         )
+        summaries = []
         with open(path, "wb") as f:
             w = B.BgzfWriter(f)
             B.write_bam_header(w, refs, header_text)
             w.flush_blocks()
             for name in shard_names:
-                with open(os.path.join(sdir, name), "rb") as sf:
+                shift = f.tell()
+                full = os.path.join(sdir, name)
+                with open(full, "rb") as sf:
                     # BGZF needs no reframing: raw block-copy stream, 8 MiB
                     # buffers (an object store would use multipart compose
                     # here instead of any driver byte copy)
                     _shutil.copyfileobj(sf, f, length=8 << 20)
+                if index:
+                    with open(full + ".baisum", "rb") as sf:
+                        summaries.append(
+                            B.shift_bai_summary(_pickle.load(sf), shift)
+                        )
             f.write(B.BGZF_EOF)
+        if index:
+            B.write_bai(path + ".bai", len(refs), B.merge_bai_summaries(summaries))
         _shutil.rmtree(sdir)
         return
 
@@ -265,20 +325,27 @@ def write_bam(
 
         buf = io.BytesIO()
         w = B.BgzfWriter(buf)
-        for r in rows:
-            w.write(B.encode_record(tuple(r), ref_ids))
+        summ = _encode_with_index(rows, w) if index else None
+        if not index:
+            for r in rows:
+                w.write(B.encode_record(tuple(r), ref_ids))
         w.close(eof=False)
         data = buf.getvalue()
-        return [data] if data else []
+        return [(data, summ)] if data else []
 
     fragments = out.rdd.mapPartitions(compress_partition).collect()
+    summaries = []
     with open(path, "wb") as f:
         w = B.BgzfWriter(f)
         B.write_bam_header(w, refs, header_text)
         w.flush_blocks()
-        for frag in fragments:
+        for frag, summ in fragments:
+            if index and summ is not None:
+                summaries.append(B.shift_bai_summary(summ, f.tell()))
             f.write(frag)
         f.write(B.BGZF_EOF)
+    if index:
+        B.write_bai(path + ".bai", len(refs), B.merge_bai_summaries(summaries))
 
 
 def read_bam_native(

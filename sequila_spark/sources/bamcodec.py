@@ -300,28 +300,39 @@ def bgzf_compress_block(payload: bytes, level: int = 6) -> bytes:
 
 class BgzfWriter:
     """Buffers bytes into <=64 KB BGZF blocks.  close() appends the
-    standard EOF marker block."""
+    standard EOF marker block.  ``tell_virtual()`` reports the BAM virtual
+    offset (compressed_offset << 16 | intra-block uncompressed offset) the
+    NEXT written byte will occupy — the unit BAI indexes speak."""
 
     def __init__(self, raw: BinaryIO, level: int = 6):
         self._raw = raw
         self._level = level
         self._buf = bytearray()
+        self._comp = 0  # compressed bytes emitted so far
 
     def write(self, data: bytes) -> None:
         self._buf += data
         while len(self._buf) >= 0xFF00:
-            self._raw.write(bgzf_compress_block(bytes(self._buf[:0xFF00]), self._level))
+            blk = bgzf_compress_block(bytes(self._buf[:0xFF00]), self._level)
+            self._raw.write(blk)
+            self._comp += len(blk)
             del self._buf[:0xFF00]
 
     def flush_blocks(self) -> None:
         if self._buf:
-            self._raw.write(bgzf_compress_block(bytes(self._buf), self._level))
+            blk = bgzf_compress_block(bytes(self._buf), self._level)
+            self._raw.write(blk)
+            self._comp += len(blk)
             self._buf.clear()
+
+    def tell_virtual(self) -> int:
+        return (self._comp << 16) | len(self._buf)
 
     def close(self, eof: bool = True) -> None:
         self.flush_blocks()
         if eof:
             self._raw.write(BGZF_EOF)
+            self._comp += len(BGZF_EOF)
 
 
 _SEQ_CODE = {c: i for i, c in enumerate(SEQ_CODES)}
@@ -498,6 +509,193 @@ def bgzf_fetch_range(
                 return b""
             skip -= len(got)
         return r.read(uend - ustart)
+
+
+def reg2bin(beg: int, end: int) -> int:
+    """SAM-spec R-tree bin for a 0-based half-open [beg, end) region."""
+    end -= 1
+    if beg >> 14 == end >> 14:
+        return ((1 << 15) - 1) // 7 + (beg >> 14)
+    if beg >> 17 == end >> 17:
+        return ((1 << 12) - 1) // 7 + (beg >> 17)
+    if beg >> 20 == end >> 20:
+        return ((1 << 9) - 1) // 7 + (beg >> 20)
+    if beg >> 23 == end >> 23:
+        return ((1 << 6) - 1) // 7 + (beg >> 23)
+    if beg >> 26 == end >> 26:
+        return ((1 << 3) - 1) // 7 + (beg >> 26)
+    return 0
+
+
+class BaiBuilder:
+    """Accumulates BAI structure for records written in coordinate order —
+    one instance per writer partition; summaries merge on the driver with
+    each fragment's byte shift applied (fragments are whole BGZF blocks,
+    so a shift moves only the voffset's compressed half).
+
+    Per reference: ``bins`` maps bin -> [start_voff, end_voff, ...] chunk
+    pairs (a new chunk opens when the record run for a bin is interrupted
+    — spec-valid and what a coordinate-sorted stream naturally yields),
+    ``linear`` maps 16kb-window -> min voff of any overlapping record,
+    and mapped/unmapped counts feed the samtools pseudo-bin 37450.
+    """
+
+    def __init__(self):
+        self.refs: dict[int, dict] = {}
+        self.n_no_coor = 0
+
+    def _ref(self, rid: int) -> dict:
+        r = self.refs.get(rid)
+        if r is None:
+            r = self.refs[rid] = {
+                "bins": {},
+                "last_bin": None,
+                "linear": {},
+                "n_mapped": 0,
+                "n_unmapped": 0,
+                "voff_span": [None, 0],
+            }
+        return r
+
+    def add(self, rid: int, beg0: int, end0: int, flag: int,
+            voff_start: int, voff_end: int) -> None:
+        if rid < 0:
+            self.n_no_coor += 1
+            return
+        r = self._ref(rid)
+        if flag & 4:
+            r["n_unmapped"] += 1
+        else:
+            r["n_mapped"] += 1
+        if r["voff_span"][0] is None:
+            r["voff_span"][0] = voff_start
+        r["voff_span"][1] = voff_end
+        if end0 <= beg0:
+            end0 = beg0 + 1
+        b = reg2bin(beg0, end0)
+        chunks = r["bins"].setdefault(b, [])
+        if r["last_bin"] == b and chunks and chunks[-1] == voff_start:
+            chunks[-1] = voff_end  # extend the open chunk
+        else:
+            chunks.extend((voff_start, voff_end))
+        r["last_bin"] = b
+        lin = r["linear"]
+        for w in range(beg0 >> 14, ((end0 - 1) >> 14) + 1):
+            if w not in lin or voff_start < lin[w]:
+                lin[w] = voff_start
+
+    def summary(self) -> dict:
+        return {
+            "refs": {
+                rid: {
+                    "bins": r["bins"],
+                    "linear": r["linear"],
+                    "n_mapped": r["n_mapped"],
+                    "n_unmapped": r["n_unmapped"],
+                    "voff_span": r["voff_span"],
+                }
+                for rid, r in self.refs.items()
+            },
+            "n_no_coor": self.n_no_coor,
+        }
+
+
+def shift_bai_summary(summary: dict, byte_shift: int) -> dict:
+    """Apply a whole-block compressed byte shift to every virtual offset
+    in a partition summary (local fragment -> final file coordinates)."""
+    sh = byte_shift << 16
+
+    def mv(v):
+        return v + sh
+
+    out = {"refs": {}, "n_no_coor": summary["n_no_coor"]}
+    for rid, r in summary["refs"].items():
+        out["refs"][rid] = {
+            "bins": {b: [mv(v) for v in ch] for b, ch in r["bins"].items()},
+            "linear": {w: mv(v) for w, v in r["linear"].items()},
+            "n_mapped": r["n_mapped"],
+            "n_unmapped": r["n_unmapped"],
+            "voff_span": [
+                None if r["voff_span"][0] is None else mv(r["voff_span"][0]),
+                mv(r["voff_span"][1]),
+            ],
+        }
+    return out
+
+
+def merge_bai_summaries(summaries: list[dict]) -> dict:
+    """Merge shifted partition summaries (records are globally coordinate
+    sorted, so partitions touch disjoint-or-adjacent coordinate ranges)."""
+    merged = {"refs": {}, "n_no_coor": 0}
+    for s in summaries:
+        merged["n_no_coor"] += s["n_no_coor"]
+        for rid, r in s["refs"].items():
+            m = merged["refs"].setdefault(
+                rid,
+                {"bins": {}, "linear": {}, "n_mapped": 0, "n_unmapped": 0,
+                 "voff_span": [None, 0]},
+            )
+            for b, ch in r["bins"].items():
+                m["bins"].setdefault(b, []).extend(ch)
+            for w, v in r["linear"].items():
+                if w not in m["linear"] or v < m["linear"][w]:
+                    m["linear"][w] = v
+            m["n_mapped"] += r["n_mapped"]
+            m["n_unmapped"] += r["n_unmapped"]
+            if r["voff_span"][0] is not None:
+                if m["voff_span"][0] is None or r["voff_span"][0] < m["voff_span"][0]:
+                    m["voff_span"][0] = r["voff_span"][0]
+                if r["voff_span"][1] > m["voff_span"][1]:
+                    m["voff_span"][1] = r["voff_span"][1]
+    return merged
+
+
+def write_bai(path: str, n_ref: int, merged: dict) -> None:
+    """Serialize a merged summary as a spec-complete .bai: binning index
+    (plus the samtools metadata pseudo-bin 37450), linear index with gaps
+    filled by the previous window's offset (htslib convention: a window
+    with no starting read inherits the prior seek point; leading gaps use
+    the reference's first voff), and the trailing no-coordinate count."""
+    with open(path, "wb") as f:
+        f.write(b"BAI\x01")
+        f.write(struct.pack("<i", n_ref))
+        for rid in range(n_ref):
+            r = merged["refs"].get(rid)
+            if r is None or (r["n_mapped"] + r["n_unmapped"]) == 0:
+                f.write(struct.pack("<ii", 0, 0))
+                continue
+            bins = r["bins"]
+            f.write(struct.pack("<i", len(bins) + 1))
+            for b in sorted(bins):
+                ch = bins[b]
+                f.write(struct.pack("<Ii", b, len(ch) // 2))
+                f.write(struct.pack(f"<{len(ch)}Q", *ch))
+            # pseudo-bin 37450: voff span + mapped/unmapped counts
+            f.write(struct.pack("<Ii", 37450, 2))
+            f.write(
+                struct.pack(
+                    "<4Q",
+                    r["voff_span"][0] or 0,
+                    r["voff_span"][1],
+                    r["n_mapped"],
+                    r["n_unmapped"],
+                )
+            )
+            lin = r["linear"]
+            n_intv = (max(lin) + 1) if lin else 0
+            arr = []
+            prev = None
+            for w in range(n_intv):
+                if w in lin:
+                    if prev is None:
+                        # backfill leading gap so any seek lands at-or-before
+                        arr = [lin[w]] * len(arr)
+                    prev = lin[w]
+                arr.append(prev if prev is not None else 0)
+            f.write(struct.pack("<i", n_intv))
+            if n_intv:
+                f.write(struct.pack(f"<{n_intv}Q", *arr))
+        f.write(struct.pack("<Q", merged["n_no_coor"]))
 
 
 def read_bai(path: str) -> tuple[list[list[int]], int | None]:

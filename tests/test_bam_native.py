@@ -410,3 +410,59 @@ def test_write_bam_sharded_refuses_stale_dir(spark, tmp_path):
         f.write(b"stale")
     with pytest.raises(ValueError, match="not empty"):
         write_bam(df, str(tmp_path / "out.bam"), sharded=True, shard_dir=sdir)
+
+
+@needs_slice
+def test_write_bam_with_index_chunked_decode(spark, tmp_path):
+    """index=True writes a spec-complete .bai built in parallel during the
+    encode; the indexed file then chunk-decodes through read_bam_native
+    into MULTIPLE spans with exactly the same rows as a whole-file decode,
+    in both assembly modes."""
+    from sequila_spark.sources import read_bam_native, write_bam
+    from sequila_spark.sources.bamcodec import plan_spans, read_bai
+
+    df = read_bam_native(spark, SLICE).where("contig IS NOT NULL").repartition(5)
+    key = ["qname", "flag", "contig", "pos_start", "pos_end", "cigar", "seq", "qual"]
+    expect = sorted(map(tuple, df.select(*key).collect()))
+
+    for mode in ("collect", "sharded"):
+        out = str(tmp_path / f"ix_{mode}.bam")
+        write_bam(df, out, sharded=(mode == "sharded"), index=True)
+        assert os.path.exists(out + ".bai")
+        linear, n_no_coor = read_bai(out + ".bai")
+        assert n_no_coor == 0
+        assert any(any(v) for v in linear)  # non-trivial linear index
+        back = read_bam_native(spark, out, chunk=8_000)
+        got = sorted(map(tuple, back.select(*key).collect()))
+        assert got == expect
+        # the index genuinely splits the decode into multiple spans
+        from sequila_spark.sources.bamcodec import BgzfReader, read_bam_header
+
+        with open(out, "rb") as fh:
+            refs, _ = read_bam_header(BgzfReader(fh))
+        spans = plan_spans(refs, linear, 8_000)
+        assert len(spans) > 1
+        assert len({sp[3] for sp in spans}) > 1  # distinct seek voffsets
+
+
+def test_write_bam_index_requires_sort(spark):
+    from sequila_spark.sources import write_bam
+
+    df = spark.createDataFrame(
+        [("q", 0, "1", 10, 19, 60, "10M", None, 0, 0, "A" * 10, "I" * 10)],
+        "qname string, flag int, contig string, pos_start int, pos_end int,"
+        "mapq int, cigar string, rnext string, pnext int, tlen int,"
+        "seq string, qual string",
+    )
+    with pytest.raises(ValueError, match="sort"):
+        write_bam(df, "/tmp/x.bam", sort=False, index=True)
+
+
+def test_reg2bin_spec_values():
+    from sequila_spark.sources.bamcodec import reg2bin
+
+    assert reg2bin(0, 1) == 4681          # first 16kb leaf
+    assert reg2bin(16384, 16385) == 4682  # second leaf
+    assert reg2bin(0, 16385) == 585       # spans two leaves -> 128kb level
+    assert reg2bin(0, 1 << 26) == 1       # first 8Mb... spans -> level 1
+    assert reg2bin(0, (1 << 29)) == 0     # whole-reference bin
