@@ -27,6 +27,9 @@ QUANT_SCALE = 1_000_000
 N_PLANES = 6
 N_TABLES = 8
 _PLANE_MOD = 1_000_003
+# below this corpus size the quadratic bucket work is cheaper in the JVM
+# than the per-group Python invocations of the grid engine
+_GRID_MIN_VECS = 5_000
 
 
 def quantized(col):
@@ -93,6 +96,9 @@ def cosine_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     candidates: str = "lsh",
+    pair_blocks: int = 16,
+    broadcast_budget_bytes: int = 256 << 20,
+    engine: str = "auto",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_1, id_2, cosine) with
     id_1 < id_2 and cosine >= threshold.
@@ -104,6 +110,46 @@ def cosine_dup_pairs(
     candidate.  Recall < 1 by LSH design (a pair hashed apart in every table
     is never compared); the bucket arithmetic is integer-deterministic, so
     results are exactly reproducible (and DuckDB-oracle-checkable).
+
+    Skew hazard: the per-bucket candidate count is quadratic in the bucket
+    population, so one dense bucket (measured: 5.1k of 20k sf1 vectors in a
+    single 6-bit bucket → 13M of 183M candidate rows) would pin its whole
+    quadratic blow-up on the one task owning that join key.  The pair join
+    is therefore **block-salted**: the probe side replicates ``pair_blocks``
+    ways and the build side lands in block ``pmod(id, pair_blocks)``, so a
+    bucket of n rows becomes ``pair_blocks`` keys of ~n·(n/pair_blocks)
+    pairs each — bounded per-task work at any bucket density, the same
+    equi-join shape AQE/skew-join can already handle for moderate skew.
+
+    A pair colliding in several tables is kept only in its FIRST shared
+    table — a map-side filter over the two rows' carried bucket arrays that
+    replaces a ``.distinct()`` shuffle of the (much larger) candidate set.
+
+    Two engines, identical results (pinned against each other by test):
+
+    * ``engine='grid'`` — the corpus-quadratic path.  When the quantized
+      corpus matrix fits ``broadcast_budget_bytes`` (n·dim·8 bytes — ~10 MB
+      for 20k×64) AND the quantized values are small enough that a float64
+      matmul is exact (max|q|²·dim < 2⁵³ — true for any unit-ish embedding
+      at 1e-6 quantization, 6.4e13 vs 9.0e15 at dim 64), the whole
+      per-bucket pair grid runs as a blocked **dgemm** against a REPLICATED
+      matrix: each salted (table, bucket, blk) group computes
+      ``mat[P] @ mat[B].T`` (one BLAS call — no per-pair gather, no JVM
+      pair rows), thresholds the grid, and only the surviving pairs pay
+      the first-shared-table dedup and cross the Arrow boundary.
+      Integer-valued float64 dgemm plus the same norm-product division
+      reproduces the expression path IEEE-exactly.
+    * ``engine='join'`` — the JVM salted pair join + two vector-attach
+      joins + native expression cosine.  No driver collect, no broadcast:
+      scales with executors when the corpus outgrows one broadcast (same
+      budgeted pattern as dedup.py's verify stage), and has far lower
+      constant cost on small corpora (no per-group Python invocation).
+
+    ``engine='auto'`` picks grid when the corpus is big enough that the
+    quadratic bucket work dominates (≥ ``_GRID_MIN_VECS`` vectors) and the
+    broadcast/exactness gates hold; otherwise join.  ``pair_blocks`` is
+    capped at ~n/1250 so a small corpus is not shredded into thousands of
+    near-empty salt groups.
 
     ``candidates='all_pairs'``: exact brute-force self-join — O(n²), only
     for small corpora / recall measurement in tests.
@@ -132,31 +178,168 @@ def cosine_dup_pairs(
         )
 
     # One Arrow pass computes all table buckets; posexplode to
-    # (table, bucket) rows and self-equi-join on the pair — both join
-    # inputs are the identical subplan, so the shuffle is computed once and
-    # reused (ReusedExchange), not once per table.
+    # (table, bucket) rows.  The full per-table bucket array rides along
+    # (~90 B/row — the shuffle stays |corpus|·N_TABLES-sized, probe side
+    # ×pair_blocks), which makes everything after the join map-side: the
+    # first-shared-table filter dedupes cross-table hits without a
+    # .distinct() shuffle, and only the surviving id pairs reach the
+    # cosine stage.
     buckets = _buckets_batch()
     ebt = corpus.select(
         F.col(id_col).alias("id"),
-        F.posexplode(buckets(F.col(vec_col))).alias("table", "bucket"),
+        buckets(F.col(vec_col)).alias("bs"),
+    ).select("id", "bs", F.posexplode("bs").alias("table", "bucket"))
+    spark = corpus.sparkSession
+    n_vecs, dim = (
+        corpus.select(
+            F.count(F.lit(1)).alias("n"), F.first(F.size(F.col(vec_col))).alias("dim")
+        ).first()
+        or (0, 0)
     )
-    cand = (
-        ebt.select(F.col("id").alias("id_1"), "table", "bucket")
-        .join(
-            ebt.select(F.col("id").alias("id_2"), "table", "bucket"),
-            ["table", "bucket"],
+    if engine not in ("auto", "grid", "join"):
+        raise ValueError(f"unsupported engine={engine!r}")
+    pair_blocks = max(1, min(pair_blocks, (n_vecs or 0) // 1250 or 1))
+    use_grid = (
+        engine != "join"
+        and bool(n_vecs and dim)
+        and (engine == "grid" or n_vecs >= _GRID_MIN_VECS)
+        and n_vecs * dim * 8 <= broadcast_budget_bytes
+    )
+    if use_grid:
+        # Replicated-matrix path: the pair blow-up never materializes as
+        # JVM rows at all.  The shuffle moves only |corpus|·T·(G+1) id
+        # rows into (table, bucket, blk) groups; inside each group one
+        # BLAS dgemm scores the whole probe×build grid, the threshold
+        # prunes it, and only the survivors pay the first-shared-table
+        # dedup (bucket-matrix compare) and the Arrow trip back.
+        id_vec = (
+            corpus.select(
+                F.col(id_col).alias("id"),
+                F.col(vec_col).alias("vec"),
+                buckets(F.col(vec_col)).alias("bs"),
+            )
+            .toPandas()
+            .sort_values("id")
         )
-        .where(F.col("id_1") < F.col("id_2"))
+        ids = id_vec["id"].to_numpy(dtype=np.int64)
+        mat = np.stack(
+            [
+                np.floor(np.asarray(x, dtype=np.float64) * QUANT_SCALE)
+                for x in id_vec["vec"]
+            ]
+        )
+        if np.abs(mat).max() ** 2 * dim < float(1 << 53):
+            bmat = np.stack([np.asarray(x, dtype=np.int64) for x in id_vec["bs"]])
+            norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+            bc = spark.sparkContext.broadcast((ids, mat, bmat, norms))
+
+            build = ebt.select(
+                "table",
+                "bucket",
+                F.pmod(F.col("id"), F.lit(pair_blocks)).cast("int").alias("blk"),
+                "id",
+                F.lit(0).alias("probe"),
+            )
+            probe = ebt.select(
+                "table",
+                "bucket",
+                F.explode(F.sequence(F.lit(0), F.lit(pair_blocks - 1))).alias("blk"),
+                "id",
+                F.lit(1).alias("probe"),
+            )
+
+            def gen(key, pdf):
+                table = int(key[0])
+                b_ids, b_mat, b_bmat, b_norms = bc.value
+                p = np.searchsorted(
+                    b_ids, pdf.loc[pdf["probe"] == 1, "id"].to_numpy(dtype=np.int64)
+                )
+                b = np.searchsorted(
+                    b_ids, pdf.loc[pdf["probe"] == 0, "id"].to_numpy(dtype=np.int64)
+                )
+                out_1 = [np.array([], dtype=np.int64)]
+                out_2 = [np.array([], dtype=np.int64)]
+                out_c = [np.array([], dtype=np.float64)]
+                if len(p) and len(b):
+                    bm_t = np.ascontiguousarray(b_mat[b].T)
+                    b_id = b_ids[b]
+                    bn = b_norms[b]
+                    for s in range(0, len(p), 4096):  # bound the grid to ~len(b)*32MB
+                        ps = p[s : s + 4096]
+                        cos = (b_mat[ps] @ bm_t) / np.outer(b_norms[ps], bn)
+                        hit = (cos >= threshold) & (b_ids[ps][:, None] < b_id[None, :])
+                        ii, jj = np.nonzero(hit)
+                        if len(ii) == 0:
+                            continue
+                        gi, gj = ps[ii], b[jj]
+                        # first shared table == this group's table
+                        # (cross-table dedup, survivors only)
+                        first = (b_bmat[gi] == b_bmat[gj]).argmax(axis=1)
+                        k = first == table
+                        out_1.append(b_ids[gi[k]])
+                        out_2.append(b_ids[gj[k]])
+                        out_c.append(cos[ii[k], jj[k]])
+                return pd.DataFrame(
+                    {
+                        "id_1": np.concatenate(out_1),
+                        "id_2": np.concatenate(out_2),
+                        "cosine": np.concatenate(out_c),
+                    }
+                )
+
+            return (
+                build.unionByName(probe)
+                .groupBy("table", "bucket", "blk")
+                .applyInPandas(gen, "id_1 long, id_2 long, cosine double")
+            )
+
+    first_shared = F.array_position(
+        F.zip_with("bs1", "bs2", lambda x, y: x == y), F.lit(True)
+    )
+    pairs = (
+        ebt.select(
+            F.col("id").alias("id_1"),
+            F.col("bs").alias("bs1"),
+            "table",
+            "bucket",
+            F.explode(F.sequence(F.lit(0), F.lit(pair_blocks - 1))).alias("blk"),
+        )
+        .join(
+            ebt.select(
+                F.col("id").alias("id_2"),
+                F.col("bs").alias("bs2"),
+                "table",
+                "bucket",
+                F.pmod(F.col("id"), F.lit(pair_blocks)).cast("int").alias("blk"),
+            ),
+            ["table", "bucket", "blk"],
+        )
+        .where((F.col("id_1") < F.col("id_2")) & (first_shared == F.col("table") + 1))
         .select("id_1", "id_2")
-        .distinct()
     )
 
-    ev = corpus.select(F.col(id_col).alias("id"), quantized(F.col(vec_col)).alias("v"))
-    cos = _cosine_batch()
+    ev = corpus.select(
+        F.col(id_col).alias("id"),
+        quantized(F.col(vec_col)).alias("v"),
+        _norm2(quantized(F.col(vec_col))).alias("n2"),
+    )
     return (
-        cand.join(ev.select(F.col("id").alias("id_1"), F.col("v").alias("v1")), "id_1")
-        .join(ev.select(F.col("id").alias("id_2"), F.col("v").alias("v2")), "id_2")
-        .select("id_1", "id_2", cos(F.col("v1"), F.col("v2")).alias("cosine"))
+        pairs.join(
+            ev.select(F.col("id").alias("id_1"), F.col("v").alias("v1"), F.col("n2").alias("n1")),
+            "id_1",
+        )
+        .join(
+            ev.select(F.col("id").alias("id_2"), F.col("v").alias("v2"), F.col("n2").alias("n2")),
+            "id_2",
+        )
+        .select(
+            "id_1",
+            "id_2",
+            (
+                _dot(F.col("v1"), F.col("v2")).cast("double")
+                / (F.sqrt(F.col("n1").cast("double")) * F.sqrt(F.col("n2").cast("double")))
+            ).alias("cosine"),
+        )
         .where(F.col("cosine") >= threshold)
     )
 

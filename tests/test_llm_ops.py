@@ -192,6 +192,24 @@ def test_cosine_dup_pairs_lsh_plan_and_recall(spark, embs):
     assert len(lsh_pairs) >= len(exact_pairs) // 4, (len(lsh_pairs), len(exact_pairs))
 
 
+def test_cosine_dup_pairs_engines_identical(spark, embs):
+    """The dgemm-grid engine (broadcast matrix + per-salt-group BLAS) and
+    the JVM salted-pair-join engine must produce IDENTICAL rows — ids and
+    bit-exact cosines — on the same corpus; 'auto' must match too."""
+    from sequila_spark.operators.similarity import cosine_dup_pairs
+
+    def rows(engine):
+        return sorted(
+            (r["id_1"], r["id_2"], r["cosine"])
+            for r in cosine_dup_pairs(embs, threshold=0.4, engine=engine).collect()
+        )
+
+    grid, join, auto = rows("grid"), rows("join"), rows("auto")
+    assert grid == join, (len(grid), len(join))
+    assert auto == join
+    assert len(join) > 0
+
+
 def test_ivf_no_global_single_partition_window(spark, embs):
     """Seed picking must plan as TakeOrderedAndProject (per-partition top-K),
     never a corpus-wide single-partition window."""
