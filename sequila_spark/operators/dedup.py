@@ -253,21 +253,23 @@ def minhash_signatures(
 
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """LSH banding: docs sharing any band of the signature are candidates.
-    Equi-join per band on the band key (shuffle by band value), distinct
-    pairs.  No cross join anywhere."""
-    bands = []
-    for b in range(BANDS):
-        key = F.concat_ws(
-            ",", *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
-        )
-        bands.append(
-            signatures.select(
-                F.lit(b).alias("band"), key.alias("bkey"), F.col(id_col).alias("id")
+    Equi-join on the (band, band-key) pair (shuffle by band value),
+    distinct pairs.  No cross join anywhere.  Band rows come from ONE
+    posexplode projection of the signature relation — not a 16-way union,
+    which would re-evaluate the (expensive, 128-min) signature aggregate
+    once per band branch per join side."""
+    keys = F.array(
+        *[
+            F.concat_ws(
+                ",",
+                *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
             )
-        )
-    tagged = bands[0]
-    for extra in bands[1:]:
-        tagged = tagged.unionByName(extra)
+            for b in range(BANDS)
+        ]
+    )
+    tagged = signatures.select(
+        F.col(id_col).alias("id"), F.posexplode(keys).alias("band", "bkey")
+    )
     a = tagged.select("band", "bkey", F.col("id").alias("id_1"))
     b_ = tagged.select("band", "bkey", F.col("id").alias("id_2"))
     return (
