@@ -74,9 +74,9 @@ def cosine_topk(
         .select(
             "query_id",
             "neighbor_id",
-            (
-                _dot(F.col("qv"), F.col("cv")).cast("double")
-                / (F.sqrt(F.col("qn").cast("double")) * F.sqrt(F.col("cn").cast("double")))
+            F.try_divide(
+                _dot(F.col("qv"), F.col("cv")).cast("double"),
+                F.sqrt(F.col("qn").cast("double")) * F.sqrt(F.col("cn").cast("double")),
             ).alias("cosine"),
         )
     )
@@ -169,9 +169,9 @@ def cosine_dup_pairs(
             .select(
                 "id_1",
                 "id_2",
-                (
-                    _dot(F.col("v1"), F.col("v2")).cast("double")
-                    / (F.sqrt(F.col("n1").cast("double")) * F.sqrt(F.col("n2").cast("double")))
+                F.try_divide(
+                    _dot(F.col("v1"), F.col("v2")).cast("double"),
+                    F.sqrt(F.col("n1").cast("double")) * F.sqrt(F.col("n2").cast("double")),
                 ).alias("cosine"),
             )
             .where(F.col("cosine") >= threshold)
@@ -335,9 +335,9 @@ def cosine_dup_pairs(
         .select(
             "id_1",
             "id_2",
-            (
-                _dot(F.col("v1"), F.col("v2")).cast("double")
-                / (F.sqrt(F.col("n1").cast("double")) * F.sqrt(F.col("n2").cast("double")))
+            F.try_divide(
+                _dot(F.col("v1"), F.col("v2")).cast("double"),
+                F.sqrt(F.col("n1").cast("double")) * F.sqrt(F.col("n2").cast("double")),
             ).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)

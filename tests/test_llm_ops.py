@@ -210,6 +210,39 @@ def test_cosine_dup_pairs_engines_identical(spark, embs):
     assert len(join) > 0
 
 
+def test_cosine_dup_pairs_engines_identical_under_skew(spark):
+    """Worst-case bucket skew: many IDENTICAL vectors hash to the same
+    bucket in EVERY table (the quadratic blow-up the salting exists for),
+    plus zero-norm vectors (cosine 0/0 -> NaN, must be dropped by both
+    engines, matching SQL's NULL-comparison semantics)."""
+    from sequila_spark.operators.similarity import cosine_dup_pairs
+
+    dim = 8
+    rows_in = (
+        [(i, [1.0] * dim) for i in range(40)]  # one dense bucket everywhere
+        + [(100 + i, [0.0] * dim) for i in range(3)]  # zero norm
+        + [(200 + i, [float(j == i % dim) for j in range(dim)]) for i in range(16)]
+    )
+    corpus = spark.createDataFrame(rows_in, "vec_id long, embedding array<float>")
+
+    def rows(engine):
+        return sorted(
+            (r["id_1"], r["id_2"], r["cosine"])
+            for r in cosine_dup_pairs(
+                corpus, threshold=0.5, engine=engine, pair_blocks=4
+            ).collect()
+        )
+
+    grid, join = rows("grid"), rows("join")
+    assert grid == join
+    ids_out = {i for r in grid for i in r[:2]}
+    assert not ids_out & {100, 101, 102}  # zero vectors never pair
+    # the 40 identical vectors form all C(40,2) pairs exactly once each
+    dense = [r for r in grid if r[0] < 100 and r[1] < 100]
+    assert len(dense) == 40 * 39 // 2
+    assert all(abs(r[2] - 1.0) < 1e-9 for r in dense)  # sqrt(n)^2 != n exactly
+
+
 def test_ivf_no_global_single_partition_window(spark, embs):
     """Seed picking must plan as TakeOrderedAndProject (per-partition top-K),
     never a corpus-wide single-partition window."""
