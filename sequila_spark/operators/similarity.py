@@ -427,8 +427,36 @@ def ivf_index(
     return assigned
 
 
-def ivf_topk(
+def ivf_index_save(
     corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = IVF_LISTS,
+    iters: int = IVF_ITERS,
+) -> None:
+    """Materialize the IVF index once: the assignment (id, list_id, v)
+    parquet-PARTITIONED BY list_id — so a probe of p lists prunes to p
+    directories at scan time — plus the producing centroids under
+    ``<path>/centroids``.  Build once per corpus version, then serve every
+    query batch from the saved index (`ivf_topk(index_path=...)`) instead
+    of re-running k-means per call."""
+    e = corpus.select(F.col(id_col).alias("id"), quantized(F.col(vec_col)).alias("v"))
+    assigned, cents = _ivf_build(e, n_lists, iters)
+    assigned.write.partitionBy("list_id").parquet(f"{path}/lists")
+    cents.select("list_id", "c").write.parquet(f"{path}/centroids")
+
+
+def ivf_index_load(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """(assignment, centroids) back from ivf_index_save output."""
+    return (
+        spark.read.parquet(f"{path}/lists"),
+        spark.read.parquet(f"{path}/centroids"),
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame | None,
     queries: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
@@ -436,15 +464,25 @@ def ivf_topk(
     n_probes: int = IVF_PROBES,
     n_lists: int = IVF_LISTS,
     iters: int = IVF_ITERS,
+    index_path: str | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: each query probes its n_probes nearest
     inverted lists and scores only those lists' vectors (equi-join on
     list_id — candidate cost scales with probed-list occupancy, not corpus
     size).  Deterministic end to end; recall tested against cosine_topk.
-    At real scale, materialize ivf_index once to parquet and reuse it
-    across query batches instead of rebuilding per call."""
-    e = corpus.select(F.col(id_col).alias("id"), quantized(F.col(vec_col)).alias("v"))
-    index, cents = _ivf_build(e, n_lists, iters)
+
+    ``index_path`` serves from an index materialized by ivf_index_save —
+    the scale pattern: the k-means build is paid once per corpus version,
+    and the list_id partitioning means each query batch SCANS only the
+    probed lists (partition pruning, no full-corpus pass).  ``corpus`` is
+    ignored (may be None) when an index_path is given."""
+    if index_path is not None:
+        index, cents = ivf_index_load(queries.sparkSession, index_path)
+    else:
+        if corpus is None:
+            raise ValueError("ivf_topk needs a corpus or an index_path")
+        e = corpus.select(F.col(id_col).alias("id"), quantized(F.col(vec_col)).alias("v"))
+        index, cents = _ivf_build(e, n_lists, iters)
     cents = cents.select("list_id", F.col("c"))
     q = queries.select(F.col(id_col).alias("query_id"), quantized(F.col(vec_col)).alias("qv"))
     probes = (

@@ -120,6 +120,20 @@ def test_ivf_topk_deterministic_and_sane(spark, embs):
     assert hits >= max(1, len(exact1) // 3), (hits, len(exact1))
 
 
+def test_ivf_saved_index_matches_inline_build(spark, embs, tmp_path):
+    """ivf_topk served from a parquet-materialized index (list_id-partitioned,
+    the build-once/query-many scale pattern) must equal the inline build."""
+    from sequila_spark.operators.similarity import ivf_index_save, ivf_topk
+
+    queries = embs.where(F.col("vec_id") % 100 == 0)
+    path = str(tmp_path / "ivf")
+    ivf_index_save(embs, path)
+    inline = sorted(map(tuple, ivf_topk(embs, queries, k=3).collect()))
+    served = sorted(map(tuple, ivf_topk(None, queries, k=3, index_path=path).collect()))
+    assert inline == served
+    assert len(served) > 0
+
+
 def test_hash_split_deterministic_and_disjoint(spark, docs):
     from sequila_spark.operators.sampling import hash_split, sample_fraction
 
