@@ -566,7 +566,10 @@ def _buckets_batch():
 
 def _cosine_batch():
     """Arrow-vectorized quantized cosine: exact int64 dot/norms, then the
-    same float64 op sequence as the expression path (IEEE-identical)."""
+    same float64 op sequence as the expression path (IEEE-identical).
+    Zero-norm vectors yield NULL, not NaN — Spark orders NaN ABOVE every
+    double (it would win a cosine-desc top-k!), while SQL NULL sorts last
+    under desc on both engines, matching try_divide and the oracle."""
 
     @F.pandas_udf("double")
     def udf(qv: pd.Series, cv: pd.Series) -> pd.Series:
@@ -577,7 +580,9 @@ def _cosine_batch():
         dot = np.einsum("ij,ij->i", a, b).astype(np.float64)
         na = np.sqrt(np.einsum("ij,ij->i", a, a).astype(np.float64))
         nb = np.sqrt(np.einsum("ij,ij->i", b, b).astype(np.float64))
-        return pd.Series(dot / (na * nb))
+        denom = na * nb
+        out = np.divide(dot, denom, out=np.full(len(dot), np.nan), where=denom > 0)
+        return pd.Series(pd.array(out, dtype="Float64"))
 
     return udf
 

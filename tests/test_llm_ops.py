@@ -120,6 +120,25 @@ def test_ivf_topk_deterministic_and_sane(spark, embs):
     assert hits >= max(1, len(exact1) // 3), (hits, len(exact1))
 
 
+def test_topk_zero_norm_vectors_rank_last(spark):
+    """A zero-norm vector's cosine is NULL (0/0), and NULL must lose the
+    cosine-desc ranking on every path — numpy NaN would WIN it (Spark
+    orders NaN above all doubles), silently corrupting top-k results."""
+    from sequila_spark.operators.similarity import ann_topk_lsh, cosine_topk
+
+    dim = 8
+    rows_in = [(0, [1.0] * dim), (1, [1.0] * dim), (2, [0.0] * dim),
+               (3, [-1.0] * dim)]
+    corpus = spark.createDataFrame(rows_in, "vec_id long, embedding array<float>")
+    queries = corpus.where(F.col("vec_id") == 0)
+    for fn in (cosine_topk, ann_topk_lsh):
+        got = {r["rank"]: r["neighbor_id"] for r in fn(corpus, queries, k=4).collect()}
+        assert got.get(1) == 1, (fn.__name__, got)  # identical vector wins
+        # the zero vector never outranks a real cosine
+        real = [rk for rk, n in got.items() if n in (1, 3)]
+        assert all(rk < got[2] for rk in real) if 2 in got.values() else True
+
+
 def test_ivf_saved_index_matches_inline_build(spark, embs, tmp_path):
     """ivf_topk served from a parquet-materialized index (list_id-partitioned,
     the build-once/query-many scale pattern) must equal the inline build."""
