@@ -190,12 +190,12 @@ def cosine_dup_pairs(
         buckets(F.col(vec_col)).alias("bs"),
     ).select("id", "bs", F.posexplode("bs").alias("table", "bucket"))
     spark = corpus.sparkSession
-    n_vecs, dim = (
-        corpus.select(
-            F.count(F.lit(1)).alias("n"), F.first(F.size(F.col(vec_col))).alias("dim")
-        ).first()
-        or (0, 0)
-    )
+    # engine-choice probes: count() is metadata-only on a bare scan and the
+    # dim probe stops at the first row — neither reads the embedding column
+    # end to end (a combined count+first(size) aggregate would)
+    n_vecs = corpus.count()
+    dim_row = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = dim_row["d"] if dim_row else 0
     if engine not in ("auto", "grid", "join"):
         raise ValueError(f"unsupported engine={engine!r}")
     pair_blocks = max(1, min(pair_blocks, (n_vecs or 0) // 1250 or 1))
