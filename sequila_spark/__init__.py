@@ -16,6 +16,24 @@ from sequila_spark.session import SequilaSession, get_spark, register
 from sequila_spark.operators.range_join import range_join
 from sequila_spark.operators.coverage import coverage
 from sequila_spark.operators.pileup import mismatches_from_md, pileup, pileup_md
+from sequila_spark.operators.asof import asof_join
+from sequila_spark.operators.dedup import (
+    dedup_components,
+    exact_duplicates,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from sequila_spark.operators.sampling import hash_split, stratified_sample
+from sequila_spark.operators.similarity import (
+    ann_topk_lsh,
+    cosine_dup_pairs,
+    cosine_topk,
+    ivf_index_load,
+    ivf_index_save,
+    ivf_topk,
+)
+from sequila_spark.operators.text import lang_id, quality_score, text_features
 from sequila_spark.functions import intervals as interval_functions
 from sequila_spark.converters import (
     compare_pileups,
@@ -40,4 +58,22 @@ __all__ = [
     "read_sequila_pileup",
     "mismatches_from_md",
     "interval_functions",
+    # LLM-data-pipeline operator family
+    "asof_join",
+    "exact_duplicates",
+    "ngram_jaccard_pairs",
+    "minhash_dedup_pairs",
+    "simhash",
+    "dedup_components",
+    "cosine_topk",
+    "cosine_dup_pairs",
+    "ann_topk_lsh",
+    "ivf_topk",
+    "ivf_index_save",
+    "ivf_index_load",
+    "hash_split",
+    "stratified_sample",
+    "text_features",
+    "quality_score",
+    "lang_id",
 ]
