@@ -467,3 +467,218 @@ def stream_lsh_neardup(
         outputMode="append",
         timeoutConf=timeout_conf,
     )
+
+
+_VEC_NEARDUP_OUT = T.StructType(
+    [
+        T.StructField("table", T.IntegerType()),
+        T.StructField("id_1", T.LongType()),
+        T.StructField("id_2", T.LongType()),
+        T.StructField("cosine", T.DoubleType()),
+    ]
+)
+_VEC_NEARDUP_STATE = T.StructType(
+    [
+        T.StructField("anchor_id", T.LongType()),
+        T.StructField("anchor_qv", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def _vec_bucket_rows(
+    embs: DataFrame, id_col: str, vec_col: str, ts_col: str | None = None
+) -> DataFrame:
+    """(table, bucket, vec_id, qv[, ts]) — one row per (vector, LSH table),
+    the quantized vector carried alongside so the bucket operator can
+    verify candidates in-stream.  Map-only (no shuffle); the bucket
+    arithmetic is EXACTLY operators.similarity._buckets_batch (int64
+    hyperplane matmul), so stream buckets equal batch buckets."""
+    import numpy as np
+    import pandas as pd
+
+    from sequila_spark.operators.similarity import (
+        N_PLANES,
+        N_TABLES,
+        QUANT_SCALE,
+        _PLANE_MOD,
+    )
+
+    half = (_PLANE_MOD - 1) // 2
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"table": [], "bucket": [], "vec_id": [], "qv": []}
+            if ts_col is not None:
+                out["ts"] = []
+            tss = pdf[ts_col] if ts_col is not None else pdf[id_col]
+            for vid, vec, ts in zip(pdf[id_col], pdf[vec_col], tss):
+                if vec is None or len(vec) == 0:
+                    continue  # null/empty vectors never bucket (batch parity)
+                q = np.floor(np.asarray(vec, dtype=np.float64) * QUANT_SCALE).astype(
+                    np.int64
+                )
+                dim = len(q)
+                g = np.arange(N_TABLES * N_PLANES, dtype=np.int64)[:, None]
+                d = np.arange(dim, dtype=np.int64)[None, :]
+                planes = ((g * 997 + d) * 2654435761) % _PLANE_MOD - half
+                bits = (planes @ q) > 0  # (T*P,)
+                weights = np.tile(1 << np.arange(N_PLANES, dtype=np.int64), N_TABLES)
+                buckets = (bits.astype(np.int64) * weights).reshape(
+                    N_TABLES, N_PLANES
+                ).sum(axis=1)
+                for t in range(N_TABLES):
+                    out["table"].append(t)
+                    out["bucket"].append(int(buckets[t]))
+                    out["vec_id"].append(int(vid))
+                    out["qv"].append(q)
+                    if ts_col is not None:
+                        out["ts"].append(ts)
+            yield pd.DataFrame(out)
+
+    fields = [
+        T.StructField("table", T.IntegerType()),
+        T.StructField("bucket", T.LongType()),
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("qv", T.ArrayType(T.LongType())),
+    ]
+    if ts_col is not None:
+        fields.append(T.StructField("ts", T.TimestampType()))
+    return embs.mapInPandas(gen, schema=T.StructType(fields))
+
+
+def _cos_int(a, b) -> float:
+    """Exact-int64 dot / float64 norm product — the same op sequence as the
+    batch engines; returns None for a zero-norm operand (SQL NULL
+    semantics: the pair fails any threshold)."""
+    import numpy as np
+
+    dot = float(np.dot(a, b))
+    den = float(np.sqrt(float(np.dot(a, a)))) * float(np.sqrt(float(np.dot(b, b))))
+    return dot / den if den > 0 else None
+
+
+def stream_embedding_neardup(
+    embs: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    state_ttl_ms: int | None = None,
+    ttl_mode: str = "processing",
+    ts_col: str = "ts",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Streaming embedding-cosine near-duplicate detection — the vector
+    sibling of stream_lsh_neardup: hyperplane-LSH buckets keyed by
+    (table, bucket), per-bucket state = the anchor (smallest vec_id seen)
+    and its quantized vector; each arriving vector is verified against the
+    anchor with the EXACT integer cosine (same arithmetic as
+    operators.similarity) and emitted as (table, id_1=anchor, id_2,
+    cosine) when it clears the threshold.
+
+    State per bucket is one id + one int64 vector (dim·8 bytes) — bounded
+    by the number of distinct (table, bucket) keys (≤ T·2^PLANES), not the
+    stream length.  TTL semantics (``state_ttl_ms``, ``ttl_mode='event'``
+    + ``watermark``) are identical to stream_lsh_neardup, including the
+    watermark clamp.  On a BATCH DataFrame this returns the equivalent
+    batch formulation, so tests pin stream == batch."""
+    import numpy as np
+    import pandas as pd
+
+    if ttl_mode not in ("processing", "event"):
+        raise ValueError(f"unknown ttl_mode: {ttl_mode!r}")
+    event_ttl = ttl_mode == "event" and state_ttl_ms is not None and embs.isStreaming
+    if event_ttl:
+        if watermark is None:
+            raise ValueError("ttl_mode='event' needs a watermark delay string")
+        if ts_col not in embs.columns:
+            raise ValueError(f"ttl_mode='event' needs event-time column {ts_col!r}")
+        tagged = _vec_bucket_rows(embs, id_col, vec_col, ts_col=ts_col).withWatermark(
+            "ts", watermark
+        )
+    else:
+        tagged = _vec_bucket_rows(embs, id_col, vec_col)
+
+    if not embs.isStreaming:
+        w = Window.partitionBy("table", "bucket")
+        cand = (
+            tagged.withColumn("anchor", F.min("vec_id").over(w))
+            .where(F.col("vec_id") != F.col("anchor"))
+        )
+        anchor_vecs = tagged.select(
+            "table", "bucket", F.col("vec_id").alias("anchor"),
+            F.col("qv").alias("anchor_qv"),
+        )
+        joined = cand.join(anchor_vecs, ["table", "bucket", "anchor"])
+
+        def verify(batches):
+            for pdf in batches:
+                out = {"table": [], "id_1": [], "id_2": [], "cosine": []}
+                for t, aid, vid, av, v in zip(
+                    pdf["table"], pdf["anchor"], pdf["vec_id"],
+                    pdf["anchor_qv"], pdf["qv"],
+                ):
+                    cos = _cos_int(
+                        np.asarray(v, dtype=np.int64), np.asarray(av, dtype=np.int64)
+                    )
+                    if cos is not None and cos >= threshold:
+                        out["table"].append(int(t))
+                        out["id_1"].append(int(aid))
+                        out["id_2"].append(int(vid))
+                        out["cosine"].append(cos)
+                yield pd.DataFrame(out)
+
+        return joined.mapInPandas(verify, schema=_VEC_NEARDUP_OUT)
+
+    def fn(key, pdf_iter, state):
+        table, _bucket = key
+        if state_ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            anchor_id, anchor_qv = state.get
+            anchor_qv = np.asarray(anchor_qv, dtype=np.int64)
+        else:
+            anchor_id, anchor_qv = None, None
+        rows = pd.concat(list(pdf_iter), ignore_index=True).sort_values("vec_id")
+        out = {"table": [], "id_1": [], "id_2": [], "cosine": []}
+        for vid, qv in zip(rows["vec_id"], rows["qv"]):
+            v = np.asarray(qv, dtype=np.int64)
+            if anchor_id is None:
+                anchor_id, anchor_qv = int(vid), v
+                continue
+            if vid == anchor_id:
+                continue
+            cos = _cos_int(v, anchor_qv)
+            lo, hi = (
+                (int(vid), anchor_id) if vid < anchor_id else (anchor_id, int(vid))
+            )
+            if vid < anchor_id:  # out-of-order arrival: re-anchor at the min
+                anchor_id, anchor_qv = int(vid), v
+            if cos is not None and cos >= threshold:
+                out["table"].append(int(table))
+                out["id_1"].append(lo)
+                out["id_2"].append(hi)
+                out["cosine"].append(cos)
+        state.update((int(anchor_id), [int(x) for x in anchor_qv]))
+        if state_ttl_ms is not None:
+            if event_ttl:
+                max_ts_ms = int(rows["ts"].max().value // 1_000_000)
+                wm = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(max(max_ts_ms + state_ttl_ms, wm + 1))
+            else:
+                state.setTimeoutDuration(state_ttl_ms)
+        yield pd.DataFrame(out)
+
+    if state_ttl_ms is None:
+        timeout_conf = "NoTimeout"
+    elif event_ttl:
+        timeout_conf = "EventTimeTimeout"
+    else:
+        timeout_conf = "ProcessingTimeTimeout"
+    return tagged.groupBy("table", "bucket").applyInPandasWithState(
+        fn,
+        outputStructType=_VEC_NEARDUP_OUT,
+        stateStructType=_VEC_NEARDUP_STATE,
+        outputMode="append",
+        timeoutConf=timeout_conf,
+    )

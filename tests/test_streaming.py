@@ -547,3 +547,189 @@ def test_stream_lsh_neardup_event_time_ttl_no_expiry_keeps_pairs(spark, tmp_path
 
     pairs = {(p[1], p[2]) for p in got}
     assert (1001, 1002) in pairs, "anchor within TTL must still pair"
+
+
+def _neardup_vecs():
+    """Vectors with planted near-dup families: 2001/2002/2003 nearly
+    parallel, 2005/2006 nearly parallel in another direction, rest far."""
+    import math
+
+    dim = 16
+    base = [math.sin(i + 1) for i in range(dim)]
+    tilt = [v + (0.01 if i == 0 else 0.0) for i, v in enumerate(base)]
+    other = [math.cos(2 * i + 1) for i in range(dim)]
+    other2 = [v + (0.02 if i == 3 else 0.0) for i, v in enumerate(other)]
+    far = [(1.0 if i == j else 0.0) for j in range(3) for i in range(dim)]
+    rows = [
+        (2001, base),
+        (2002, tilt),
+        (2003, base),
+        (2005, other),
+        (2006, other2),
+    ]
+    rows += [(2010 + j, far[j * dim : (j + 1) * dim]) for j in range(3)]
+    return rows
+
+
+def _vec_neardup_set(rows):
+    return {(r["table"], r["id_1"], r["id_2"], round(r["cosine"], 12)) for r in rows}
+
+
+def test_stream_embedding_neardup_equals_batch(spark, tmp_path):
+    """Single micro-batch replay: the stateful (table, bucket) operator
+    must emit exactly the batch formulation's verified anchor pairs."""
+    from sequila_spark.streaming.ops import stream_embedding_neardup
+
+    embs = spark.createDataFrame(_neardup_vecs(), "vec_id long, embedding array<float>")
+    d = str(tmp_path / "vecs")
+    embs.coalesce(1).write.parquet(d)
+
+    batch = stream_embedding_neardup(spark.read.parquet(d), threshold=0.9)
+    expect = _vec_neardup_set(batch.collect())
+    assert expect, "crafted vectors must produce near-dup pairs"
+    assert {(p[1], p[2]) for p in expect} >= {(2001, 2002), (2001, 2003), (2005, 2006)}
+
+    stream = stream_embedding_neardup(
+        spark.readStream.schema(embs.schema).parquet(d), threshold=0.9
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("vneardup1")
+        .option("checkpointLocation", str(tmp_path / "vck1"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = _vec_neardup_set(spark.sql("SELECT * FROM vneardup1").collect())
+    assert got == expect
+
+
+def test_stream_embedding_neardup_state_across_batches(spark, tmp_path):
+    """Vectors arriving in the second micro-batch must verify against
+    anchors remembered in state from the first."""
+    import time
+
+    from sequila_spark.streaming.ops import stream_embedding_neardup
+
+    rows = _neardup_vecs()
+    by_id = {r[0]: r for r in rows}
+    first = [by_id[2001], by_id[2005]]
+    second = [r for r in rows if r[0] not in (2001, 2005)]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    d = tmp_path / "vecs2"
+    d.mkdir()
+    spark.createDataFrame(first, embs.schema).coalesce(1).write.parquet(
+        str(d / "f1.parquet")
+    )
+    time.sleep(1.1)  # file-source ordering is by modification time
+    spark.createDataFrame(second, embs.schema).coalesce(1).write.parquet(
+        str(d / "f2.parquet")
+    )
+
+    stream = stream_embedding_neardup(
+        spark.readStream.schema(embs.schema).option("maxFilesPerTrigger", "1")
+        .parquet(str(d / "*")),
+        threshold=0.9,
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("vneardup2")
+        .option("checkpointLocation", str(tmp_path / "vck2"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = _vec_neardup_set(spark.sql("SELECT * FROM vneardup2").collect())
+    expect = _vec_neardup_set(
+        stream_embedding_neardup(spark.read.parquet(str(d / "*")), threshold=0.9).collect()
+    )
+    assert got == expect
+    assert {(p[1], p[2]) for p in got} >= {(2001, 2002), (2005, 2006)}
+
+
+def test_vec_bucket_rows_parity_with_batch_lsh(spark):
+    """The streaming bucket path (per-row numpy) must produce exactly the
+    batch operator's (table, bucket) keys for every vector."""
+    from sequila_spark.operators.similarity import _buckets_batch
+    from sequila_spark.streaming.ops import _vec_bucket_rows
+
+    embs = spark.createDataFrame(_neardup_vecs(), "vec_id long, embedding array<float>")
+    stream_keys = {
+        (r["vec_id"], r["table"], r["bucket"])
+        for r in _vec_bucket_rows(embs, "vec_id", "embedding").collect()
+    }
+    buckets = _buckets_batch()
+    batch_keys = {
+        (r["vec_id"], r["table"], r["bucket"])
+        for r in embs.select(
+            "vec_id", F.posexplode(buckets(F.col("embedding"))).alias("table", "bucket")
+        ).collect()
+    }
+    assert stream_keys == batch_keys
+
+
+def test_stream_embedding_neardup_event_time_ttl_replay(spark, tmp_path):
+    """Event-time TTL for the vector operator: the anchor set at 10:00:00
+    with a 60 s event-time TTL must be expired once the watermark (driven
+    by an unrelated 10:10:00 row) passes 10:01:00, so a near-parallel
+    vector arriving later in event time re-anchors instead of pairing."""
+    from sequila_spark.streaming.ops import stream_embedding_neardup
+
+    by_id = {r[0]: r for r in _neardup_vecs()}
+    schema = "vec_id long, embedding array<float>, ts timestamp"
+    d = tmp_path / "vecs_evttl"
+    d.mkdir()
+
+    def write_batch(name, items):
+        spark.createDataFrame(
+            [(i, by_id[i][1], ts) for i, ts in items], schema
+        ).coalesce(1).write.parquet(str(d / name))
+
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2026, 1, 1, 10, 0, 0) + dt.timedelta(seconds=s)  # noqa: E731
+
+    write_batch("f1.parquet", [(2001, t(0))])  # anchors at event time 10:00:00
+    stream = stream_embedding_neardup(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d / "*")),
+        threshold=0.9,
+        state_ttl_ms=60_000,
+        ttl_mode="event",
+        ts_col="ts",
+        watermark="10 seconds",
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("vneardup_evttl")
+        .option("checkpointLocation", str(tmp_path / "vck_evttl"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # unrelated far vector 10 min later advances the watermark past the
+        # bucket's 10:01:00 timeout -> expiry fires
+        write_batch("f2.parquet", [(2010, t(600))])
+        q.processAllAvailable()
+        # near-dup of 2001 after the expiry: must re-anchor, not pair
+        write_batch("f3.parquet", [(2002, t(605))])
+        q.processAllAvailable()
+        # identical vector to 2001: pairs with the new anchor 2002, not 2001
+        write_batch("f4.parquet", [(2003, t(610))])
+        q.processAllAvailable()
+        got = _vec_neardup_set(spark.sql("SELECT * FROM vneardup_evttl").collect())
+    finally:
+        q.stop()
+
+    pairs = {(p[1], p[2]) for p in got}
+    assert (2001, 2002) not in pairs, "event-time-expired anchor must not pair"
+    assert (2001, 2003) not in pairs
+    assert (2002, 2003) in pairs, "bucket must re-anchor at 2002 after expiry"
