@@ -19,6 +19,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 QUANT_SCALE = 1_000_000
 # multi-table hyperplane LSH: recall 1-(1-p^PLANES)^TABLES for per-plane
@@ -116,7 +117,8 @@ def cosine_dup_pairs(
     single 6-bit bucket → 13M of 183M candidate rows) would pin its whole
     quadratic blow-up on the one task owning that join key.  The pair join
     is therefore **block-salted**: the probe side replicates ``pair_blocks``
-    ways and the build side lands in block ``pmod(id, pair_blocks)``, so a
+    ways and the build side lands in block ``xxhash64(id) mod pair_blocks``
+    (hashed, so any id type — string uuid or integer — salts evenly), so a
     bucket of n rows becomes ``pair_blocks`` keys of ~n·(n/pair_blocks)
     pairs each — bounded per-task work at any bucket density, the same
     equi-join shape AQE/skew-join can already handle for moderate skew.
@@ -156,6 +158,8 @@ def cosine_dup_pairs(
     """
     if candidates not in ("lsh", "all_pairs"):
         raise ValueError(f"unsupported candidates={candidates!r}")
+    if engine not in ("auto", "grid", "join"):
+        raise ValueError(f"unsupported engine={engine!r}")
     e = corpus.select(
         F.col(id_col).alias("id"),
         quantized(F.col(vec_col)).alias("v"),
@@ -196,15 +200,36 @@ def cosine_dup_pairs(
     n_vecs = corpus.count()
     dim_row = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
     dim = dim_row["d"] if dim_row else 0
-    if engine not in ("auto", "grid", "join"):
-        raise ValueError(f"unsupported engine={engine!r}")
     pair_blocks = max(1, min(pair_blocks, (n_vecs or 0) // 1250 or 1))
+    # the blk salt hashes the id, so any id type (string uuid, long)
+    # partitions the build side; the grid engine additionally needs
+    # integral ids (searchsorted against an int64 index)
+    blk_of_id = F.pmod(F.xxhash64(F.col("id")), F.lit(pair_blocks)).cast("int")
+    integral_id = isinstance(
+        corpus.schema[id_col].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    )
+    # broadcast payload = mat (n·dim·8) + bmat (n·T·8) + norms (n·8)
     use_grid = (
         engine != "join"
         and bool(n_vecs and dim)
+        and integral_id
         and (engine == "grid" or n_vecs >= _GRID_MIN_VECS)
-        and n_vecs * dim * 8 <= broadcast_budget_bytes
+        and n_vecs * (dim + N_TABLES + 1) * 8 <= broadcast_budget_bytes
     )
+    if use_grid:
+        # float64 dgemm over integer-valued inputs is exact only while
+        # every partial sum stays below 2^53 — checked distributed,
+        # BEFORE the driver collects anything
+        qmax = (
+            corpus.select(
+                F.max(
+                    F.array_max(F.transform(quantized(F.col(vec_col)), F.abs))
+                ).alias("m")
+            ).first()["m"]
+            or 0
+        )
+        use_grid = float(qmax) ** 2 * dim < float(1 << 53)
     if use_grid:
         # Replicated-matrix path: the pair blow-up never materializes as
         # JVM rows at all.  The shuffle moves only |corpus|·T·(G+1) id
@@ -228,70 +253,72 @@ def cosine_dup_pairs(
                 for x in id_vec["vec"]
             ]
         )
-        if np.abs(mat).max() ** 2 * dim < float(1 << 53):
-            bmat = np.stack([np.asarray(x, dtype=np.int64) for x in id_vec["bs"]])
-            norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
-            bc = spark.sparkContext.broadcast((ids, mat, bmat, norms))
+        bmat = np.stack([np.asarray(x, dtype=np.int64) for x in id_vec["bs"]])
+        norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+        # the broadcast lives until the returned DataFrame's last
+        # execution — Spark's ContextCleaner reclaims it once the plan
+        # (and this closure) are garbage-collected
+        bc = spark.sparkContext.broadcast((ids, mat, bmat, norms))
 
-            build = ebt.select(
-                "table",
-                "bucket",
-                F.pmod(F.col("id"), F.lit(pair_blocks)).cast("int").alias("blk"),
-                "id",
-                F.lit(0).alias("probe"),
+        build = ebt.select(
+            "table",
+            "bucket",
+            blk_of_id.alias("blk"),
+            "id",
+            F.lit(0).alias("probe"),
+        )
+        probe = ebt.select(
+            "table",
+            "bucket",
+            F.explode(F.sequence(F.lit(0), F.lit(pair_blocks - 1))).alias("blk"),
+            "id",
+            F.lit(1).alias("probe"),
+        )
+
+        def gen(key, pdf):
+            table = int(key[0])
+            b_ids, b_mat, b_bmat, b_norms = bc.value
+            p = np.searchsorted(
+                b_ids, pdf.loc[pdf["probe"] == 1, "id"].to_numpy(dtype=np.int64)
             )
-            probe = ebt.select(
-                "table",
-                "bucket",
-                F.explode(F.sequence(F.lit(0), F.lit(pair_blocks - 1))).alias("blk"),
-                "id",
-                F.lit(1).alias("probe"),
+            b = np.searchsorted(
+                b_ids, pdf.loc[pdf["probe"] == 0, "id"].to_numpy(dtype=np.int64)
+            )
+            out_1 = [np.array([], dtype=np.int64)]
+            out_2 = [np.array([], dtype=np.int64)]
+            out_c = [np.array([], dtype=np.float64)]
+            if len(p) and len(b):
+                bm_t = np.ascontiguousarray(b_mat[b].T)
+                b_id = b_ids[b]
+                bn = b_norms[b]
+                for s in range(0, len(p), 4096):  # bound the grid to ~len(b)*32MB
+                    ps = p[s : s + 4096]
+                    cos = (b_mat[ps] @ bm_t) / np.outer(b_norms[ps], bn)
+                    hit = (cos >= threshold) & (b_ids[ps][:, None] < b_id[None, :])
+                    ii, jj = np.nonzero(hit)
+                    if len(ii) == 0:
+                        continue
+                    gi, gj = ps[ii], b[jj]
+                    # first shared table == this group's table
+                    # (cross-table dedup, survivors only)
+                    first = (b_bmat[gi] == b_bmat[gj]).argmax(axis=1)
+                    k = first == table
+                    out_1.append(b_ids[gi[k]])
+                    out_2.append(b_ids[gj[k]])
+                    out_c.append(cos[ii[k], jj[k]])
+            return pd.DataFrame(
+                {
+                    "id_1": np.concatenate(out_1),
+                    "id_2": np.concatenate(out_2),
+                    "cosine": np.concatenate(out_c),
+                }
             )
 
-            def gen(key, pdf):
-                table = int(key[0])
-                b_ids, b_mat, b_bmat, b_norms = bc.value
-                p = np.searchsorted(
-                    b_ids, pdf.loc[pdf["probe"] == 1, "id"].to_numpy(dtype=np.int64)
-                )
-                b = np.searchsorted(
-                    b_ids, pdf.loc[pdf["probe"] == 0, "id"].to_numpy(dtype=np.int64)
-                )
-                out_1 = [np.array([], dtype=np.int64)]
-                out_2 = [np.array([], dtype=np.int64)]
-                out_c = [np.array([], dtype=np.float64)]
-                if len(p) and len(b):
-                    bm_t = np.ascontiguousarray(b_mat[b].T)
-                    b_id = b_ids[b]
-                    bn = b_norms[b]
-                    for s in range(0, len(p), 4096):  # bound the grid to ~len(b)*32MB
-                        ps = p[s : s + 4096]
-                        cos = (b_mat[ps] @ bm_t) / np.outer(b_norms[ps], bn)
-                        hit = (cos >= threshold) & (b_ids[ps][:, None] < b_id[None, :])
-                        ii, jj = np.nonzero(hit)
-                        if len(ii) == 0:
-                            continue
-                        gi, gj = ps[ii], b[jj]
-                        # first shared table == this group's table
-                        # (cross-table dedup, survivors only)
-                        first = (b_bmat[gi] == b_bmat[gj]).argmax(axis=1)
-                        k = first == table
-                        out_1.append(b_ids[gi[k]])
-                        out_2.append(b_ids[gj[k]])
-                        out_c.append(cos[ii[k], jj[k]])
-                return pd.DataFrame(
-                    {
-                        "id_1": np.concatenate(out_1),
-                        "id_2": np.concatenate(out_2),
-                        "cosine": np.concatenate(out_c),
-                    }
-                )
-
-            return (
-                build.unionByName(probe)
-                .groupBy("table", "bucket", "blk")
-                .applyInPandas(gen, "id_1 long, id_2 long, cosine double")
-            )
+        return (
+            build.unionByName(probe)
+            .groupBy("table", "bucket", "blk")
+            .applyInPandas(gen, "id_1 long, id_2 long, cosine double")
+        )
 
     first_shared = F.array_position(
         F.zip_with("bs1", "bs2", lambda x, y: x == y), F.lit(True)
@@ -310,7 +337,7 @@ def cosine_dup_pairs(
                 F.col("bs").alias("bs2"),
                 "table",
                 "bucket",
-                F.pmod(F.col("id"), F.lit(pair_blocks)).cast("int").alias("blk"),
+                blk_of_id.alias("blk"),
             ),
             ["table", "bucket", "blk"],
         )
@@ -443,8 +470,17 @@ def ivf_index_save(
     of re-running k-means per call."""
     e = corpus.select(F.col(id_col).alias("id"), quantized(F.col(vec_col)).alias("v"))
     assigned, cents = _ivf_build(e, n_lists, iters)
-    assigned.write.partitionBy("list_id").parquet(f"{path}/lists")
-    cents.select("list_id", "c").write.parquet(f"{path}/centroids")
+    # the centroid lineage embeds every Lloyd iteration and feeds BOTH
+    # writes (the final _nearest inside `assigned`, and the centroid
+    # table itself) — persist it so the k-means build runs once, not once
+    # per write action
+    cents = cents.persist()
+    try:
+        cents.count()
+        assigned.write.partitionBy("list_id").parquet(f"{path}/lists")
+        cents.select("list_id", "c").write.parquet(f"{path}/centroids")
+    finally:
+        cents.unpersist()
 
 
 def ivf_index_load(spark, path: str) -> tuple[DataFrame, DataFrame]:

@@ -517,6 +517,12 @@ def _vec_bucket_rows(
                 q = np.floor(np.asarray(vec, dtype=np.float64) * QUANT_SCALE).astype(
                     np.int64
                 )
+                if not q.any():
+                    # a zero-norm vector can never clear any threshold
+                    # (cosine 0/0 -> NULL), but it hashes to bucket 0 in
+                    # EVERY table — admitted, it could become the anchor
+                    # of all those buckets and mute them until TTL
+                    continue
                 dim = len(q)
                 g = np.arange(N_TABLES * N_PLANES, dtype=np.int64)[:, None]
                 d = np.arange(dim, dtype=np.int64)[None, :]

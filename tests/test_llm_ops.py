@@ -120,6 +120,23 @@ def test_ivf_topk_deterministic_and_sane(spark, embs):
     assert hits >= max(1, len(exact1) // 3), (hits, len(exact1))
 
 
+def test_cosine_dup_pairs_string_ids(spark, embs):
+    """Non-numeric ids must work: the blk salt hashes the id (xxhash64),
+    and 'auto' routes around the grid engine (which needs integral ids for
+    its sorted-int64 index) instead of silently returning nothing."""
+    from sequila_spark.operators.similarity import cosine_dup_pairs
+
+    sc = embs.withColumn("vec_id", F.format_string("doc-%07d", F.col("vec_id")))
+    got = sorted(
+        (r["id_1"], r["id_2"]) for r in cosine_dup_pairs(sc, threshold=0.4).collect()
+    )
+    want = sorted(
+        (f"doc-{r['id_1']:07d}", f"doc-{r['id_2']:07d}")
+        for r in cosine_dup_pairs(embs, threshold=0.4).collect()
+    )
+    assert got == want and len(got) > 0
+
+
 def test_topk_zero_norm_vectors_rank_last(spark):
     """A zero-norm vector's cosine is NULL (0/0), and NULL must lose the
     cosine-desc ranking on every path — numpy NaN would WIN it (Spark
@@ -132,11 +149,15 @@ def test_topk_zero_norm_vectors_rank_last(spark):
     corpus = spark.createDataFrame(rows_in, "vec_id long, embedding array<float>")
     queries = corpus.where(F.col("vec_id") == 0)
     for fn in (cosine_topk, ann_topk_lsh):
-        got = {r["rank"]: r["neighbor_id"] for r in fn(corpus, queries, k=4).collect()}
-        assert got.get(1) == 1, (fn.__name__, got)  # identical vector wins
-        # the zero vector never outranks a real cosine
-        real = [rk for rk, n in got.items() if n in (1, 3)]
-        assert all(rk < got[2] for rk in real) if 2 in got.values() else True
+        rank_of = {
+            r["neighbor_id"]: r["rank"] for r in fn(corpus, queries, k=4).collect()
+        }
+        assert rank_of.get(1) == 1, (fn.__name__, rank_of)  # identical vector wins
+        # the zero vector (id 2) never outranks a real cosine
+        if 2 in rank_of:
+            assert all(
+                rank_of[n] < rank_of[2] for n in (1, 3) if n in rank_of
+            ), (fn.__name__, rank_of)
 
 
 def test_ivf_saved_index_matches_inline_build(spark, embs, tmp_path):
