@@ -17,8 +17,9 @@ quirks:
   (7, raised to the cigar's net ref/query length difference + 3 when that
   exceeds 7) — NOT the library default of 10;
 * the reference window is the read's aligned span extended by half the
-  band plus any soft-clip overhang on each side, then shrunk symmetrically
-  when it exceeds ``l_qseq + bw`` (the ``xe - xb - l_qseq > bw`` step);
+  band plus any soft-clip overhang on each side, then shrunk by htslib's
+  comma-SEQUENCED ``xb += excess/2, xe -= recomputed/2`` when it exceeds
+  ``l_qseq + bw`` (left edge moves half the excess, right a quarter);
 * reads whose cigar contains a reference skip (N) are left untouched;
 * ``extended=True`` (the samtools mpileup DEFAULT — it calls
   ``sam_prob_realn(b, ref, len, 3)``, i.e. apply+extend) smooths the
@@ -30,8 +31,10 @@ quirks:
 
 The DataFrame integration is :func:`baq_realn_reads` — an Arrow-batched
 ``mapInPandas`` over the reads relation that rewrites the ``qual`` string
-in place (map-only, shuffle-free; the FASTA is loaded once per executor
-and cached process-wide).  ``pileup(..., baq=<fasta path>)`` composes it
+in place (map-only, shuffle-free; with a sibling ``.fai`` each worker
+seeks out and caches ONLY the contigs its partitions touch — a
+whole-genome eager parse per Python worker would multiply resident
+memory by the executor's task slots).  ``pileup(..., baq=<fasta path>)`` composes it
 ahead of the mate-overlap tweak, the same order as samtools (realign at
 read load in ``mplp_func``, overlap tweak at pileup push);
 ``tests/test_samtools_golden.py`` pins the composition against samtools'
@@ -261,20 +264,17 @@ def probaln_glocal(
             q[i - 1] = 99
         else:
             kk = int(-4.343 * math.log(1.0 - mx) + 0.499)
+            # htslib kprobaln quirk preserved: `k > 100? 99 : k` lets an
+            # exact 100 through while clamping 101+ to 99
             q[i - 1] = 99 if kk > 100 else kk
     return state, q
 
 
-_CIGAR_RE = None
-
-
 def _cigar_ops(cigar: str):
-    global _CIGAR_RE
-    if _CIGAR_RE is None:
-        import re
+    # one shared cigar parser across the package (overlap.py is its home)
+    from sequila_spark.functions.overlap import cigar_ops
 
-        _CIGAR_RE = re.compile(r"(\d+)([MIDNSHP=X])")
-    return [(int(n), op) for n, op in _CIGAR_RE.findall(cigar)]
+    return cigar_ops(cigar)
 
 
 def baq_quals(
@@ -328,13 +328,15 @@ def baq_quals(
         xb = 0
     xe += (l_qseq - ye) + bw // 2
     if xe - xb - l_qseq > bw:
-        # Empirically fitted to samtools' own default-mode golden on the
-        # multichrom fixture (the 3M10D73M read): the window narrows by a
-        # QUARTER of the excess on each side, not half — a half-shrink (or
-        # none) mis-ranks the post-deletion posterior ramp by 1-3 phred.
-        shrink = (xe - xb - l_qseq - bw) // 4
-        xb += shrink
-        xe -= shrink
+        # htslib sam_prob_realn's comma-SEQUENCED shrink:
+        #   xb += (xe-xb-l_qseq-bw)/2, xe -= (xe-xb-l_qseq-bw)/2;
+        # the second operand is evaluated AFTER xb moved, so the left
+        # edge moves by half the excess and the right by a quarter —
+        # NOT a symmetric half-shrink (which mis-ranks the
+        # post-deletion posterior ramp on the multichrom golden's
+        # 3M10D73M read by 1-3 phred).
+        xb += (xe - xb - l_qseq - bw) // 2
+        xe -= (xe - xb - l_qseq - bw) // 2
 
     ref_lo = xb - ref_offset
     ref_hi = xe - ref_offset
@@ -399,12 +401,41 @@ def baq_quals(
 # ---------------------------------------------------------------------------
 # DataFrame integration
 
-_FASTA_CACHE: dict[str, dict[str, str]] = {}
+_FASTA_CACHE: dict[str, dict[str, str]] = {}  # full {contig: seq} maps
+_FASTA_PARTIAL: dict[str, dict[str, str | None]] = {}  # lazily .fai-seeked contigs
+_FAI_CACHE: dict[str, dict[str, tuple[int, int, int, int]] | None] = {}
+
+
+def _fasta_fai(path: str):
+    """{clean_contig: (length, offset, linebases, linewidth)} from the
+    sibling .fai index, or None when absent / gzip-compressed (no random
+    access without a .gzi)."""
+    if path not in _FAI_CACHE:
+        fai = None
+        if not path.endswith((".gz", ".bgz")):
+            import os
+
+            from sequila_spark.functions.intervals import clean_contig_py
+
+            fai_path = path + ".fai"
+            if os.path.exists(fai_path):
+                fai = {}
+                with open(fai_path) as fh:
+                    for line in fh:
+                        parts = line.rstrip("\n").split("\t")
+                        if len(parts) >= 5:
+                            fai[clean_contig_py(parts[0])] = (
+                                int(parts[1]), int(parts[2]),
+                                int(parts[3]), int(parts[4]),
+                            )
+        _FAI_CACHE[path] = fai
+    return _FAI_CACHE[path]
 
 
 def _fasta_contigs(path: str) -> dict[str, str]:
     """Contig-name-normalized {contig: sequence} map, cached per process
-    (one load per executor, shared across tasks)."""
+    (one load per executor worker, shared across tasks).  Parses the
+    WHOLE file — prefer _fasta_contig (lazy, .fai-seeked) in executors."""
     m = _FASTA_CACHE.get(path)
     if m is None:
         from sequila_spark.functions.intervals import clean_contig_py
@@ -421,6 +452,37 @@ def _fasta_contigs(path: str) -> dict[str, str]:
         m = {clean_contig_py(n): s for n, s in _parse(content)}
         _FASTA_CACHE[path] = m
     return m
+
+
+def _fasta_contig(path: str, contig: str) -> str | None:
+    """One contig's sequence, loaded lazily: with a sibling .fai the read
+    seeks straight to the contig's bytes, so an executor worker holds only
+    the contigs its partitions actually touch (a whole-genome FASTA parsed
+    eagerly per Python worker would multiply resident memory by the task
+    slots per executor).  Falls back to a one-time full parse when no .fai
+    exists or the file is gzip-compressed."""
+    full = _FASTA_CACHE.get(path)
+    if full is not None:
+        return full.get(contig)
+    partial = _FASTA_PARTIAL.setdefault(path, {})
+    if contig in partial:
+        return partial[contig]
+    fai = _fasta_fai(path)
+    if fai is None:
+        return _fasta_contigs(path).get(contig)
+    ent = fai.get(contig)
+    if ent is None:
+        partial[contig] = None
+        return None
+    length, offset, linebases, linewidth = ent
+    nlines = (length + linebases - 1) // linebases if linebases else 0
+    nbytes = length + nlines * (linewidth - linebases)
+    with open(path, "rb") as fh:
+        fh.seek(offset)
+        raw = fh.read(nbytes)
+    seq = raw.decode("ascii").replace("\r", "").replace("\n", "")[:length]
+    partial[contig] = seq
+    return seq
 
 
 def baq_realn_reads(reads, fasta_path: str, extended: bool = True):
@@ -443,7 +505,6 @@ def baq_realn_reads(reads, fasta_path: str, extended: bool = True):
             raise ValueError(f"baq_realn_reads needs read column {c!r}")
 
     def fn(batches):
-        contigs = _fasta_contigs(fasta_path)
         for pdf in batches:
             quals = pdf[S.BASEQ].tolist()
             seqs = pdf[S.SEQUENCE].tolist()
@@ -463,7 +524,7 @@ def baq_realn_reads(reads, fasta_path: str, extended: bool = True):
                     or (flags[j] & 4) != 0
                 ):
                     continue
-                ref = contigs.get(ctgs[j])
+                ref = _fasta_contig(fasta_path, ctgs[j])
                 if ref is None:
                     continue
                 iq = [ord(ch) - 33 for ch in qs]

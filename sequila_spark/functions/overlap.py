@@ -169,6 +169,8 @@ def tweak_overlap_quality(
         if A.iref + a_pos0 != B.iref + b_pos0:
             continue
         ai, bi = A.iseq, B.iseq
+        if ai >= len(a_qual) or bi >= len(b_qual):
+            break  # htslib "read issues?" guard — wild cigar fell off the end
         qa, qb = a_qual[ai], b_qual[bi]
         if a_seq[ai].upper() == b_seq[bi].upper():
             a_qual[ai] = qa + qb if qa + qb < 200 else 200
@@ -198,8 +200,11 @@ def overlap_stream_tweak(reads: list[dict]) -> None:
         if rd["rnext"] is not None and rd["rnext"] != rd["contig"]:
             continue
         l_qseq = len(rd["seq"])
-        if abs(rd["tlen"]) >= 2 * l_qseq and rd["pnext"] - 1 >= rd["end"]:
+        # htslib: mpos >= pos + l_qseq (query length, not cigar ref end)
+        if abs(rd["tlen"]) >= 2 * l_qseq and rd["pnext"] >= rd["pos"] + l_qseq:
             continue
+        if len(rd["qual"]) != l_qseq:
+            continue  # '*' placeholder / malformed — nothing to tweak
         prev = stash.get(rd["qname"])
         if prev is None:
             # only register while the mate is still to arrive
@@ -253,14 +258,21 @@ def mate_overlap_tweak_reads(reads):
     same_ctg = (F.col(S.RNEXT) == "=") | (
         clean_contig(F.col(S.RNEXT)) == F.col(S.CONTIG)
     )
+    # htslib overlap_push: "no overlap possible, unless some wild cigar" —
+    # the guard uses QUERY length (pos + l_qseq), not the cigar ref end
+    # (equal for all-M reads, different for indel/clipped ones)
     wide = (F.abs(F.col(S.TLEN)) >= 2 * F.length(S.SEQUENCE)) & (
-        F.col(S.PNEXT) - 1 >= F.col(S.END)
+        F.col(S.PNEXT) >= F.col(S.START) + F.length(S.SEQUENCE)
     )
     elig = (
         paired
         & F.coalesce(same_ctg, F.lit(False))
         & ~F.coalesce(wide, F.lit(False))
         & F.col(S.BASEQ).isNotNull()
+        # '*' = quality absent (valid SAM) — nothing to tweak, and a
+        # 1-char qual under a longer seq would index out of range
+        & (F.col(S.BASEQ) != "*")
+        & (F.length(S.BASEQ) == F.length(S.SEQUENCE))
         & (F.col(S.CIGAR) != "*")
     )
     eligible = reads.filter(elig)

@@ -184,3 +184,75 @@ def test_mate_overlap_tweak_reads_matches_stream(spark):
     out = mate_overlap_tweak_reads(spark.createDataFrame(rows))
     got = {(r["qname"], r["flag"]): r["qual"] for r in out.collect()}
     assert got == expected
+
+
+def test_fasta_contig_fai_seek_equals_full_parse():
+    """The .fai-seeked lazy contig loader must return byte-identical
+    sequences to the full-file parse (both fixture FASTAs have a .fai)."""
+    from sequila_spark.functions.baq import (
+        _FASTA_CACHE,
+        _FASTA_PARTIAL,
+        _fasta_contig,
+        _fasta_contigs,
+    )
+
+    path = (
+        "/root/reference/src/test/resources/reference/"
+        "Homo_sapiens_assembly18_chr1_chrM.small.fasta"
+    )
+    full = dict(_fasta_contigs(path))
+    assert full
+    # force the lazy path: clear the full-map cache so _fasta_contig seeks
+    _FASTA_CACHE.pop(path, None)
+    _FASTA_PARTIAL.pop(path, None)
+    for name, seq in full.items():
+        assert _fasta_contig(path, name) == seq, name
+    assert _fasta_contig(path, "no_such_contig") is None
+    # only the requested contigs are resident
+    assert set(_FASTA_PARTIAL[path]) == set(full) | {"no_such_contig"}
+
+
+def test_overlap_hardening_star_quals_and_wild_cigars():
+    """'*' / short quals are skipped, not crashed on; a wild cigar whose
+    walk runs past the sequence end hits htslib's fell-off-end guard; the
+    wide-insert skip uses pos + l_qseq (query length), not the cigar ref
+    end, so a deletion read with the mate inside [pos+l_qseq, ref_end)
+    IS skipped exactly as htslib does."""
+    from sequila_spark.functions.overlap import (
+        cigar_ops,
+        overlap_stream_tweak,
+        tweak_overlap_quality,
+    )
+
+    def mk(qname, flag, pos, cigar, pnext, tlen, seq, quals):
+        end = pos - 1
+        for n, op in cigar_ops(cigar):
+            if op in "MDN=X":
+                end += n
+        return dict(
+            qname=qname, flag=flag, contig="1", rnext="1", pos=pos,
+            end=end, pnext=pnext, tlen=tlen, cigar=cigar,
+            seq=seq, qual=list(quals),
+        )
+
+    # '*' qual placeholder (decoded as one char): skipped, mate untouched
+    r1 = mk("s1", 99, 100, "8M", 104, 12, "ACGTACGT", [9])
+    r2 = mk("s1", 147, 104, "8M", 100, -12, "ACGTACGT", [20] * 8)
+    overlap_stream_tweak([r1, r2])
+    assert r1["qual"] == [9] and r2["qual"] == [20] * 8
+
+    # wide-insert boundary: read 50M20D30M (l_qseq=80, ref span=100),
+    # mate at pos+90 (inside [pos+80, pos+100)): htslib SKIPS (mpos >=
+    # pos + l_qseq); the old ref-end form would have tweaked
+    seq80 = "ACGTACGT" * 10
+    r3 = mk("d1", 99, 100, "50M20D30M", 190, 170, seq80, [30] * 80)
+    r4 = mk("d1", 147, 190, "80M", 100, -170, seq80, [20] * 80)
+    overlap_stream_tweak([r3, r4])
+    assert r3["qual"] == [30] * 80 and r4["qual"] == [20] * 80
+
+    # wild cigar claiming more M than the seq has: guard breaks cleanly
+    a_q, b_q = [30] * 4, [20] * 4
+    tweak_overlap_quality(99, cigar_ops("50M"), "ACGT", a_q,
+                          99, cigar_ops("50M"), "ACGT", b_q)
+    # no exception; any tweaks applied stayed within bounds
+    assert len(a_q) == 4 and len(b_q) == 4
