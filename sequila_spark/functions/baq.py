@@ -402,40 +402,13 @@ def baq_quals(
 # DataFrame integration
 
 _FASTA_CACHE: dict[str, dict[str, str]] = {}  # full {contig: seq} maps
-_FASTA_PARTIAL: dict[str, dict[str, str | None]] = {}  # lazily .fai-seeked contigs
-_FAI_CACHE: dict[str, dict[str, tuple[int, int, int, int]] | None] = {}
-
-
-def _fasta_fai(path: str):
-    """{clean_contig: (length, offset, linebases, linewidth)} from the
-    sibling .fai index, or None when absent / gzip-compressed (no random
-    access without a .gzi)."""
-    if path not in _FAI_CACHE:
-        fai = None
-        if not path.endswith((".gz", ".bgz")):
-            import os
-
-            from sequila_spark.functions.intervals import clean_contig_py
-
-            fai_path = path + ".fai"
-            if os.path.exists(fai_path):
-                fai = {}
-                with open(fai_path) as fh:
-                    for line in fh:
-                        parts = line.rstrip("\n").split("\t")
-                        if len(parts) >= 5:
-                            fai[clean_contig_py(parts[0])] = (
-                                int(parts[1]), int(parts[2]),
-                                int(parts[3]), int(parts[4]),
-                            )
-        _FAI_CACHE[path] = fai
-    return _FAI_CACHE[path]
+_FASTA_INDEX: dict[str, dict[str, tuple[str, int, int]]] = {}
 
 
 def _fasta_contigs(path: str) -> dict[str, str]:
-    """Contig-name-normalized {contig: sequence} map, cached per process
-    (one load per executor worker, shared across tasks).  Parses the
-    WHOLE file — prefer _fasta_contig (lazy, .fai-seeked) in executors."""
+    """Contig-name-normalized {contig: sequence} map, cached per process.
+    Parses the WHOLE file — driver-side tooling only; executors use
+    _fasta_contig (lazy, indexed, LRU-bounded)."""
     m = _FASTA_CACHE.get(path)
     if m is None:
         from sequila_spark.functions.intervals import clean_contig_py
@@ -455,33 +428,29 @@ def _fasta_contigs(path: str) -> dict[str, str]:
 
 
 def _fasta_contig(path: str, contig: str) -> str | None:
-    """One contig's sequence, loaded lazily: with a sibling .fai the read
-    seeks straight to the contig's bytes, so an executor worker holds only
-    the contigs its partitions actually touch (a whole-genome FASTA parsed
-    eagerly per Python worker would multiply resident memory by the task
-    slots per executor).  Falls back to a one-time full parse when no .fai
-    exists or the file is gzip-compressed."""
+    """One contig's sequence, loaded lazily through the package's shared
+    FASTA machinery (sources/vcf.py): byte spans from the .fai (or one
+    O(1)-memory streaming scan when absent), BGZF random access through
+    the block index, and an LRU contig cache — so an executor worker
+    holds only the few contigs its partitions touch, never the whole
+    genome per Python worker.  A stale/reflowed .fai whose offsets land
+    in header text falls back to the ground-truth full parse instead of
+    silently feeding wrong reference bases to the HMM."""
     full = _FASTA_CACHE.get(path)
     if full is not None:
         return full.get(contig)
-    partial = _FASTA_PARTIAL.setdefault(path, {})
-    if contig in partial:
-        return partial[contig]
-    fai = _fasta_fai(path)
-    if fai is None:
-        return _fasta_contigs(path).get(contig)
-    ent = fai.get(contig)
-    if ent is None:
-        partial[contig] = None
+    from sequila_spark.sources.vcf import fetch_contig_seq, load_fasta_region_index
+
+    idx = _FASTA_INDEX.get(path)
+    if idx is None:
+        idx = load_fasta_region_index(path)
+        _FASTA_INDEX[path] = idx
+    span = idx.get(contig)
+    if span is None:
         return None
-    length, offset, linebases, linewidth = ent
-    nlines = (length + linebases - 1) // linebases if linebases else 0
-    nbytes = length + nlines * (linewidth - linebases)
-    with open(path, "rb") as fh:
-        fh.seek(offset)
-        raw = fh.read(nbytes)
-    seq = raw.decode("ascii").replace("\r", "").replace("\n", "")[:length]
-    partial[contig] = seq
+    seq = fetch_contig_seq(path, span)
+    if not seq or ">" in seq:
+        return _fasta_contigs(path).get(contig)
     return seq
 
 

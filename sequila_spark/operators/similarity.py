@@ -129,9 +129,11 @@ def cosine_dup_pairs(
 
     Two engines, identical results (pinned against each other by test):
 
-    * ``engine='grid'`` — the corpus-quadratic path.  When the quantized
-      corpus matrix fits ``broadcast_budget_bytes`` (n·dim·8 bytes — ~10 MB
-      for 20k×64) AND the quantized values are small enough that a float64
+    * ``engine='grid'`` — the corpus-quadratic path.  Needs an INTEGRAL id
+      column (the broadcast index is sorted int64).  When the broadcast
+      payload fits ``broadcast_budget_bytes`` (n·(dim+T+1)·8 bytes: the
+      quantized matrix plus the bucket matrix and norms — ~12 MB for
+      20k×64) AND the quantized values are small enough that a float64
       matmul is exact (max|q|²·dim < 2⁵³ — true for any unit-ish embedding
       at 1e-6 quantization, 6.4e13 vs 9.0e15 at dim 64), the whole
       per-bucket pair grid runs as a blocked **dgemm** against a REPLICATED
@@ -209,6 +211,13 @@ def cosine_dup_pairs(
         corpus.schema[id_col].dataType,
         (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
     )
+    if engine == "grid" and not integral_id:
+        # an explicit grid request must not silently downgrade
+        raise ValueError(
+            f"engine='grid' needs an integral id column, got "
+            f"{corpus.schema[id_col].dataType.simpleString()!r} — use "
+            f"engine='join' (or 'auto') for non-numeric ids"
+        )
     # broadcast payload = mat (n·dim·8) + bmat (n·T·8) + norms (n·8)
     use_grid = (
         engine != "join"

@@ -503,7 +503,28 @@ def _vec_bucket_rows(
         _PLANE_MOD,
     )
 
+    if not isinstance(
+        embs.schema[id_col].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    ):
+        raise ValueError(
+            f"embedding near-dup needs an integral {id_col!r} column "
+            f"(state/output schemas are long), got "
+            f"{embs.schema[id_col].dataType.simpleString()!r}"
+        )
     half = (_PLANE_MOD - 1) // 2
+    plane_cache: dict[int, tuple] = {}  # (planes, weights) per dim
+
+    def _planes(dim: int):
+        ent = plane_cache.get(dim)
+        if ent is None:
+            g = np.arange(N_TABLES * N_PLANES, dtype=np.int64)[:, None]
+            d = np.arange(dim, dtype=np.int64)[None, :]
+            planes = ((g * 997 + d) * 2654435761) % _PLANE_MOD - half
+            weights = np.tile(1 << np.arange(N_PLANES, dtype=np.int64), N_TABLES)
+            ent = (planes, weights)
+            plane_cache[dim] = ent
+        return ent
 
     def gen(batches):
         for pdf in batches:
@@ -523,12 +544,8 @@ def _vec_bucket_rows(
                     # EVERY table — admitted, it could become the anchor
                     # of all those buckets and mute them until TTL
                     continue
-                dim = len(q)
-                g = np.arange(N_TABLES * N_PLANES, dtype=np.int64)[:, None]
-                d = np.arange(dim, dtype=np.int64)[None, :]
-                planes = ((g * 997 + d) * 2654435761) % _PLANE_MOD - half
+                planes, weights = _planes(len(q))
                 bits = (planes @ q) > 0  # (T*P,)
-                weights = np.tile(1 << np.arange(N_PLANES, dtype=np.int64), N_TABLES)
                 buckets = (bits.astype(np.int64) * weights).reshape(
                     N_TABLES, N_PLANES
                 ).sum(axis=1)

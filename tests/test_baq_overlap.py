@@ -187,11 +187,11 @@ def test_mate_overlap_tweak_reads_matches_stream(spark):
 
 
 def test_fasta_contig_fai_seek_equals_full_parse():
-    """The .fai-seeked lazy contig loader must return byte-identical
-    sequences to the full-file parse (both fixture FASTAs have a .fai)."""
+    """The lazy contig loader (shared vcf.py .fai/byte-span machinery)
+    must return byte-identical sequences to the full-file parse."""
     from sequila_spark.functions.baq import (
         _FASTA_CACHE,
-        _FASTA_PARTIAL,
+        _FASTA_INDEX,
         _fasta_contig,
         _fasta_contigs,
     )
@@ -204,12 +204,10 @@ def test_fasta_contig_fai_seek_equals_full_parse():
     assert full
     # force the lazy path: clear the full-map cache so _fasta_contig seeks
     _FASTA_CACHE.pop(path, None)
-    _FASTA_PARTIAL.pop(path, None)
+    _FASTA_INDEX.pop(path, None)
     for name, seq in full.items():
         assert _fasta_contig(path, name) == seq, name
     assert _fasta_contig(path, "no_such_contig") is None
-    # only the requested contigs are resident
-    assert set(_FASTA_PARTIAL[path]) == set(full) | {"no_such_contig"}
 
 
 def test_overlap_hardening_star_quals_and_wild_cigars():
