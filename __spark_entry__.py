@@ -1050,6 +1050,122 @@ icnts AS (
 """
 
 
+_PILEUP_DIGEST_TAIL = """,
+pos_level AS (
+  SELECT contig, pos,
+         SUM(cnt) AS coverage,
+         SUM(CASE WHEN base = ref THEN cnt ELSE 0 END) AS cref,
+         SUM(CASE WHEN base <> ref THEN cnt ELSE 0 END) AS cnonref
+  FROM {cnts} GROUP BY contig, pos
+)
+SELECT contig,
+       CAST(COUNT(*) AS BIGINT) AS n_pos,
+       CAST(SUM(coverage) AS BIGINT) AS sum_cov,
+       CAST(SUM(cref) AS BIGINT) AS sum_ref,
+       CAST(SUM(cnonref) AS BIGINT) AS sum_nonref,
+       CAST(SUM(CASE WHEN cnonref > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_alt_pos
+FROM pos_level GROUP BY contig
+"""
+
+
+def windowed_digest_oracles() -> dict[str, dict]:
+    """Per-(contig, base-window) slices of the pileup-family DIGEST oracles,
+    for scale factors where one oracle pass exhausts single-node DuckDB (the
+    per-base expansion at sf1): each window expands ONLY the bases landing
+    in [lo, hi] (reads pruned by overlap BEFORE the UNNEST, offset ranges
+    clipped to the window), and the per-contig digest rows merge additively
+    across disjoint windows (COUNT/SUM over positions, each position in
+    exactly one window).  tools/sweep.py --duck-windowed consumes this:
+    external-oracle value fidelity for pileup_agg / pileup_indels at sf1,
+    replacing the same-engine dense-vs-sparse crosscheck (VERDICT r8 gap #2;
+    reference samtools-oracle pattern: tests/pileup/SamtoolsTestSuite.scala).
+
+    Each entry: ``extent_sql`` -> (contig, lo, hi) rows enumerating the
+    windowable domain, ``window_sql(contig, lo, hi)`` -> digest slice with
+    the same column names as the Spark query."""
+    cte = TD.duck_cte
+
+    def agg_window(c: str, lo: int, hi: int) -> str:
+        base = f"""
+pb AS (
+  SELECT contig, okey,
+         UNNEST(range(GREATEST(pos_start, {lo}), LEAST(pos_end, {hi}) + 1)) AS p
+  FROM reads
+  WHERE contig = '{c}' AND pos_start <= {hi} AND pos_end >= {lo}
+),
+pb2 AS (
+  SELECT contig, CAST(p AS INT) AS pos,
+         {TD.read_base_sql('p', 'contig', 'okey')} AS base,
+         {TD.ref_base_sql('p', 'contig')} AS ref
+  FROM pb
+),
+cnts AS (
+  SELECT contig, pos, ref, base, COUNT(*) AS cnt
+  FROM pb2 GROUP BY contig, pos, ref, base
+)
+"""
+        return (
+            f"{cte('reads')}, {base}"
+            + _PILEUP_DIGEST_TAIL.format(cnts="cnts")
+        )
+
+    def indels_window(c: str, lo: int, hi: int) -> str:
+        # same iblocks derivation as _indel_base_cte; the window clips the
+        # per-block offset range so pos = s + o stays in [lo, hi] while o
+        # keeps its ABSOLUTE query-offset meaning for base attribution
+        base = f"""
+iblocks AS (
+  SELECT contig, okey, pos_start AS s,
+         CASE kind WHEN 1 THEN 5 ELSE 0 END AS q,
+         CASE kind WHEN 0 THEN qlen WHEN 1 THEN qlen - 10 ELSE a END AS n
+  FROM reads_indel
+  UNION ALL
+  SELECT contig, okey,
+         CASE kind WHEN 2 THEN pos_start + a + d ELSE pos_start + a END AS s,
+         CASE kind WHEN 2 THEN a ELSE a + ins END AS q,
+         CASE kind WHEN 2 THEN qlen - a ELSE qlen - a - ins END AS n
+  FROM reads_indel WHERE kind = 2 OR kind = 3
+),
+ipb AS (
+  SELECT contig, okey, s, q,
+         UNNEST(range(GREATEST({lo} - s, 0), LEAST(n, {hi} - s + 1))) AS o
+  FROM iblocks
+  WHERE contig = '{c}' AND s <= {hi} AND s + n > {lo}
+),
+ipb2 AS (
+  SELECT contig, CAST(s + o AS INT) AS pos,
+         {TD.indel_base_sql('(q + o)', 'okey')} AS base,
+         {TD.ref_base_sql('(s + o)', 'contig')} AS ref
+  FROM ipb
+),
+icnts AS (
+  SELECT contig, pos, ref, base, COUNT(*) AS cnt
+  FROM ipb2 GROUP BY contig, pos, ref, base
+)
+"""
+        return (
+            f"{cte('reads_indel')}, {base}"
+            + _PILEUP_DIGEST_TAIL.format(cnts="icnts")
+        )
+
+    return {
+        "pileup_agg": {
+            "extent_sql": (
+                f"{TD.duck_cte('reads')} SELECT contig, MIN(pos_start), "
+                "MAX(pos_end) FROM reads GROUP BY contig ORDER BY contig"
+            ),
+            "window_sql": agg_window,
+        },
+        "pileup_indels": {
+            "extent_sql": (
+                f"{TD.duck_cte('reads_indel')} SELECT contig, MIN(pos_start), "
+                "MAX(pos_end) FROM reads_indel GROUP BY contig ORDER BY contig"
+            ),
+            "window_sql": indels_window,
+        },
+    }
+
+
 def _llm_oracles() -> dict[str, str]:
     """DuckDB replicas of the LLM-pipeline operators (deterministic
     arithmetic shared with sequila_spark.operators.dedup/similarity/text)."""

@@ -220,7 +220,80 @@ def _cpu_calibration() -> dict:
         a = a @ a
         a /= np.abs(a).max()
     blas_s = _t.perf_counter() - t0
-    return {"md5_256mb": round(md5_s, 3), "matmul_1536_x6": round(blas_s, 3)}
+
+    # single-threaded bandwidth probe: unlike the matmul (BLAS thread-pool
+    # placement makes it swing 0.3-0.6 s on an identical host), a plain
+    # 128 MiB copy x8 is stable enough to gate on — it tracks the
+    # memory-bandwidth dimension the matmul was added for (r8: co-tenant
+    # bandwidth throttle slowed Arrow stages 8x while md5 stayed flat)
+    buf = np.zeros(16 << 20, dtype=np.float64)  # 128 MiB
+    buf.fill(1.0)
+    t0 = _t.perf_counter()
+    for _ in range(8):
+        _ = buf.copy()
+    memcpy_s = _t.perf_counter() - t0
+    return {
+        "md5_256mb": round(md5_s, 3),
+        "matmul_1536_x6": round(blas_s, 3),
+        "memcpy_1gb": round(memcpy_s, 3),
+    }
+
+
+# Anchors the calibration GATE checks (matmul stays informational only —
+# its BLAS thread-pool placement variance exceeds any useful threshold)
+_GATED_ANCHORS = ("md5_256mb", "memcpy_1gb")
+_CALIB_TOL = 0.15  # |deviation| beyond this -> degraded window
+
+
+def _load_calib_ref() -> dict | None:
+    """Repo-recorded clean-window anchor values (tools/calibrate.py writes
+    them; absent -> the gate reports calib_ok=null instead of judging)."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "CALIB_REF.json")
+    try:
+        with open(path) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return None
+
+
+def _calib_deviation(calib: dict, ref: dict) -> dict:
+    return {
+        k: round(100.0 * (calib[k] / ref[k] - 1.0), 1)
+        for k in _GATED_ANCHORS
+        if k in calib and k in ref
+    }
+
+
+def _calibrate_gated(ref: dict | None, tries: int = 4, wait_s: int = 45):
+    """Measure the CPU anchors; when a repo reference exists and either
+    gated anchor deviates >15%, WAIT and re-measure (the round-8 artifact
+    was captured in a degraded host window — md5 0.773 vs clean 0.417 —
+    and shipped as the official number; this gate makes that impossible to
+    do silently).  Returns (calib, ok_or_None, deviations)."""
+    import time as _t
+
+    best = None
+    best_dev = None
+    for attempt in range(tries):
+        calib = _cpu_calibration()
+        if ref is None:
+            return calib, None, {}
+        dev = _calib_deviation(calib, ref)
+        worst = max((abs(v) for v in dev.values()), default=0.0)
+        if best is None or worst < max(
+            (abs(v) for v in best_dev.values()), default=0.0
+        ):
+            best, best_dev = calib, dev
+        if worst <= 100.0 * _CALIB_TOL:
+            return calib, True, dev
+        print(
+            f"# calibration attempt {attempt + 1}/{tries} degraded: {dev} "
+            f"(host window busy — waiting {wait_s}s)",
+            file=sys.stderr,
+        )
+        if attempt < tries - 1:
+            _t.sleep(wait_s)
+    return best, False, best_dev
 
 
 def main() -> None:
@@ -234,7 +307,9 @@ def main() -> None:
         run_session()
         return
 
-    calib = _cpu_calibration()
+    calib_ref = _load_calib_ref()
+    calib, calib_ok, calib_dev = _calibrate_gated(calib_ref)
+    calibs = [calib]
     per_session: list[dict] = []
     env = dict(os.environ, SPARK_GRAFT_BENCH_CHILD="1")
     for i in range(sessions):
@@ -261,6 +336,27 @@ def main() -> None:
             f"# session {i}: total {per_session[-1]['value']} s",
             file=sys.stderr,
         )
+        # re-measure the anchors after every session: a window that turns
+        # degraded MID-run must show up in the artifact, not just a clean
+        # pre-run probe (r8's 27.6% session spread was exactly this)
+        calibs.append(_cpu_calibration())
+        if calib_ref is not None:
+            worst = max(
+                (
+                    abs(v)
+                    for c in calibs
+                    for v in _calib_deviation(c, calib_ref).values()
+                ),
+                default=0.0,
+            )
+            calib_ok = worst <= 100.0 * _CALIB_TOL
+            calib_dev = {
+                k: max(
+                    (_calib_deviation(c, calib_ref).get(k, 0.0) for c in calibs),
+                    key=abs,
+                )
+                for k in _GATED_ANCHORS
+            }
         # aggregate-so-far after EVERY session: the last stdout JSON line
         # is always a valid artifact even if the harness is cut off.
         # The line stays COMPACT (the r7 artifact embedded every session's
@@ -296,6 +392,9 @@ def main() -> None:
             ),
             "agg": "median_of_sessions__min_of_converged_runs",
             "cpu_calib_sec": calib,
+            "calib_ok": calib_ok,
+            "calib_ref": calib_ref,
+            "calib_worst_dev_pct": calib_dev,
             "sf": per_session[0]["sf"],
         }
         if dropped:

@@ -68,7 +68,19 @@ def aligned_blocks(reads: DataFrame, use_cigar: bool | None = None) -> DataFrame
     without coverage, I/S/H/P consume no reference (Read.scala:27-54).  The
     CIGAR walk is a native fold (aggregate over regexp-extracted ops) — no
     Python in the hot path.
+
+    When the relation carries a ``__blocks`` column (read_bam_native
+    ``with_blocks=True`` — blocks computed vectorized at decode time from
+    the raw cigar ops), it is exploded directly: same semantics, no SQL
+    cigar re-parse.
     """
+    if "__blocks" in reads.columns:
+        exploded = reads.select("*", F.explode("__blocks").alias("__sq_blk"))
+        return exploded.select(
+            "*",
+            F.col("__sq_blk.s").alias("__sq_bs"),
+            F.col("__sq_blk.e").alias("__sq_be"),
+        ).drop("__sq_blk")
     if use_cigar is None:
         use_cigar = S.CIGAR in reads.columns
     if not use_cigar:

@@ -355,6 +355,9 @@ def read_bam_native(
     with_tags: bool = True,
     typed_tags: bool = False,
     with_ordinal: bool = False,
+    arrow: bool = True,
+    columns: list[str] | None = None,
+    with_blocks: bool = False,
 ) -> DataFrame:
     """Decode BAM with the pure-Python BGZF/BAM/BAI codec (sources/bamcodec
     — no pysam/htslib needed), partitioned by genomic chunk: the driver
@@ -382,7 +385,24 @@ def read_bam_native(
     ordering by ``(pos_start, __ord)`` reproduces the exact record stream
     order htslib's pileup engine sees (reads at the same start live in the
     same owner-by-start span, where ``__ord`` is byte-exact file order) —
-    the tie-break mate-overlap detection needs."""
+    the tie-break mate-overlap detection needs.
+
+    ``arrow=True`` (default) decodes through the vectorized NumPy->Arrow
+    batch codec (sources/bamvec) and feeds Spark columnar RecordBatches via
+    ``mapInArrow`` — ~20x the per-core throughput of the scalar row path
+    (which remains available as ``arrow=False`` and is the pinned semantic
+    reference).
+
+    ``columns`` (arrow path) prunes the DECODE itself: mapInArrow is
+    opaque to Catalyst's column pruning, so a caller that only needs
+    position/flag columns passes them here and the codec never renders
+    seq/qual/qname/tags bytes — the manual analog of parquet ReadSchema
+    pruning, and of htsjdk's lazy per-field decode (the reference relies
+    on both).  ``with_blocks=True`` (arrow path) appends
+    ``__blocks list<struct<s:int,e:int>>`` — per-read M/=/X aligned
+    blocks computed vectorized from the raw cigar ops at decode time
+    (Read.scala:27-54's getAlignmentBlocks); operators/coverage consumes
+    it directly and skips its SQL cigar walk."""
     import glob as _glob
 
     from sequila_spark.sources import bamcodec as B
@@ -426,6 +446,58 @@ def read_bam_native(
         else:
             spans.append((p, sample, None))
 
+    _COL_TYPES = {
+        S.SAMPLE: "string", S.QNAME: "string", S.FLAG: "int",
+        S.CONTIG: "string", S.START: "int", S.END: "int", S.MAPQ: "int",
+        S.CIGAR: "string", S.RNEXT: "string", S.PNEXT: "int",
+        S.TLEN: "int", S.SEQUENCE: "string", S.BASEQ: "string",
+        "tags": "map<string,string>",
+    }
+    if columns is not None:
+        unknown = set(columns) - set(_COL_TYPES)
+        if unknown:
+            raise ValueError(f"unknown BAM columns: {sorted(unknown)}")
+        if not arrow:
+            raise ValueError("columns pruning requires arrow=True")
+    if with_blocks and not arrow:
+        raise ValueError("with_blocks requires arrow=True")
+    keep = [c for c in _COL_TYPES if columns is None or c in columns]
+    schema_str = ", ".join(f"{c} {_COL_TYPES[c]}" for c in keep)
+    if with_blocks:
+        schema_str += ", __blocks array<struct<s:int,e:int>>"
+    if with_ordinal:
+        schema_str += ", __ord long"
+
+    if arrow:
+        if not spans:
+            df = spark.createDataFrame([], schema_str)
+        else:
+            def gen_batches(batches):
+                from sequila_spark.sources import bamvec as BV
+
+                for b in batches:
+                    for sid in b.column(0).to_pylist():
+                        p, sample, span = spans[sid]
+                        yield from BV.iter_span_batches(
+                            p,
+                            refs_by_path[p],
+                            sample,
+                            span,
+                            span_idx=sid,
+                            with_tags=with_tags,
+                            with_ordinal=with_ordinal,
+                            columns=keep if columns is not None else None,
+                            with_blocks=with_blocks,
+                        )
+
+            # one span per task: range(n) split into exactly n partitions
+            df = spark.range(0, len(spans), 1, len(spans)).mapInArrow(
+                gen_batches, schema_str
+            )
+        if S.CONTIG in keep:
+            df = df.withColumn(S.CONTIG, clean_contig(F.col(S.CONTIG)))
+        return with_typed_tags(df) if typed_tags else df
+
     def gen(task):
         span_idx, (p, sample, span) = task
         refs = refs_by_path[p]
@@ -461,13 +533,7 @@ def read_bam_native(
     rdd = spark.sparkContext.parallelize(
         list(enumerate(spans)), max(len(spans), 1)
     ).flatMap(gen)
-    df = rdd.toDF(
-        f"{S.SAMPLE} string, {S.QNAME} string, {S.FLAG} int, {S.CONTIG} string, "
-        f"{S.START} int, {S.END} int, {S.MAPQ} int, {S.CIGAR} string, "
-        f"{S.RNEXT} string, {S.PNEXT} int, {S.TLEN} int, {S.SEQUENCE} string, "
-        f"{S.BASEQ} string, tags map<string,string>"
-        + (", __ord long" if with_ordinal else "")
-    )
+    df = rdd.toDF(schema_str)
     df = df.withColumn(S.CONTIG, clean_contig(F.col(S.CONTIG)))
     return with_typed_tags(df) if typed_tags else df
 

@@ -1,0 +1,488 @@
+"""Vectorized BAM record decode — NumPy batch parse -> Arrow RecordBatches.
+
+``bamcodec.parse_records`` decodes one record per Python iteration (struct
+unpack + per-field string assembly) and feeds Spark through pickled row
+tuples — measured ~18k reads/s/core end-to-end on a real 1 GB BAM set,
+~21x off the reference's htsjdk path (BASELINE.md benchmarking.rst:535).
+This module removes both Python-per-record costs while keeping
+``bamcodec`` as the scalar reference implementation (and the writer side):
+
+ - the fixed 32-byte record headers of a whole decompressed batch are
+   parsed in ONE NumPy structured-dtype view (no per-record ``struct``),
+ - the variable sections (qname / cigar / seq / qual) are gathered with
+   ragged index arithmetic and decoded with whole-batch table lookups
+   (seq nibbles, phred+33) and a vectorized uint->decimal digit writer
+   (cigar), then handed to Arrow as offsets+values buffers — zero
+   per-record Python string objects,
+ - batches flow to the JVM through ``mapInArrow`` (columnar Arrow IPC)
+   instead of pickled Row tuples.
+
+Only the optional-tag decode (``with_tags=True``) stays per-record: tag
+streams are variable-typed (hts-specs SAM v1.6 §4.2.4) and reuse
+``bamcodec._decode_tags`` so both paths render identically.
+
+Semantics parity with ``parse_records`` is pinned by
+``tests/test_bam_vec.py`` (multiset equality on the reference's own BAM
+fixtures) and by the unchanged samtools byte-exact pileup golden.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from sequila_spark.sources import bamcodec as B
+
+# fixed BAM record layout: 4-byte block_size + 32-byte fixed header
+_HDR_DT = np.dtype(
+    [
+        ("bs", "<i4"),
+        ("rid", "<i4"),
+        ("pos", "<i4"),
+        ("l_qname", "u1"),
+        ("mapq", "u1"),
+        ("bin", "<u2"),
+        ("n_cigar", "<u2"),
+        ("flag", "<u2"),
+        ("l_seq", "<i4"),
+        ("next_rid", "<i4"),
+        ("next_pos", "<i4"),
+        ("tlen", "<i4"),
+    ]
+)
+assert _HDR_DT.itemsize == 36
+
+_SEQ_LUT = np.frombuffer(B.SEQ_CODES.encode(), dtype=np.uint8)  # 4-bit code -> base
+_CIGAR_LUT = np.frombuffer((B.CIGAR_OPS + "???????").encode(), dtype=np.uint8)
+# ops consuming reference: M D N = X  (codes 0 2 3 7 8)
+_REF_CONSUME = np.zeros(16, dtype=np.int64)
+for _i, _c in enumerate(B.CIGAR_OPS):
+    if _c in "MDN=X":
+        _REF_CONSUME[_i] = 1
+
+_EMPTY_U8 = np.empty(0, dtype=np.uint8)
+
+# shared iota buffer: _ragged_take slices views off it instead of paying an
+# arange allocation per call (sized to the decode batch; grown on demand)
+_IOTA = np.arange(16 << 20, dtype=np.int64)
+
+
+def _iota(total: int) -> np.ndarray:
+    global _IOTA
+    if total > len(_IOTA):
+        _IOTA = np.arange(max(total, 2 * len(_IOTA)), dtype=np.int64)
+    return _IOTA[:total]
+
+
+def _ragged_take(u8: np.ndarray, starts: np.ndarray, lens: np.ndarray):
+    """Gather ``u8[starts[i] : starts[i]+lens[i]]`` for all i into one flat
+    array; returns (values, cum) where cum is the per-record offset vector
+    (len+1).  The classic repeat/arange ragged-range construction — one
+    fancy-index C pass, no per-record Python."""
+    n = len(starts)
+    cum = np.zeros(n + 1, dtype=np.int64)
+    if n:
+        np.cumsum(lens, out=cum[1:])
+    total = int(cum[-1])
+    if total == 0:
+        return _EMPTY_U8, cum
+    idx = np.repeat(starts - cum[:-1], lens)
+    idx += _iota(total)
+    return u8[idx], cum
+
+
+def _utf8_array(
+    values: np.ndarray, cum: np.ndarray, valid: np.ndarray | None = None
+) -> pa.Array:
+    """Arrow utf8 array straight from a flat values buffer + int64 offsets
+    (converted to Arrow's int32), optional validity mask."""
+    n = len(cum) - 1
+    offsets = cum.astype(np.int32)
+    validity = None
+    null_count = 0
+    if valid is not None and not valid.all():
+        validity = pa.py_buffer(np.packbits(valid, bitorder="little").tobytes())
+        null_count = int(n - valid.sum())
+    return pa.Array.from_buffers(
+        pa.utf8(),
+        n,
+        [validity, pa.py_buffer(offsets), pa.py_buffer(np.ascontiguousarray(values))],
+        null_count,
+    )
+
+
+def _segment_sums(contrib: np.ndarray, cum: np.ndarray) -> np.ndarray:
+    """Per-record sums of ``contrib`` segmented by ``cum`` (len n+1) —
+    cumsum-difference form (safe for empty segments, unlike reduceat)."""
+    c = np.zeros(len(contrib) + 1, dtype=np.int64)
+    if len(contrib):
+        np.cumsum(contrib, out=c[1:])
+    return c[cum[1:]] - c[cum[:-1]]
+
+
+def _cigar_column(
+    cig_u32: np.ndarray, op_cum: np.ndarray
+) -> tuple[pa.Array, np.ndarray]:
+    """(cigar utf8 array, per-record reference-consumed length).
+
+    Decimal rendering is vectorized: per-op digit counts, then one scatter
+    per digit position (<=10 passes over shrinking masks) into a flat byte
+    buffer, op letters via table lookup.  Empty cigars render as '*'
+    (parse_records parity)."""
+    nums = (cig_u32 >> 4).astype(np.int64)
+    ops = (cig_u32 & 0xF).astype(np.int64)
+    ref_len = _segment_sums(nums * _REF_CONSUME[ops], op_cum)
+
+    n_ops = len(nums)
+    if n_ops == 0:
+        n = len(op_cum) - 1
+        star = np.full(n, ord("*"), dtype=np.uint8)
+        return _utf8_array(star, np.arange(n + 1, dtype=np.int64)), ref_len
+
+    ndig = np.ones(n_ops, dtype=np.int64)
+    p = 10
+    while p <= 10**9:
+        m = nums >= p
+        if not m.any():
+            break
+        ndig += m
+        p *= 10
+    toklen = ndig + 1
+    tok_end = np.cumsum(toklen)
+    out = np.empty(int(tok_end[-1]), dtype=np.uint8)
+    out[tok_end - 1] = _CIGAR_LUT[ops]
+    rem = nums.copy()
+    k = 0
+    active = np.ones(n_ops, dtype=bool)
+    while True:
+        pos = tok_end[active] - 2 - k
+        out[pos] = 48 + (rem[active] % 10)
+        k += 1
+        nxt = ndig > k
+        if not nxt.any():
+            break
+        rem //= 10
+        active = nxt
+    rec_cum = np.concatenate(([0], tok_end))[op_cum]
+
+    # records with zero ops -> '*': splice single-byte tokens in.  ``out``
+    # is already the gap-free concatenation of per-record cigar bytes, so
+    # each byte moves by its record's cumulative-offset shift.
+    zero = op_cum[1:] == op_cum[:-1]
+    if zero.any():
+        n = len(op_cum) - 1
+        lens = rec_cum[1:] - rec_cum[:-1]
+        new_cum = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(np.where(zero, 1, lens), out=new_cum[1:])
+        new_out = np.empty(int(new_cum[-1]), dtype=np.uint8)
+        shift = np.repeat(new_cum[:-1] - rec_cum[:-1], lens)
+        new_out[np.arange(len(out), dtype=np.int64) + shift] = out
+        new_out[new_cum[:-1][zero]] = ord("*")
+        return _utf8_array(new_out, new_cum), ref_len
+    return _utf8_array(out, rec_cum), ref_len
+
+
+def _blocks_column(
+    cig_u32: np.ndarray, op_cum: np.ndarray, pos0: np.ndarray
+) -> pa.Array:
+    """Aligned-block list column: per record, the reference intervals its
+    M/=/X ops cover (1-based inclusive), as ``list<struct<s:int, e:int>>``
+    — the reference's Read.getAlignmentBlocks computed at decode time
+    (pileup/model/Read.scala:27-54), vectorized over the whole batch."""
+    nums = (cig_u32 >> 4).astype(np.int64)
+    ops = cig_u32 & 0xF
+    ref_adv = nums * _REF_CONSUME[ops]
+    # per-op exclusive within-record offset from the record's pos0
+    cum = np.cumsum(ref_adv)
+    excl = cum - ref_adv
+    n = len(op_cum) - 1
+    op_counts = op_cum[1:] - op_cum[:-1]
+    exclp = np.concatenate((excl, [0]))
+    base = np.repeat(exclp[op_cum[:-1]], op_counts)
+    rec_pos0 = np.repeat(pos0, op_counts)
+    emit = (ops == 0) | (ops == 7) | (ops == 8)  # M, =, X
+    bs = (rec_pos0 + (excl - base) + 1)[emit].astype(np.int32)
+    be = (rec_pos0 + (excl - base) + nums)[emit].astype(np.int32)
+    emit_per_rec = _segment_sums(emit.astype(np.int64), op_cum)
+    offsets = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(emit_per_rec, out=offsets[1:])
+    struct = pa.StructArray.from_arrays([pa.array(bs), pa.array(be)], ["s", "e"])
+    return pa.ListArray.from_arrays(pa.array(offsets), struct)
+
+
+# canonical column order; 'want' prunes the expensive renders
+_ALL_COLS = (
+    "sample_id", "qname", "flag", "contig", "pos_start", "pos_end",
+    "mapq", "cigar", "rnext", "pnext", "tlen", "seq", "qual", "tags",
+)
+
+
+def _decode_batch(
+    data: bytes,
+    offs: np.ndarray,
+    ref_take: pa.Array,
+    nref: int,
+    sample: str,
+    *,
+    with_tags: bool,
+    with_ordinal: bool,
+    ord_base: int,
+    region: tuple | None,
+    unmapped_only: bool,
+    want: frozenset | None = None,
+    with_blocks: bool = False,
+) -> tuple[pa.RecordBatch | None, bool]:
+    """Decode the complete records at ``offs`` inside ``data`` into one
+    Arrow RecordBatch (columns in canonical read_bam_native order, minus
+    nothing).  Returns (batch or None, finished) where finished=True means
+    the sorted-scan stop condition fired (region scans only)."""
+    u8 = np.frombuffer(data, dtype=np.uint8)
+    hdr = u8[offs[:, None] + np.arange(36)]
+    h = hdr.view(_HDR_DT).ravel()
+    rid = h["rid"].astype(np.int64)
+    pos0 = h["pos"].astype(np.int64)
+
+    finished = False
+    if region is not None:
+        ref_id, start0, end0 = region
+        bad = (rid > ref_id) | (rid < 0)
+        if end0 is not None:
+            bad |= (rid == ref_id) & (pos0 >= end0)
+        if bad.any():
+            cut = int(np.argmax(bad))
+            finished = True
+            h, offs, rid, pos0 = h[:cut], offs[:cut], rid[:cut], pos0[:cut]
+        keep = (rid == ref_id) & (pos0 >= start0)
+    elif unmapped_only:
+        keep = rid < 0
+    else:
+        keep = None
+    if keep is not None and not keep.all():
+        h, offs, rid, pos0 = h[keep], offs[keep], rid[keep], pos0[keep]
+    n = len(h)
+    if n == 0:
+        return None, finished
+
+    if want is None:
+        want = frozenset(_ALL_COLS)
+
+    l_qname = h["l_qname"].astype(np.int64)
+    n_cigar = h["n_cigar"].astype(np.int64)
+    l_seq = h["l_seq"].astype(np.int64)
+    qn_off = offs + 36
+    cg_off = qn_off + l_qname
+    cg_bytes = 4 * n_cigar
+    sq_off = cg_off + cg_bytes
+    sq_bytes = (l_seq + 1) // 2
+    ql_off = sq_off + sq_bytes
+    tg_off = ql_off + l_seq
+    rec_end = offs + 4 + h["bs"].astype(np.int64)
+
+    out: dict[str, pa.Array] = {}
+
+    if "qname" in want:
+        # qname (ASCII per spec; non-ASCII falls back to the scalar renderer)
+        qn_vals, qn_cum = _ragged_take(u8, qn_off, l_qname - 1)
+        if len(qn_vals) and qn_vals.max() >= 128:
+            out["qname"] = pa.array(
+                [
+                    bytes(data[qn_off[i] : qn_off[i] + l_qname[i] - 1]).decode(
+                        "ascii", "replace"
+                    )
+                    for i in range(n)
+                ]
+            )
+        else:
+            out["qname"] = _utf8_array(qn_vals, qn_cum)
+
+    # cigar ops drive pos_end and the blocks column too
+    need_ops = with_blocks or not want.isdisjoint(("cigar", "pos_end"))
+    if need_ops:
+        cg_vals, cg_cum = _ragged_take(u8, cg_off, cg_bytes)
+        cig_u32 = np.ascontiguousarray(cg_vals).view("<u4")
+        op_cum = cg_cum // 4
+    if "cigar" in want:
+        out["cigar"], ref_len = _cigar_column(cig_u32, op_cum)
+    elif need_ops:
+        ref_len = _segment_sums(
+            (cig_u32 >> 4).astype(np.int64) * _REF_CONSUME[cig_u32 & 0xF], op_cum
+        )
+
+    if "seq" in want:
+        # unpack nibbles over the whole batch, then compact away the pad
+        # nibble of odd-length reads (identity skip when every length is even)
+        sq_vals, sq_cum = _ragged_take(u8, sq_off, sq_bytes)
+        expanded = np.empty(len(sq_vals) * 2, dtype=np.uint8)
+        expanded[0::2] = _SEQ_LUT[sq_vals >> 4]
+        expanded[1::2] = _SEQ_LUT[sq_vals & 0xF]
+        if (l_seq & 1).any():
+            seq_vals, seq_cum = _ragged_take(expanded, 2 * sq_cum[:-1], l_seq)
+        else:
+            seq_vals, seq_cum = expanded, 2 * sq_cum
+        out["seq"] = _utf8_array(seq_vals, seq_cum, valid=l_seq > 0)
+
+    if "qual" in want:
+        # +33 rendering; all-0xFF (absent) or empty -> null.  The absent
+        # check only pays the per-record segment count when 0xFF appears.
+        ql_vals, ql_cum = _ragged_take(u8, ql_off, l_seq)
+        is_ff = ql_vals == 0xFF
+        if is_ff.any():
+            ff_per_rec = _segment_sums(is_ff.astype(np.int64), ql_cum)
+            q_valid = (l_seq > 0) & (ff_per_rec < l_seq)
+        else:
+            q_valid = l_seq > 0
+        out["qual"] = _utf8_array(ql_vals + np.uint8(33), ql_cum, valid=q_valid)
+
+    # contig / rnext via dictionary take (sentinel index -> null)
+    if "contig" in want:
+        contig_idx = np.where((rid >= 0) & (rid < nref), rid, nref).astype(np.int32)
+        out["contig"] = ref_take.take(pa.array(contig_idx))
+    if "rnext" in want:
+        next_rid = h["next_rid"].astype(np.int64)
+        rnext_idx = np.where(
+            (next_rid >= 0) & (next_rid < nref), next_rid, nref
+        ).astype(np.int32)
+        out["rnext"] = ref_take.take(pa.array(rnext_idx))
+
+    if "pos_start" in want:
+        out["pos_start"] = pa.array(np.where(pos0 >= 0, pos0 + 1, 0).astype(np.int32))
+    if "pos_end" in want:
+        out["pos_end"] = pa.array(
+            np.where((pos0 >= 0) & (ref_len > 0), pos0 + ref_len, 0).astype(np.int32)
+        )
+    if "pnext" in want:
+        next_pos = h["next_pos"].astype(np.int64)
+        out["pnext"] = pa.array(np.where(next_pos >= 0, next_pos + 1, 0).astype(np.int32))
+    if "flag" in want:
+        out["flag"] = pa.array(h["flag"].astype(np.int32))
+    if "mapq" in want:
+        out["mapq"] = pa.array(h["mapq"].astype(np.int32))
+    if "tlen" in want:
+        out["tlen"] = pa.array(h["tlen"].astype(np.int32))
+
+    if "tags" in want:
+        if with_tags:
+            dec = B._decode_tags
+            out["tags"] = pa.array(
+                [dec(data[tg_off[i] : rec_end[i]]) for i in range(n)],
+                type=pa.map_(pa.string(), pa.string()),
+            )
+        else:
+            out["tags"] = pa.MapArray.from_arrays(
+                np.zeros(n + 1, dtype=np.int32),
+                pa.array([], type=pa.string()),
+                pa.array([], type=pa.string()),
+            )
+
+    if "sample_id" in want:
+        sb = sample.encode()
+        out["sample_id"] = _utf8_array(
+            np.frombuffer(sb * n, dtype=np.uint8),
+            np.arange(n + 1, dtype=np.int64) * len(sb),
+        )
+
+    cols = [out[c] for c in _ALL_COLS if c in want]
+    names = [c for c in _ALL_COLS if c in want]
+    if with_blocks:
+        cols.append(_blocks_column(cig_u32, op_cum, pos0))
+        names.append("__blocks")
+    if with_ordinal:
+        cols.append(pa.array(ord_base + np.arange(n, dtype=np.int64)))
+        names.append("__ord")
+    return pa.RecordBatch.from_arrays(cols, names), finished
+
+
+def iter_span_batches(
+    path: str,
+    refs: list[tuple[str, int]],
+    sample: str,
+    span,
+    *,
+    span_idx: int = 0,
+    with_tags: bool = True,
+    with_ordinal: bool = False,
+    columns: list[str] | None = None,
+    with_blocks: bool = False,
+    batch_bytes: int = 8 << 20,
+):
+    """Yield Arrow RecordBatches for one decode span (same span model as
+    read_bam_native / bamcodec.plan_spans): ``None`` = whole file,
+    ``('__unmapped__', voff)`` = trailing no-coordinate region,
+    ``(rid, start0, end0, voff)`` = owner-by-start genomic chunk.
+
+    Streams ~``batch_bytes`` of decompressed records per batch; a record
+    split across the boundary carries over to the next batch.
+
+    ``columns`` prunes the decode itself (htsjdk-style lazy fields: a
+    skipped column's bytes are never rendered); ``with_blocks`` appends a
+    ``__blocks list<struct<s,e>>`` column of M/=/X aligned blocks computed
+    from the raw cigar ops — coverage consumers skip the SQL cigar walk."""
+    names = [nm for nm, _ in refs]
+    ref_take = pa.array(names + [None], type=pa.string())
+    nref = len(names)
+    want = frozenset(columns) if columns is not None else None
+
+    region = None
+    unmapped_only = False
+    with open(path, "rb") as fh:
+        if span is None:
+            st = B.BgzfReader(fh)
+            B.read_bam_header(st)
+        elif span[0] == "__unmapped__":
+            voff = span[1]
+            if voff:
+                st = B.BgzfReader(fh, voff)
+            else:
+                st = B.BgzfReader(fh)
+                B.read_bam_header(st)
+            unmapped_only = True
+        else:
+            rid0, s0, e0, voff = span
+            st = B.BgzfReader(fh, voff)
+            region = (rid0, s0, e0)
+
+        import struct as _struct
+
+        carry = b""
+        n_out = 0
+        unpack_i4 = _struct.Struct("<i").unpack_from
+        while True:
+            chunk = st.read(batch_bytes)
+            data = carry + chunk if carry else chunk
+            if not data:
+                return
+            total = len(data)
+            limit = total - 4
+            offs = []
+            off = 0
+            append = offs.append
+            while off <= limit:
+                end = off + 4 + unpack_i4(data, off)[0]
+                if end > total:
+                    break
+                append(off)
+                off = end
+            carry = data[off:]
+            if offs:
+                batch, finished = _decode_batch(
+                    data,
+                    np.asarray(offs, dtype=np.int64),
+                    ref_take,
+                    nref,
+                    sample,
+                    with_tags=with_tags,
+                    with_ordinal=with_ordinal,
+                    ord_base=(span_idx << 32) | n_out,
+                    region=region,
+                    unmapped_only=unmapped_only,
+                    want=want,
+                    with_blocks=with_blocks,
+                )
+                if batch is not None:
+                    n_out += batch.num_rows
+                    yield batch
+                if finished:
+                    return
+            if not chunk:
+                # truncated trailing record: parse_records parity (silent stop)
+                return

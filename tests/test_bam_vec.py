@@ -1,0 +1,106 @@
+"""Vectorized BAM decode (sources/bamvec) parity with the scalar codec.
+
+The scalar ``bamcodec.parse_records`` is the pinned semantic reference
+(itself pinned to the reference project's fixtures in test_bam_native);
+the NumPy->Arrow batch decoder must reproduce it record-for-record —
+including tags rendering, null seq/qual, '*' cigars, region ownership and
+the trailing no-coordinate span.
+"""
+
+import os
+
+import pytest
+
+from sequila_spark.sources import bamcodec as B
+from sequila_spark.sources import bamvec as BV
+
+SLICE = "/root/reference/src/test/resources/NA12878.slice.bam"
+MDBAM = (
+    "/root/reference/src/test/resources/multichrom/mdbam/"
+    "NA12878.multichrom.md.bam"
+)
+
+
+def _scalar(path, **kw):
+    with open(path, "rb") as f:
+        st = B.BgzfReader(f)
+        refs, _ = B.read_bam_header(st)
+        return refs, list(B.parse_records(st, refs, **kw))
+
+
+def _vec(path, refs, span=None, **kw):
+    rows = []
+    for b in BV.iter_span_batches(path, refs, "S", span, **kw):
+        cols = [c.to_pylist() for c in b.columns]
+        cols[13] = [dict(m) for m in cols[13]]  # MapArray renders as pairs
+        rows.extend(zip(*cols))
+    return rows
+
+
+@pytest.mark.parametrize(
+    "path", [p for p in (SLICE, MDBAM) if os.path.exists(p)]
+)
+def test_whole_file_exact(path):
+    """Every field of every record identical, in order — tags included."""
+    refs, recs = _scalar(path)
+    assert recs, "fixture decoded empty"
+    assert _vec(path, refs) == [("S",) + r for r in recs]
+
+
+@pytest.mark.skipif(not os.path.exists(SLICE), reason="no reference BAM")
+def test_region_spans_ownership():
+    """Chunked region decode reproduces the whole-file mapped multiset
+    (owner-by-start), exactly like the scalar span scan."""
+    from collections import Counter
+
+    refs, recs = _scalar(SLICE)
+    whole = Counter((r[0], r[1], r[3]) for r in recs if r[2] is not None)
+    linear = B.read_bai_linear(SLICE + ".bai")
+    got = Counter()
+    for span in B.plan_spans(refs, linear, 7_000):
+        for r in _vec(SLICE, refs, span=span):
+            got[(r[1], r[2], r[4])] += 1
+    assert got == whole
+
+
+@pytest.mark.skipif(not os.path.exists(SLICE), reason="no reference BAM")
+def test_no_tags_and_ordinal():
+    refs, recs = _scalar(SLICE, with_tags=False)
+    got = _vec(SLICE, refs, with_tags=False, with_ordinal=True, span_idx=3)
+    assert [g[:-1] for g in got] == [("S",) + r for r in recs]
+    assert [g[-1] for g in got] == [(3 << 32) | i for i in range(len(recs))]
+
+
+def test_synthetic_edge_records(tmp_path):
+    """Codec corner cases the real fixtures may not cover: empty seq ('*'),
+    absent qual (0xFF fill), empty cigar, odd-length seq, unmapped rid=-1,
+    B-array and float tags."""
+    refs = [("c1", 1000), ("c2", 1000)]
+    ref_ids = {n: i for i, (n, _) in enumerate(refs)}
+    recs = [
+        ("r1", 0, "c1", 10, 14, 60, "5M", "c2", 77, -5, "ACGTA", "IIIII",
+         {"NM": "1", "MD": "5"}),
+        ("odd", 0, "c1", 20, 22, 7, "3M", None, 0, 0, "ACG", "II#", {}),
+        ("noseq", 4, None, 0, 0, 0, "*", None, 0, 0, None, None, {"ZZ": "x"}),
+        ("noqual", 0, "c2", 5, 8, 1, "2M1D1M", None, 0, 0, "AAA", None, {}),
+    ]
+    path = str(tmp_path / "edge.bam")
+    with open(path, "wb") as f:
+        w = B.BgzfWriter(f)
+        B.write_bam_header(w, refs, "")
+        for r in recs:
+            w.write(B.encode_record(r, ref_ids))
+        w.close()
+    srefs, scalar = _scalar(path)
+    assert [r[0] for r in scalar] == ["r1", "odd", "noseq", "noqual"]
+    assert scalar[2][10] is None and scalar[3][11] is None
+    assert _vec(path, srefs) == [("S",) + r for r in scalar]
+
+
+@pytest.mark.skipif(not os.path.exists(SLICE), reason="no reference BAM")
+def test_batch_boundary_carry():
+    """A record split across the streaming batch boundary must carry over
+    intact — tiny batch_bytes forces a split inside nearly every record."""
+    refs, recs = _scalar(SLICE)
+    got = _vec(SLICE, refs, batch_bytes=257)
+    assert got == [("S",) + r for r in recs]

@@ -299,6 +299,71 @@ def duckdb_sliced_hash_check(sdf, sql: str, sf_dir: str, name: str) -> dict | No
     }
 
 
+def duckdb_windowed_digest_check(
+    sdf, spec: dict, sf_dir: str, window_bases: int
+) -> dict:
+    """External-oracle value fidelity for the pileup-family per-contig
+    DIGESTS at scale factors where one oracle pass exhausts single-node
+    DuckDB: the oracle runs once per (contig, base-window) slice — each
+    slice expands only its own bases — and the digest rows merge
+    additively across disjoint windows (every position belongs to exactly
+    one window, and every digest column is a COUNT/SUM over positions).
+    The merged oracle rows are compared to Spark's collected result by
+    EXACT VALUE (the digest is <= one row per contig), stronger than the
+    hash comparisons used for wide results."""
+    from tests.oracle import duck_connection
+
+    spark_rows = {}
+    cols = sdf.columns
+    for r in sdf.collect():
+        spark_rows[r[0]] = tuple(int(v) for v in r[1:])
+
+    con = duck_connection(sf_dir)
+    acc: dict[str, list[int]] = {}
+    n_windows = 0
+    slice_secs = []
+    try:
+        extents = con.execute(spec["extent_sql"]).fetchall()
+        for contig, lo, hi in extents:
+            lo, hi = int(lo), int(hi)
+            for wlo in range(lo, hi + 1, window_bases):
+                whi = min(wlo + window_bases - 1, hi)
+                t0 = time.time()
+                rows = con.execute(spec["window_sql"](contig, wlo, whi)).fetchall()
+                slice_secs.append(round(time.time() - t0, 1))
+                n_windows += 1
+                for row in rows:
+                    a = acc.setdefault(row[0], [0] * (len(row) - 1))
+                    for j, v in enumerate(row[1:]):
+                        a[j] += int(v)
+    finally:
+        con.close()
+
+    oracle_rows = {c: tuple(v) for c, v in acc.items()}
+    match = spark_rows == oracle_rows
+    mism = None
+    if not match:
+        keys = set(spark_rows) | set(oracle_rows)
+        mism = {
+            c: {"spark": spark_rows.get(c), "oracle": oracle_rows.get(c)}
+            for c in sorted(keys)
+            if spark_rows.get(c) != oracle_rows.get(c)
+        }
+    return {
+        "rows_match": set(spark_rows) == set(oracle_rows),
+        "schema_match": True,  # fixed digest schema, names pinned in the SQL
+        "hash_match": match,
+        "spark_rows": len(spark_rows),
+        "oracle_rows": len(oracle_rows),
+        "err": None if match else f"digest mismatch: {mism}"[:500],
+        "method": "duckdb_external_oracle_windowed_digest_exact_values",
+        "windows": n_windows,
+        "window_bases": window_bases,
+        "columns": cols,
+        "slice_secs_max": max(slice_secs, default=0.0),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
@@ -319,6 +384,14 @@ def main() -> None:
         "DuckDB oracle run per contig slice (exact hash merge) — for "
         "result sets too large for one oracle pass",
     )
+    ap.add_argument(
+        "--duck-windowed",
+        default=None,
+        help="comma-separated digest query names verified against the "
+        "EXTERNAL DuckDB oracle run per (contig, base-window) slice with "
+        "additive digest merge (pileup family at sf1)",
+    )
+    ap.add_argument("--window-bases", type=int, default=2_000_000)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -345,6 +418,11 @@ def main() -> None:
     unknown_ds = dsliced - set(_SLICE_SPECS)
     if unknown_ds:
         raise SystemExit(f"no slice spec for: {sorted(unknown_ds)}")
+    dwindowed = set(args.duck_windowed.split(",")) if args.duck_windowed else set()
+    wspecs = E.windowed_digest_oracles() if dwindowed else {}
+    unknown_w = dwindowed - set(wspecs)
+    if unknown_w:
+        raise SystemExit(f"no windowed digest spec for: {sorted(unknown_w)}")
     xcheck = set(args.crosscheck.split(",")) if args.crosscheck else set()
     xmap = E.crosscheck_queries() if xcheck else {}
     unknown = xcheck - set(xmap)
@@ -365,6 +443,14 @@ def main() -> None:
                     raise RuntimeError("sliced oracle not applicable")
                 res["schema_match"] = True  # names checked by the hash canon
                 results[name] = res
+                results[name]["sec"] = round(time.time() - t0, 1)
+                print(f"{name}: {results[name]}", flush=True)
+                continue
+            if name in dwindowed:
+                results[name] = duckdb_windowed_digest_check(
+                    fn(spark, args.sf_dir), wspecs[name], args.sf_dir,
+                    args.window_bases,
+                )
                 results[name]["sec"] = round(time.time() - t0, 1)
                 print(f"{name}: {results[name]}", flush=True)
                 continue
