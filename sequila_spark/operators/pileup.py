@@ -483,6 +483,16 @@ def pileup(
         from sequila_spark.functions.baq import baq_realn_reads
 
         reads = baq_realn_reads(reads, baq, extended=baq_extended)
+        if mate_overlap:
+            # mate_overlap_tweak_reads forks this relation into eligible/
+            # rest branches (two filters over the same lineage); without a
+            # persist the per-read BAQ HMM — the dominant cost of the
+            # samtools default-mode path — runs once PER BRANCH.  Cached
+            # blocks are read-level (pre-expansion), spill to disk, and
+            # evict LRU; this is a same-stage reuse hint, not a pin.
+            from pyspark import StorageLevel
+
+            reads = reads.persist(StorageLevel.MEMORY_AND_DISK)
 
     sparse_ok = not quals and callable(ref) and not isinstance(ref, DataFrame)
     if strategy == "sparse" and not sparse_ok:

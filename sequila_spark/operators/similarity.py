@@ -157,6 +157,14 @@ def cosine_dup_pairs(
 
     ``candidates='all_pairs'``: exact brute-force self-join — O(n²), only
     for small corpora / recall measurement in tests.
+
+    NOT lazy: the LSH path runs engine-choice probes eagerly at call time
+    (one combined aggregate over a persisted minimal (id, vec) projection
+    — corpus row count, dim, max quantized magnitude) and, on the grid
+    path, collects that projection to build the replicated matrix.  The
+    projection stays cached (MEMORY_AND_DISK, LRU-evicted) so the corpus
+    subplan is evaluated ONCE however expensive it is; pass an already-
+    cached corpus if you need to control its storage level yourself.
     """
     if candidates not in ("lsh", "all_pairs"):
         raise ValueError(f"unsupported candidates={candidates!r}")
@@ -190,18 +198,34 @@ def cosine_dup_pairs(
     # first-shared-table filter dedupes cross-table hits without a
     # .distinct() shuffle, and only the surviving id pairs reach the
     # cosine stage.
+    from pyspark import StorageLevel
+
     buckets = _buckets_batch()
-    ebt = corpus.select(
-        F.col(id_col).alias("id"),
-        buckets(F.col(vec_col)).alias("bs"),
+    # minimal projection every downstream leg (bucket explode, probe
+    # aggregate, grid collect, join-engine vector attach) derives from:
+    # persisted so the corpus subplan — however expensive — is evaluated
+    # exactly once, by the probe aggregate below
+    proj = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ebt = proj.select(
+        "id", buckets(F.col("vec")).alias("bs")
     ).select("id", "bs", F.posexplode("bs").alias("table", "bucket"))
     spark = corpus.sparkSession
-    # engine-choice probes: count() is metadata-only on a bare scan and the
-    # dim probe stops at the first row — neither reads the embedding column
-    # end to end (a combined count+first(size) aggregate would)
-    n_vecs = corpus.count()
-    dim_row = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
-    dim = dim_row["d"] if dim_row else 0
+    # ONE combined engine-choice probe: row count, dim, and the max
+    # quantized magnitude (dgemm exactness gate) in a single pass that
+    # also fills the proj cache (was three separate driver jobs, each
+    # re-evaluating an uncached corpus)
+    probe_row = proj.agg(
+        F.count("*").alias("n"),
+        F.first(F.size("vec"), ignorenulls=True).alias("d"),
+        F.max(
+            F.array_max(F.transform(quantized(F.col("vec")), F.abs))
+        ).alias("m"),
+    ).first()
+    n_vecs = probe_row["n"] or 0
+    dim = probe_row["d"] or 0
+    qmax = probe_row["m"] or 0
     pair_blocks = max(1, min(pair_blocks, (n_vecs or 0) // 1250 or 1))
     # the blk salt hashes the id, so any id type (string uuid, long)
     # partitions the build side; the grid engine additionally needs
@@ -225,20 +249,11 @@ def cosine_dup_pairs(
         and integral_id
         and (engine == "grid" or n_vecs >= _GRID_MIN_VECS)
         and n_vecs * (dim + N_TABLES + 1) * 8 <= broadcast_budget_bytes
-    )
-    if use_grid:
         # float64 dgemm over integer-valued inputs is exact only while
-        # every partial sum stays below 2^53 — checked distributed,
-        # BEFORE the driver collects anything
-        qmax = (
-            corpus.select(
-                F.max(
-                    F.array_max(F.transform(quantized(F.col(vec_col)), F.abs))
-                ).alias("m")
-            ).first()["m"]
-            or 0
-        )
-        use_grid = float(qmax) ** 2 * dim < float(1 << 53)
+        # every partial sum stays below 2^53 (qmax from the combined
+        # probe — computed distributed, before any driver collect)
+        and float(qmax) ** 2 * dim < float(1 << 53)
+    )
     if use_grid:
         # Replicated-matrix path: the pair blow-up never materializes as
         # JVM rows at all.  The shuffle moves only |corpus|·T·(G+1) id
@@ -247,15 +262,24 @@ def cosine_dup_pairs(
         # prunes it, and only the survivors pay the first-shared-table
         # dedup (bucket-matrix compare) and the Arrow trip back.
         id_vec = (
-            corpus.select(
-                F.col(id_col).alias("id"),
-                F.col(vec_col).alias("vec"),
-                buckets(F.col(vec_col)).alias("bs"),
-            )
+            proj.select("id", "vec", buckets(F.col("vec")).alias("bs"))
             .toPandas()
             .sort_values("id")
         )
         ids = id_vec["id"].to_numpy(dtype=np.int64)
+        if np.unique(ids).size != ids.size:
+            # searchsorted over a sorted index maps a duplicated id to one
+            # arbitrary row's vector for EVERY probe/build occurrence —
+            # silently diverging from the join engine, which scores each
+            # row.  An explicit grid request fails loudly; auto falls back.
+            if engine == "grid":
+                raise ValueError(
+                    f"engine='grid' requires unique values in {id_col!r} "
+                    "(the broadcast index maps each id to one vector); "
+                    "deduplicate the corpus or use engine='join'"
+                )
+            use_grid = False
+    if use_grid:
         mat = np.stack(
             [
                 np.floor(np.asarray(x, dtype=np.float64) * QUANT_SCALE)
@@ -354,10 +378,10 @@ def cosine_dup_pairs(
         .select("id_1", "id_2")
     )
 
-    ev = corpus.select(
-        F.col(id_col).alias("id"),
-        quantized(F.col(vec_col)).alias("v"),
-        _norm2(quantized(F.col(vec_col))).alias("n2"),
+    ev = proj.select(
+        "id",
+        quantized(F.col("vec")).alias("v"),
+        _norm2(quantized(F.col("vec"))).alias("n2"),
     )
     return (
         pairs.join(

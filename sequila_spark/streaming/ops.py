@@ -603,7 +603,19 @@ def stream_embedding_neardup(
     stream length.  TTL semantics (``state_ttl_ms``, ``ttl_mode='event'``
     + ``watermark``) are identical to stream_lsh_neardup, including the
     watermark clamp.  On a BATCH DataFrame this returns the equivalent
-    batch formulation, so tests pin stream == batch."""
+    batch formulation, so tests pin stream == batch.
+
+    Ordering caveat: exact stream == batch parity assumes vec_ids arrive
+    in NON-DECREASING order per bucket (within a micro-batch rows are
+    sorted, so any single-batch stream qualifies).  When a LATER
+    micro-batch delivers a smaller id, the bucket re-anchors at the new
+    minimum — the late row is compared against the old anchor, but rows
+    that already passed through are NOT re-verified against the new one,
+    so some (new_anchor, earlier_id) pairs the batch formulation emits
+    are missing from the stream output.  This is the standard streaming
+    trade-off (re-verification would need unbounded per-bucket state);
+    use the batch operator (operators.similarity.cosine_dup_pairs) when
+    exact pair parity over unordered data matters."""
     import numpy as np
     import pandas as pd
 
@@ -634,21 +646,35 @@ def stream_embedding_neardup(
         joined = cand.join(anchor_vecs, ["table", "bucket", "anchor"])
 
         def verify(batches):
+            # one NumPy batch computation per Arrow chunk — the exact same
+            # op sequence as the scalar _cos_int (int64 dots, float64
+            # norm-product, elementwise IEEE division), so results stay
+            # bit-identical to the streaming path it pins
             for pdf in batches:
-                out = {"table": [], "id_1": [], "id_2": [], "cosine": []}
-                for t, aid, vid, av, v in zip(
-                    pdf["table"], pdf["anchor"], pdf["vec_id"],
-                    pdf["anchor_qv"], pdf["qv"],
-                ):
-                    cos = _cos_int(
-                        np.asarray(v, dtype=np.int64), np.asarray(av, dtype=np.int64)
+                if not len(pdf):
+                    yield pd.DataFrame(
+                        {"table": [], "id_1": [], "id_2": [], "cosine": []}
                     )
-                    if cos is not None and cos >= threshold:
-                        out["table"].append(int(t))
-                        out["id_1"].append(int(aid))
-                        out["id_2"].append(int(vid))
-                        out["cosine"].append(cos)
-                yield pd.DataFrame(out)
+                    continue
+                V = np.stack([np.asarray(x, dtype=np.int64) for x in pdf["qv"]])
+                A = np.stack(
+                    [np.asarray(x, dtype=np.int64) for x in pdf["anchor_qv"]]
+                )
+                dots = np.einsum("ij,ij->i", V, A).astype(np.float64)
+                den = np.sqrt(
+                    np.einsum("ij,ij->i", V, V).astype(np.float64)
+                ) * np.sqrt(np.einsum("ij,ij->i", A, A).astype(np.float64))
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = dots / den
+                keep = (den > 0) & (cos >= threshold)
+                yield pd.DataFrame(
+                    {
+                        "table": pdf["table"].to_numpy()[keep],
+                        "id_1": pdf["anchor"].to_numpy()[keep],
+                        "id_2": pdf["vec_id"].to_numpy()[keep],
+                        "cosine": cos[keep],
+                    }
+                )
 
         return joined.mapInPandas(verify, schema=_VEC_NEARDUP_OUT)
 

@@ -264,6 +264,31 @@ def test_cosine_dup_pairs_engines_identical(spark, embs):
     assert len(join) > 0
 
 
+def test_cosine_dup_pairs_grid_rejects_duplicate_ids(spark, embs):
+    """A duplicated id would make the grid engine's searchsorted index map
+    every occurrence to one arbitrary row's vector — silently diverging
+    from the join engine.  engine='grid' must fail loudly; engine='auto'
+    must fall back to the join engine and still score each row."""
+    import pytest
+
+    from sequila_spark.operators.similarity import cosine_dup_pairs
+
+    one = embs.limit(1)
+    dup = embs.unionByName(one)
+    with pytest.raises(ValueError, match="unique"):
+        cosine_dup_pairs(dup, threshold=0.4, engine="grid").collect()
+    # auto falls back: same pair set as the explicit join engine
+    auto = sorted(
+        (r["id_1"], r["id_2"], r["cosine"])
+        for r in cosine_dup_pairs(dup, threshold=0.4, engine="auto").collect()
+    )
+    join = sorted(
+        (r["id_1"], r["id_2"], r["cosine"])
+        for r in cosine_dup_pairs(dup, threshold=0.4, engine="join").collect()
+    )
+    assert auto == join
+
+
 def test_cosine_dup_pairs_engines_identical_under_skew(spark):
     """Worst-case bucket skew: many IDENTICAL vectors hash to the same
     bucket in EVERY table (the quadratic blow-up the salting exists for),
