@@ -73,21 +73,27 @@ class ByteReader:
         return v
 
     def itf8(self) -> int:
-        b0 = self.u8()
+        # hot path: one attribute read + local indexing (this is called
+        # once per EXTERNAL int symbol of every CRAM record)
+        b = self.b
+        i = self.i
+        b0 = b[i]
         if b0 < 0x80:
+            self.i = i + 1
             return b0
         if b0 < 0xC0:
-            return ((b0 & 0x7F) << 8) | self.u8()
+            self.i = i + 2
+            return ((b0 & 0x7F) << 8) | b[i + 1]
         if b0 < 0xE0:
-            return ((b0 & 0x3F) << 16) | (self.u8() << 8) | self.u8()
+            self.i = i + 3
+            return ((b0 & 0x3F) << 16) | (b[i + 1] << 8) | b[i + 2]
         if b0 < 0xF0:
-            return (
-                ((b0 & 0x1F) << 24) | (self.u8() << 16) | (self.u8() << 8) | self.u8()
-            )
-        v = ((b0 & 0x0F) << 28) | (self.u8() << 20) | (self.u8() << 12) | (
-            self.u8() << 4
-        )
-        v |= self.u8() & 0x0F
+            self.i = i + 4
+            return ((b0 & 0x1F) << 24) | (b[i + 1] << 16) | (b[i + 2] << 8) | b[i + 3]
+        v = ((b0 & 0x0F) << 28) | (b[i + 1] << 20) | (b[i + 2] << 12) | (
+            b[i + 3] << 4
+        ) | (b[i + 4] & 0x0F)
+        self.i = i + 5
         if v >= 1 << 31:
             v -= 1 << 32
         return v
@@ -110,9 +116,9 @@ class ByteReader:
 _RANS_LOW = 1 << 23
 
 
-def _rans_read_freqs0(r: ByteReader) -> tuple[list[int], list[int], list[int]]:
-    """Order-0 frequency table -> per-slot decode tables
-    (symbol-of-slot, freq-of-slot, slot-bias), each 4096 wide."""
+def _rans_read_freqs0(r: ByteReader) -> list[int]:
+    """Order-0 frequency table -> one PACKED per-slot decode table,
+    4096 wide: (freq << 24) | (slot_bias << 12) | symbol."""
     freq = [0] * 256
     sym = r.u8()
     rle = 0
@@ -133,38 +139,64 @@ def _rans_read_freqs0(r: ByteReader) -> tuple[list[int], list[int], list[int]]:
             sym = nxt
         if sym == 0:
             break
-    # per-SLOT decode tables (total is 4096 per spec normalization):
-    # symbol-of-slot, freq-of-slot and slot-bias, so the hot loop does one
-    # index per table instead of chaining freq[sym]/cum[sym] per byte
-    lookup = [0] * 4096
-    fslot = [0] * 4096
-    bias = [0] * 4096
+    # per-SLOT decode table (total is 4096 per spec normalization), PACKED
+    # into one int per slot — (freq << 24) | (slot_bias << 12) | symbol —
+    # so the hot loop does ONE list index + three bit ops per byte instead
+    # of three list indexes (freq <= 4096 and bias < freq both fit 12 bits)
+    packed = [0] * 4096
     c = 0
     for s in range(256):
         f = freq[s]
         if not f:
             continue
+        fs = f << 24
         for slot in range(c, c + f):
-            lookup[slot] = s
-            fslot[slot] = f
-            bias[slot] = slot - c
+            packed[slot] = fs | ((slot - c) << 12) | s
         c += f
-    return lookup, fslot, bias
+    return packed
 
 
 def _rans_decode0(r: ByteReader, out_size: int) -> bytes:
-    lookup, fslot, bias = _rans_read_freqs0(r)
-    states = [struct.unpack("<I", r.read(4))[0] for _ in range(4)]
+    packed = _rans_read_freqs0(r)
+    x0, x1, x2, x3 = (struct.unpack("<I", r.read(4))[0] for _ in range(4))
     out = bytearray(out_size)
     b = r.b
     i = r.i
-    for pos in range(out_size):
+    low = _RANS_LOW
+    # 4 interleaved states, unrolled (list-indexed state arrays cost ~25%)
+    for pos in range(0, out_size - 3, 4):
+        v = packed[x0 & 0xFFF]
+        out[pos] = v & 0xFF
+        x0 = (v >> 24) * (x0 >> 12) + ((v >> 12) & 0xFFF)
+        while x0 < low:
+            x0 = (x0 << 8) | b[i]
+            i += 1
+        v = packed[x1 & 0xFFF]
+        out[pos + 1] = v & 0xFF
+        x1 = (v >> 24) * (x1 >> 12) + ((v >> 12) & 0xFFF)
+        while x1 < low:
+            x1 = (x1 << 8) | b[i]
+            i += 1
+        v = packed[x2 & 0xFFF]
+        out[pos + 2] = v & 0xFF
+        x2 = (v >> 24) * (x2 >> 12) + ((v >> 12) & 0xFFF)
+        while x2 < low:
+            x2 = (x2 << 8) | b[i]
+            i += 1
+        v = packed[x3 & 0xFFF]
+        out[pos + 3] = v & 0xFF
+        x3 = (v >> 24) * (x3 >> 12) + ((v >> 12) & 0xFFF)
+        while x3 < low:
+            x3 = (x3 << 8) | b[i]
+            i += 1
+    states = [x0, x1, x2, x3]
+    for pos in range(out_size & ~3, out_size):
         j = pos & 3
         x = states[j]
-        slot = x & 0xFFF
-        out[pos] = lookup[slot]
-        x = fslot[slot] * (x >> 12) + bias[slot]
-        while x < _RANS_LOW:
+        v = packed[x & 0xFFF]
+        out[pos] = v & 0xFF
+        x = (v >> 24) * (x >> 12) + ((v >> 12) & 0xFFF)
+        while x < low:
             x = (x << 8) | b[i]
             i += 1
         states[j] = x
@@ -175,16 +207,11 @@ def _rans_decode0(r: ByteReader, out_size: int) -> bytes:
 def _rans_decode1(r: ByteReader, out_size: int) -> bytes:
     """Order-1: 256 conditional tables keyed by previous symbol; four
     interleaved streams each decode a quarter of the output."""
-    lookup = [None] * 256
-    fslot = [None] * 256
-    bias = [None] * 256
+    tables = [None] * 256
     sym = r.u8()
     rle = 0
     while True:
-        lk, fs, bi = _rans_read_freqs0(r)
-        lookup[sym] = lk
-        fslot[sym] = fs
-        bias[sym] = bi
+        tables[sym] = _rans_read_freqs0(r)
         if rle > 0:
             rle -= 1
             sym += 1
@@ -196,39 +223,59 @@ def _rans_decode1(r: ByteReader, out_size: int) -> bytes:
             sym = nxt
         if sym == 0:
             break
-    states = [struct.unpack("<I", r.read(4))[0] for _ in range(4)]
+    x0, x1, x2, x3 = (struct.unpack("<I", r.read(4))[0] for _ in range(4))
     quarter = out_size >> 2
     truncated = out_size & 3
     out = bytearray(out_size)
     b = r.b
     i = r.i
-    prev = [0, 0, 0, 0]
+    low = _RANS_LOW
+    t0 = t1 = t2 = t3 = tables[0]  # prev-symbol tables, lanes unrolled
+    q2 = 2 * quarter
+    q3 = 3 * quarter
     for pos in range(quarter):
-        for j in range(4):
-            x = states[j]
-            p = prev[j]
-            slot = x & 0xFFF
-            s = lookup[p][slot]
-            out[j * quarter + pos] = s
-            x = fslot[p][slot] * (x >> 12) + bias[p][slot]
-            while x < _RANS_LOW:
-                x = (x << 8) | b[i]
-                i += 1
-            states[j] = x
-            prev[j] = s
+        v = t0[x0 & 0xFFF]
+        s = v & 0xFF
+        out[pos] = s
+        t0 = tables[s]
+        x0 = (v >> 24) * (x0 >> 12) + ((v >> 12) & 0xFFF)
+        while x0 < low:
+            x0 = (x0 << 8) | b[i]
+            i += 1
+        v = t1[x1 & 0xFFF]
+        s = v & 0xFF
+        out[quarter + pos] = s
+        t1 = tables[s]
+        x1 = (v >> 24) * (x1 >> 12) + ((v >> 12) & 0xFFF)
+        while x1 < low:
+            x1 = (x1 << 8) | b[i]
+            i += 1
+        v = t2[x2 & 0xFFF]
+        s = v & 0xFF
+        out[q2 + pos] = s
+        t2 = tables[s]
+        x2 = (v >> 24) * (x2 >> 12) + ((v >> 12) & 0xFFF)
+        while x2 < low:
+            x2 = (x2 << 8) | b[i]
+            i += 1
+        v = t3[x3 & 0xFFF]
+        s = v & 0xFF
+        out[q3 + pos] = s
+        t3 = tables[s]
+        x3 = (v >> 24) * (x3 >> 12) + ((v >> 12) & 0xFFF)
+        while x3 < low:
+            x3 = (x3 << 8) | b[i]
+            i += 1
     # remainder bytes decode on stream 3
     for pos in range(out_size - truncated, out_size):
-        x = states[3]
-        p = prev[3]
-        slot = x & 0xFFF
-        s = lookup[p][slot]
+        v = t3[x3 & 0xFFF]
+        s = v & 0xFF
         out[pos] = s
-        x = fslot[p][slot] * (x >> 12) + bias[p][slot]
-        while x < _RANS_LOW:
-            x = (x << 8) | b[i]
+        t3 = tables[s]
+        x3 = (v >> 24) * (x3 >> 12) + ((v >> 12) & 0xFFF)
+        while x3 < low:
+            x3 = (x3 << 8) | b[i]
             i += 1
-        states[3] = x
-        prev[3] = s
     r.i = i
     return bytes(out)
 
@@ -1284,6 +1331,66 @@ class Encoding:
             return bytes(self.val_enc.decode_byte(core, ext) for _ in range(n))
         raise NotImplementedError(f"byte-array decode for codec {c}")
 
+    # --- per-slice specialized zero-arg readers (hot path) ------------------
+    # The scalar decode_* methods above stay the semantic reference; these
+    # factories bind the (core, ext) streams ONCE per slice and collapse the
+    # dominant real-world cases — EXTERNAL values and single-symbol
+    # ("constant") Huffman — to a bound method / constant closure, removing
+    # two dict lookups and a dispatch per decoded symbol.  Exercised by the
+    # byte-exact CRAM-vs-BAM parity suite (test_cram_native.py).
+
+    def _const(self):
+        return (
+            self.codec == 3 and self.alphabet and not any(self.bitlens)
+        )
+
+    def int_reader(self, core: BitReader, ext: dict[int, "ByteReader"]):
+        # a series may be DEFINED in the compression header while its
+        # content block is absent from this slice (blocks ship only when
+        # used) — fall back to the generic path, which raises only if the
+        # series is actually read, exactly like the scalar decoder
+        if self.codec == 1 and self.content_id in ext:
+            return ext[self.content_id].itf8
+        if self._const():
+            v = self.alphabet[0]
+            return lambda: v
+        return lambda: self.decode_int(core, ext)
+
+    def byte_reader(self, core: BitReader, ext: dict[int, "ByteReader"]):
+        if self.codec == 1 and self.content_id in ext:
+            return ext[self.content_id].u8
+        if self._const():
+            v = self.alphabet[0]
+            return lambda: v
+        return lambda: self.decode_byte(core, ext)
+
+    def bytes_reader(self, core: BitReader, ext: dict[int, "ByteReader"]):
+        if self.codec == 5 and self.content_id in ext:
+            st = ext[self.content_id]
+            stop = bytes([self.stop])
+
+            def rd_stop():
+                b = st.b
+                j = b.index(stop, st.i)
+                out = b[st.i : j]
+                st.i = j + 1
+                return out
+
+            return rd_stop
+        if (
+            self.codec == 4
+            and self.val_enc.codec == 1
+            and self.val_enc.content_id in ext
+        ):
+            ln = self.len_enc.int_reader(core, ext)
+            vst = ext[self.val_enc.content_id]
+
+            def rd_len():
+                return vst.read(ln())
+
+            return rd_len
+        return lambda: self.decode_bytes(core, ext)
+
 
 # --- compression header -----------------------------------------------------
 
@@ -1630,32 +1737,72 @@ def _decode_slice_records(
     rg_names: list[str] | None = None,
 ) -> Iterator[tuple]:
     ds = ch.ds
+
+    # per-slice specialized readers: bind (core, ext) once, collapse
+    # EXTERNAL/constant-Huffman series to bound methods (see Encoding.
+    # int_reader) — this loop was dominated by per-symbol dispatch
+    def _missing(name):
+        def f():
+            raise KeyError(name)
+
+        return f
+
+    def ir(name):
+        return ds[name].int_reader(core, ext) if name in ds else _missing(name)
+
+    def br(name):
+        return ds[name].byte_reader(core, ext) if name in ds else _missing(name)
+
+    def sr(name):
+        return ds[name].bytes_reader(core, ext) if name in ds else _missing(name)
+
+    bf_r, cf_r, ri_r, rl_r, ap_r = ir("BF"), ir("CF"), ir("RI"), ir("RL"), ir("AP")
+    rg_r, tl_r, mq_r = ir("RG"), ir("TL"), ir("MQ")
+    rn_r = sr("RN")
+    mf_r, ns_r, np_r, ts_r, nf_r = ir("MF"), ir("NS"), ir("NP"), ir("TS"), ir("NF")
+    ba_r = br("BA")
+    qs_enc = ds.get("QS")
+    qs_ext = ext.get(qs_enc.content_id) if qs_enc is not None and qs_enc.codec == 1 else None
+    qs_r = br("QS")
+    rdr = {
+        "FN": ir("FN"), "FC": br("FC"), "FP": ir("FP"), "BS": br("BS"),
+        "IN": sr("IN"), "SC": sr("SC"), "BA": ba_r, "DL": ir("DL"),
+        "RS": ir("RS"), "PD": ir("PD"), "HC": ir("HC"), "BB": sr("BB"),
+        "QQ": sr("QQ"), "QS": qs_r,
+    }
+    # per-TL-line tag readers (name, SAM type, specialized raw reader)
+    tag_rdr = [
+        [(name, typ, ch.tag_enc[(name, typ)].bytes_reader(core, ext))
+         for name, typ in line]
+        for line in ch.tag_lines
+    ]
+
     prev_ap = s_start
     recs: list[dict] = []
     for _ in range(s_nrec):
-        bf = ds["BF"].decode_int(core, ext)
-        cf = ds["CF"].decode_int(core, ext)
-        rid = ds["RI"].decode_int(core, ext) if s_ref == -2 else s_ref
-        rl = ds["RL"].decode_int(core, ext)
-        ap = ds["AP"].decode_int(core, ext)
+        bf = bf_r()
+        cf = cf_r()
+        rid = ri_r() if s_ref == -2 else s_ref
+        rl = rl_r()
+        ap = ap_r()
         if ch.ap_delta:
             ap = prev_ap + ap
             prev_ap = ap
-        rg = ds["RG"].decode_int(core, ext)
+        rg = rg_r()
         qname = None
         if ch.rn_preserved:
-            qname = ds["RN"].decode_bytes(core, ext).decode("ascii", "replace")
+            qname = rn_r().decode("ascii", "replace")
         next_rid = -1
         next_pos = 0
         tlen = 0
         nf = None
         if cf & 2:  # detached: explicit mate info
-            mf = ds["MF"].decode_int(core, ext)
+            mf = mf_r()
             if not ch.rn_preserved:
-                qname = ds["RN"].decode_bytes(core, ext).decode("ascii", "replace")
-            next_rid = ds["NS"].decode_int(core, ext)
-            next_pos = ds["NP"].decode_int(core, ext)
-            tlen = ds["TS"].decode_int(core, ext)
+                qname = rn_r().decode("ascii", "replace")
+            next_rid = ns_r()
+            next_pos = np_r()
+            tlen = ts_r()
             if mf & 1:
                 bf |= 0x20  # mate reverse strand
             if mf & 2:
@@ -1663,13 +1810,12 @@ def _decode_slice_records(
         elif cf & 4:
             # mate downstream in the SAME slice: its fields come from the
             # mate record itself (resolved after the decode loop)
-            nf = ds["NF"].decode_int(core, ext)
+            nf = nf_r()
         # tags
-        tl = ds["TL"].decode_int(core, ext)
+        tl = tl_r()
         tags: dict[str, str] = {}
-        for name, typ in ch.tag_lines[tl]:
-            raw = ch.tag_enc[(name, typ)].decode_bytes(core, ext)
-            tags[name] = _decode_tag_value(typ, raw)
+        for name, typ, raw_r in tag_rdr[tl]:
+            tags[name] = _decode_tag_value(typ, raw_r())
         if rg_names is not None and 0 <= rg < len(rg_names):
             tags.setdefault("RG", rg_names[rg])
 
@@ -1678,9 +1824,9 @@ def _decode_slice_records(
 
         if not unmapped:
             seq, cigar, ref_len, nm = _reconstruct(
-                ch, ds, core, ext, rl, ap, contig, ref_seqs, cf
+                ch, rdr, rl, ap, contig, ref_seqs, cf
             )
-            mapq = ds["MQ"].decode_int(core, ext)
+            mapq = mq_r()
             if synthesize_nm:
                 # edit distance from the feature walk (samtools-calmd
                 # analog).  Off by default: htslib drops NM at encode
@@ -1690,18 +1836,16 @@ def _decode_slice_records(
                 # aligner's actual reference.
                 tags.setdefault("NM", str(nm))
         else:
-            seq = bytes(
-                ds["BA"].decode_byte(core, ext) for _ in range(rl)
-            ).decode("ascii", "replace")
+            seq = bytes(ba_r() for _ in range(rl)).decode("ascii", "replace")
             cigar = "*"
             ref_len = 0
             mapq = 0
         qual = None
         if cf & 1:
             qraw = (
-                ext[ds["QS"].content_id].read(rl)
-                if ds["QS"].codec == 1
-                else bytes(ds["QS"].decode_byte(core, ext) for _ in range(rl))
+                qs_ext.read(rl)
+                if qs_ext is not None
+                else bytes(qs_r() for _ in range(rl))
             )
             if qraw != b"\xff" * rl:
                 from sequila_spark.sources.bamcodec import _QUAL33
@@ -1807,9 +1951,7 @@ def _resolve_mates(recs: list[dict]) -> None:
 
 def _reconstruct(
     ch: CompressionHeader,
-    ds: dict[str, Encoding],
-    core: BitReader,
-    ext: dict[int, ByteReader],
+    rdr: dict[str, object],
     rl: int,
     ap: int,
     contig: str | None,
@@ -1819,47 +1961,12 @@ def _reconstruct(
     """Feature-walk sequence + CIGAR reconstruction (spec section 10.5).
     Also accumulates the NM edit distance: substituted + inserted +
     deleted bases (clips/splices excluded), literal runs compared against
-    the reference."""
-    fn = ds["FN"].decode_int(core, ext)
-    feats = []
-    fpos = 0
-    for _ in range(fn):
-        code = chr(ds["FC"].decode_byte(core, ext))
-        fpos += ds["FP"].decode_int(core, ext)
-        if code == "X":
-            feats.append((fpos, "X", ds["BS"].decode_byte(core, ext)))
-        elif code == "I":
-            feats.append((fpos, "I", ds["IN"].decode_bytes(core, ext)))
-        elif code == "S":
-            feats.append((fpos, "S", ds["SC"].decode_bytes(core, ext)))
-        elif code == "i":
-            feats.append((fpos, "i", ds["BA"].decode_byte(core, ext)))
-        elif code == "D":
-            feats.append((fpos, "D", ds["DL"].decode_int(core, ext)))
-        elif code == "N":
-            feats.append((fpos, "N", ds["RS"].decode_int(core, ext)))
-        elif code == "P":
-            feats.append((fpos, "P", ds["PD"].decode_int(core, ext)))
-        elif code == "H":
-            feats.append((fpos, "H", ds["HC"].decode_int(core, ext)))
-        elif code == "B":
-            # explicit base + quality: consumes reference AND query (an
-            # M-type base, NOT an insertion — htslib uses it e.g. for
-            # bases beyond the reference end); the qual lands in the QS
-            # array which this record reads separately
-            b = ds["BA"].decode_byte(core, ext)
-            ds["QS"].decode_byte(core, ext)
-            feats.append((fpos, "b", bytes([b])))
-        elif code == "b":
-            feats.append((fpos, "b", ds["BB"].decode_bytes(core, ext)))
-        elif code == "Q":
-            ds["QS"].decode_byte(core, ext)
-            feats.append((fpos, "Q", None))
-        elif code == "q":
-            feats.append((fpos, "q", ds["QQ"].decode_bytes(core, ext)))
-        else:
-            raise NotImplementedError(f"CRAM feature code {code!r}")
+    the reference.  ``rdr`` maps data-series name -> zero-arg specialized
+    reader built once per slice (Encoding.int_reader & co).
 
+    Single pass: each feature is decoded from its series and applied to
+    the seq/CIGAR walk immediately (no intermediate feature list — FP
+    deltas are non-negative, so decode order IS walk order)."""
     if ref_seqs is None or contig not in (ref_seqs or {}):
         if ch.rr:
             raise ValueError(
@@ -1871,78 +1978,155 @@ def _reconstruct(
         # load_fasta uppercases at load, so slices need no per-read fold
         refseq = ref_seqs[contig]
 
-    if not feats and not (cf & 8) and ap > 0 and rl > 0 and ap - 1 + rl <= len(refseq):
+    fn = rdr["FN"]()
+    if fn == 0 and not (cf & 8) and ap > 0 and rl > 0 and ap - 1 + rl <= len(refseq):
         # featureless full-match read (the common case on high-identity
         # data): one reference slice, no bytearray walk
         return refseq[ap - 1 : ap - 1 + rl], f"{rl}M", rl, 0
 
+    fc_r, fp_r = rdr["FC"], rdr["FP"]
+    bs_r, in_r, sc_r, ba_r = rdr["BS"], rdr["IN"], rdr["SC"], rdr["BA"]
+    dl_r, rs_r, pd_r, hc_r = rdr["DL"], rdr["RS"], rdr["PD"], rdr["HC"]
+    bb_r, qs_r, qq_r = rdr["BB"], rdr["QS"], rdr["QQ"]
+    sub_table = ch.sub_table
     seq = bytearray(b"N" * rl)
-    cig: list[tuple[int, str]] = []
+    cig: list[list] = []
+    last = None  # last cigar op, mirrored in cig[-1][1]
 
-    def add(op: str, n: int) -> None:
-        if n <= 0:
-            return
-        if cig and cig[-1][1] == op:
-            cig[-1] = (cig[-1][0] + n, op)
-        else:
-            cig.append((n, op))
-
+    fpos = 0
     rpos = 0  # 0-based in read
     ref_off = ap - 1  # 0-based in reference
     nm = 0
-    for fp, code, val in feats:
-        gap = (fp - 1) - rpos  # matched bases before this feature
+    for _ in range(fn):
+        code = fc_r()
+        fpos += fp_r()
+        gap = (fpos - 1) - rpos  # matched bases before this feature
         if gap > 0:
             seq[rpos : rpos + gap] = refseq[ref_off : ref_off + gap].encode()
-            add("M", gap)
+            if last == "M":
+                cig[-1][0] += gap
+            else:
+                cig.append([gap, "M"])
+                last = "M"
             rpos += gap
             ref_off += gap
-        if code == "X":
+        if code == 88:  # X: substitution code via the header table
+            val = bs_r()
             refb = refseq[ref_off] if ref_off < len(refseq) else "N"
-            table = ch.sub_table.get(refb, "ACGT")
+            table = sub_table.get(refb, "ACGT")
             seq[rpos] = ord(table[val] if val < len(table) else "N")
-            add("M", 1)
+            if last == "M":
+                cig[-1][0] += 1
+            else:
+                cig.append([1, "M"])
+                last = "M"
             nm += 1
             rpos += 1
             ref_off += 1
-        elif code == "I":
-            seq[rpos : rpos + len(val)] = val
-            add("I", len(val))
-            nm += len(val)
-            rpos += len(val)
-        elif code == "S":
-            seq[rpos : rpos + len(val)] = val
-            add("S", len(val))
-            rpos += len(val)
-        elif code == "i":
-            seq[rpos] = val
-            add("I", 1)
+        elif code == 66 or code == 98:  # B / b: literal M-type base run
+            # B carries one explicit base + its quality (the qual lands in
+            # the QS array this record reads separately); b is a base run.
+            # Both consume reference AND query (M-type, NOT insertions —
+            # htslib uses B e.g. for bases beyond the reference end).
+            if code == 66:
+                val = bytes([ba_r()])
+                qs_r()
+            else:
+                val = bb_r()
+            n = len(val)
+            if n > 0:
+                run = refseq[ref_off : ref_off + n].encode()
+                nm += sum(1 for a, bch in zip(val, run) if a != bch)
+                nm += max(0, n - len(run))
+                seq[rpos : rpos + n] = val
+                if last == "M":
+                    cig[-1][0] += n
+                else:
+                    cig.append([n, "M"])
+                    last = "M"
+                rpos += n
+                ref_off += n
+        elif code == 73:  # I: insertion bytes
+            val = in_r()
+            n = len(val)
+            if n > 0:
+                seq[rpos : rpos + n] = val
+                if last == "I":
+                    cig[-1][0] += n
+                else:
+                    cig.append([n, "I"])
+                    last = "I"
+                nm += n
+                rpos += n
+        elif code == 83:  # S: soft clip
+            val = sc_r()
+            n = len(val)
+            if n > 0:
+                seq[rpos : rpos + n] = val
+                if last == "S":
+                    cig[-1][0] += n
+                else:
+                    cig.append([n, "S"])
+                    last = "S"
+                rpos += n
+        elif code == 105:  # i: single inserted base
+            seq[rpos] = ba_r()
+            if last == "I":
+                cig[-1][0] += 1
+            else:
+                cig.append([1, "I"])
+                last = "I"
             nm += 1
             rpos += 1
-        elif code == "b":
-            run = refseq[ref_off : ref_off + len(val)].encode()
-            nm += sum(1 for a, bch in zip(val, run) if a != bch)
-            nm += max(0, len(val) - len(run))
-            seq[rpos : rpos + len(val)] = val
-            add("M", len(val))
-            rpos += len(val)
-            ref_off += len(val)
-        elif code == "D":
-            add("D", val)
+        elif code == 68:  # D: deletion
+            val = dl_r()
+            if val > 0:
+                if last == "D":
+                    cig[-1][0] += val
+                else:
+                    cig.append([val, "D"])
+                    last = "D"
             nm += val
             ref_off += val
-        elif code == "N":
-            add("N", val)
+        elif code == 78:  # N: reference skip
+            val = rs_r()
+            if val > 0:
+                if last == "N":
+                    cig[-1][0] += val
+                else:
+                    cig.append([val, "N"])
+                    last = "N"
             ref_off += val
-        elif code == "P":
-            add("P", val)
-        elif code == "H":
-            add("H", val)
-        # Q/q only adjust quality streams, handled above
+        elif code == 80:  # P: padding
+            val = pd_r()
+            if val > 0:
+                if last == "P":
+                    cig[-1][0] += val
+                else:
+                    cig.append([val, "P"])
+                    last = "P"
+        elif code == 72:  # H: hard clip
+            val = hc_r()
+            if val > 0:
+                if last == "H":
+                    cig[-1][0] += val
+                else:
+                    cig.append([val, "H"])
+                    last = "H"
+        elif code == 81:  # Q: per-base quality (stream consumed, no walk)
+            qs_r()
+        elif code == 113:  # q: quality run (stream consumed, no walk)
+            qq_r()
+        else:
+            raise NotImplementedError(f"CRAM feature code {chr(code)!r}")
     tail = rl - rpos
     if tail > 0:
         seq[rpos : rpos + tail] = refseq[ref_off : ref_off + tail].encode()
-        add("M", tail)
+        if last == "M":
+            cig[-1][0] += tail
+        else:
+            cig.append([tail, "M"])
+            last = "M"
         ref_off += tail
     if cf & 8:  # sequence unknown
         seq = bytearray(b"N" * rl)

@@ -295,11 +295,13 @@ def test_rans_freq_rle_run_adjacent_symbol():
     # terminator symbol 0.
     stream = bytes([10, 100, 11, 1, 50, 25, 13, 0, 25, 0])
     r = ByteReader(stream)
-    lookup, fslot, _bias = _rans_read_freqs0(r)
-    # slot-table form: symbol s occupies freq[s] consecutive slots
-    freq = {s: lookup.count(s) for s in (10, 11, 12, 13)}
+    packed = _rans_read_freqs0(r)
+    # packed slot-table form ((freq << 24) | (bias << 12) | symbol):
+    # symbol s occupies freq[s] consecutive slots
+    syms = [v & 0xFF for v in packed]
+    freq = {s: syms.count(s) for s in (10, 11, 12, 13)}
     assert (freq[10], freq[11], freq[12], freq[13]) == (100, 50, 25, 25)
-    assert fslot[lookup.index(11)] == 50
+    assert packed[syms.index(11)] >> 24 == 50
     assert r.i == len(stream)  # every byte consumed, no desync
 
 
