@@ -222,16 +222,21 @@ def _cpu_calibration() -> dict:
     blas_s = _t.perf_counter() - t0
 
     # single-threaded bandwidth probe: unlike the matmul (BLAS thread-pool
-    # placement makes it swing 0.3-0.6 s on an identical host), a plain
-    # 128 MiB copy x8 is stable enough to gate on — it tracks the
-    # memory-bandwidth dimension the matmul was added for (r8: co-tenant
-    # bandwidth throttle slowed Arrow stages 8x while md5 stayed flat)
+    # placement makes it swing 0.3-0.6 s on an identical host), a copy
+    # into a PREALLOCATED, warmed destination is stable enough to gate on
+    # — it tracks the memory-bandwidth dimension the matmul was added for
+    # (r8: co-tenant bandwidth throttle slowed Arrow stages 8x while md5
+    # stayed flat).  A fresh-allocation copy (buf.copy()) was tried first
+    # and swings 5x within one process: it measures page-zeroing under
+    # memory pressure, not the bus.  Min of 3 rounds for the same reason.
     buf = np.zeros(16 << 20, dtype=np.float64)  # 128 MiB
     buf.fill(1.0)
-    t0 = _t.perf_counter()
-    for _ in range(8):
-        _ = buf.copy()
-    memcpy_s = _t.perf_counter() - t0
+    dst = np.empty_like(buf)
+    np.copyto(dst, buf)  # warm the destination pages
+    memcpy_s = min(
+        _timed(lambda: [np.copyto(dst, buf) for _ in range(8)])
+        for _ in range(3)
+    )
     return {
         "md5_256mb": round(md5_s, 3),
         "matmul_1536_x6": round(blas_s, 3),
@@ -239,10 +244,23 @@ def _cpu_calibration() -> dict:
     }
 
 
-# Anchors the calibration GATE checks (matmul stays informational only —
-# its BLAS thread-pool placement variance exceeds any useful threshold)
-_GATED_ANCHORS = ("md5_256mb", "memcpy_1gb")
-_CALIB_TOL = 0.15  # |deviation| beyond this -> degraded window
+def _timed(fn) -> float:
+    import time as _t
+
+    t0 = _t.perf_counter()
+    fn()
+    return _t.perf_counter() - t0
+
+
+# Anchors the calibration GATE checks with per-anchor tolerances (matmul
+# stays informational only — its BLAS thread-pool placement variance
+# exceeds any useful threshold).  md5 is tight (single-core compute is
+# stable on a calm host); memcpy is loose because CALIB_REF records the
+# clean-window MIN while calm ambient readings band 1-2x above it
+# minute-to-minute on this shared host (measured 0.07-0.14 s within one
+# calm hour) — the gate targets the real failure modes (r8: md5 +85%,
+# bandwidth throttle 8x = +700%), not ambient jitter.
+_GATED_ANCHORS = {"md5_256mb": 0.15, "memcpy_1gb": 1.50}
 
 
 def _load_calib_ref() -> dict | None:
@@ -264,9 +282,22 @@ def _calib_deviation(calib: dict, ref: dict) -> dict:
     }
 
 
+def _dev_ok(dev: dict) -> bool:
+    """All gated anchors within their per-anchor tolerance."""
+    return all(abs(v) <= 100.0 * _GATED_ANCHORS[k] for k, v in dev.items())
+
+
+def _dev_badness(dev: dict) -> float:
+    """Worst tolerance-NORMALIZED deviation (1.0 == exactly at the gate)."""
+    return max(
+        (abs(v) / (100.0 * _GATED_ANCHORS[k]) for k, v in dev.items()),
+        default=0.0,
+    )
+
+
 def _calibrate_gated(ref: dict | None, tries: int = 4, wait_s: int = 45):
-    """Measure the CPU anchors; when a repo reference exists and either
-    gated anchor deviates >15%, WAIT and re-measure (the round-8 artifact
+    """Measure the CPU anchors; when a repo reference exists and a gated
+    anchor exceeds its tolerance, WAIT and re-measure (the round-8 artifact
     was captured in a degraded host window — md5 0.773 vs clean 0.417 —
     and shipped as the official number; this gate makes that impossible to
     do silently).  Returns (calib, ok_or_None, deviations)."""
@@ -279,12 +310,9 @@ def _calibrate_gated(ref: dict | None, tries: int = 4, wait_s: int = 45):
         if ref is None:
             return calib, None, {}
         dev = _calib_deviation(calib, ref)
-        worst = max((abs(v) for v in dev.values()), default=0.0)
-        if best is None or worst < max(
-            (abs(v) for v in best_dev.values()), default=0.0
-        ):
+        if best is None or _dev_badness(dev) < _dev_badness(best_dev):
             best, best_dev = calib, dev
-        if worst <= 100.0 * _CALIB_TOL:
+        if _dev_ok(dev):
             return calib, True, dev
         print(
             f"# calibration attempt {attempt + 1}/{tries} degraded: {dev} "
@@ -338,23 +366,28 @@ def main() -> None:
         )
         # re-measure the anchors after every session: a window that turns
         # degraded MID-run must show up in the artifact, not just a clean
-        # pre-run probe (r8's 27.6% session spread was exactly this)
-        calibs.append(_cpu_calibration())
+        # pre-run probe (r8's 27.6% session spread was exactly this).
+        # Settle first and take the better of two probes — measuring in
+        # the wake of a 32-thread JVM teardown samples kernel cleanup, not
+        # the window (observed: one-off md5 +36% readings that a 5 s
+        # settle + re-probe don't reproduce)
+        import time as _time
+
+        _time.sleep(5)
+        c1 = _cpu_calibration()
+        if calib_ref is not None and not _dev_ok(_calib_deviation(c1, calib_ref)):
+            _time.sleep(5)
+            c2 = _cpu_calibration()
+            if _dev_badness(_calib_deviation(c2, calib_ref)) < _dev_badness(
+                _calib_deviation(c1, calib_ref)
+            ):
+                c1 = c2
+        calibs.append(c1)
         if calib_ref is not None:
-            worst = max(
-                (
-                    abs(v)
-                    for c in calibs
-                    for v in _calib_deviation(c, calib_ref).values()
-                ),
-                default=0.0,
-            )
-            calib_ok = worst <= 100.0 * _CALIB_TOL
+            devs = [_calib_deviation(c, calib_ref) for c in calibs]
+            calib_ok = all(_dev_ok(d) for d in devs)
             calib_dev = {
-                k: max(
-                    (_calib_deviation(c, calib_ref).get(k, 0.0) for c in calibs),
-                    key=abs,
-                )
+                k: max((d.get(k, 0.0) for d in devs), key=abs)
                 for k in _GATED_ANCHORS
             }
         # aggregate-so-far after EVERY session: the last stdout JSON line
