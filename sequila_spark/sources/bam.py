@@ -719,12 +719,24 @@ def read_bam(
     path: str,
     ref_path: str | None = None,
     chunk: int = 10_000_000,
+    columns: list[str] | None = None,
+    with_blocks: bool = False,
 ) -> DataFrame:
     """Decode BAM/CRAM partitioned by genomic chunk/container.  Plain BAM
     and CRAM 3.0 go through the native pure-Python codecs; CRAM files using
-    codecs outside the native set fall back to pysam when available."""
+    codecs outside the native set fall back to pysam when available.
+
+    ``columns``/``with_blocks`` (BAM only) push column pruning and
+    aligned-block extraction into the decode itself — see
+    read_bam_native; an analytics-only caller (coverage, read counting)
+    should pass the positional columns it needs and skip seq/qual/tag
+    rendering entirely."""
     if not path.endswith(".cram"):
-        return read_bam_native(spark, path, chunk=chunk)
+        return read_bam_native(
+            spark, path, chunk=chunk, columns=columns, with_blocks=with_blocks
+        )
+    if columns is not None or with_blocks:
+        raise ValueError("columns/with_blocks pruning is BAM-only for now")
     try:
         return read_cram_native(spark, path, ref_path=ref_path)
     except NotImplementedError:
