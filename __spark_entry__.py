@@ -1017,10 +1017,19 @@ cnts AS (
 """
 
 
-def _indel_base_cte(where: str = "TRUE") -> str:
+def _indel_base_cte(
+    where: str = "TRUE",
+    o_range: str = "range(0, n)",
+    block_where: str = "TRUE",
+) -> str:
     """DuckDB per-base expansion for the mixed-CIGAR reads: aligned blocks
     are derived arithmetically per CIGAR shape (kind), bases from the
-    0-based query offset — fully independent of the Spark CIGAR fold."""
+    0-based query offset — fully independent of the Spark CIGAR fold.
+
+    ``o_range``/``block_where`` let the windowed sf1 oracle clip the
+    per-block offset expansion to a base window BEFORE the UNNEST while
+    sharing this one iblocks derivation (a drifting copy here would make
+    the sf1 oracle silently validate different semantics than sf0.01)."""
     return f"""
 iblocks AS (
   SELECT contig, okey, pos_start AS s,
@@ -1035,7 +1044,8 @@ iblocks AS (
   FROM reads_indel WHERE kind = 2 OR kind = 3
 ),
 ipb AS (
-  SELECT contig, okey, s, q, UNNEST(range(0, n)) AS o FROM iblocks
+  SELECT contig, okey, s, q, UNNEST({o_range}) AS o
+  FROM iblocks WHERE {block_where}
 ),
 ipb2 AS (
   SELECT contig, CAST(s + o AS INT) AS pos,
@@ -1110,39 +1120,13 @@ cnts AS (
         )
 
     def indels_window(c: str, lo: int, hi: int) -> str:
-        # same iblocks derivation as _indel_base_cte; the window clips the
+        # shared iblocks derivation (_indel_base_cte); the window clips the
         # per-block offset range so pos = s + o stays in [lo, hi] while o
         # keeps its ABSOLUTE query-offset meaning for base attribution
-        base = f"""
-iblocks AS (
-  SELECT contig, okey, pos_start AS s,
-         CASE kind WHEN 1 THEN 5 ELSE 0 END AS q,
-         CASE kind WHEN 0 THEN qlen WHEN 1 THEN qlen - 10 ELSE a END AS n
-  FROM reads_indel
-  UNION ALL
-  SELECT contig, okey,
-         CASE kind WHEN 2 THEN pos_start + a + d ELSE pos_start + a END AS s,
-         CASE kind WHEN 2 THEN a ELSE a + ins END AS q,
-         CASE kind WHEN 2 THEN qlen - a ELSE qlen - a - ins END AS n
-  FROM reads_indel WHERE kind = 2 OR kind = 3
-),
-ipb AS (
-  SELECT contig, okey, s, q,
-         UNNEST(range(GREATEST({lo} - s, 0), LEAST(n, {hi} - s + 1))) AS o
-  FROM iblocks
-  WHERE contig = '{c}' AND s <= {hi} AND s + n > {lo}
-),
-ipb2 AS (
-  SELECT contig, CAST(s + o AS INT) AS pos,
-         {TD.indel_base_sql('(q + o)', 'okey')} AS base,
-         {TD.ref_base_sql('(s + o)', 'contig')} AS ref
-  FROM ipb
-),
-icnts AS (
-  SELECT contig, pos, ref, base, COUNT(*) AS cnt
-  FROM ipb2 GROUP BY contig, pos, ref, base
-)
-"""
+        base = _indel_base_cte(
+            o_range=f"range(GREATEST({lo} - s, 0), LEAST(n, {hi} - s + 1))",
+            block_where=f"contig = '{c}' AND s <= {hi} AND s + n > {lo}",
+        )
         return (
             f"{cte('reads_indel')}, {base}"
             + _PILEUP_DIGEST_TAIL.format(cnts="icnts")

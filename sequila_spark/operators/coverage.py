@@ -71,10 +71,13 @@ def aligned_blocks(reads: DataFrame, use_cigar: bool | None = None) -> DataFrame
 
     When the relation carries a ``__blocks`` column (read_bam_native
     ``with_blocks=True`` — blocks computed vectorized at decode time from
-    the raw cigar ops), it is exploded directly: same semantics, no SQL
-    cigar re-parse.
+    the raw cigar ops), it is exploded directly: same semantics as the
+    CIGAR walk, no SQL re-parse.  An EXPLICIT ``use_cigar=False`` still
+    wins (whole-span pos_start..pos_end coverage, e.g. physical/fragment
+    coverage ignoring deletions) — the fast path only replaces the walk
+    it is equivalent to.
     """
-    if "__blocks" in reads.columns:
+    if "__blocks" in reads.columns and use_cigar is not False:
         exploded = reads.select("*", F.explode("__blocks").alias("__sq_blk"))
         return exploded.select(
             "*",

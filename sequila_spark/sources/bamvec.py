@@ -64,13 +64,16 @@ _EMPTY_U8 = np.empty(0, dtype=np.uint8)
 
 # shared iota buffer: _ragged_take slices views off it instead of paying an
 # arange allocation per call (sized to the decode batch; grown on demand)
-_IOTA = np.arange(16 << 20, dtype=np.int64)
+# grown on demand by _iota (starting empty: an eager 128 MiB arange here
+# would cost every importing Python worker that much RSS before it
+# decodes a single record)
+_IOTA = np.empty(0, dtype=np.int64)
 
 
 def _iota(total: int) -> np.ndarray:
     global _IOTA
     if total > len(_IOTA):
-        _IOTA = np.arange(max(total, 2 * len(_IOTA)), dtype=np.int64)
+        _IOTA = np.arange(max(total, 2 * len(_IOTA), 1 << 20), dtype=np.int64)
     return _IOTA[:total]
 
 
@@ -331,7 +334,27 @@ def _decode_batch(
             q_valid = (l_seq > 0) & (ff_per_rec < l_seq)
         else:
             q_valid = l_seq > 0
-        out["qual"] = _utf8_array(ql_vals + np.uint8(33), ql_cum, valid=q_valid)
+        rendered = ql_vals + np.uint8(33)  # wraps mod 256 like _QUAL33
+        if len(rendered) and int(rendered.max()) >= 0x80:
+            # a rendered byte >= 0x80 is a latin-1 code point that needs
+            # TWO UTF-8 bytes — fall back to the scalar renderer for the
+            # whole batch (rare: phred > 93) instead of shipping invalid
+            # utf8 buffers into the JVM
+            from sequila_spark.sources.bamcodec import _QUAL33
+
+            out["qual"] = pa.array(
+                [
+                    bytes(u8[ql_off[i] : ql_off[i] + l_seq[i]])
+                    .translate(_QUAL33)
+                    .decode("latin-1")
+                    if q_valid[i]
+                    else None
+                    for i in range(n)
+                ],
+                type=pa.utf8(),
+            )
+        else:
+            out["qual"] = _utf8_array(rendered, ql_cum, valid=q_valid)
 
     # contig / rnext via dictionary take (sentinel index -> null)
     if "contig" in want:

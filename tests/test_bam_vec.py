@@ -104,3 +104,89 @@ def test_batch_boundary_carry():
     refs, recs = _scalar(SLICE)
     got = _vec(SLICE, refs, batch_bytes=257)
     assert got == [("S",) + r for r in recs]
+
+
+def test_high_qual_bytes_render_latin1(tmp_path):
+    """Qual bytes above phred 93 render +33 mod 256 as latin-1 code
+    points (>= 0x80) — the vectorized path must fall back to the scalar
+    renderer instead of shipping invalid UTF-8 buffers into Arrow
+    (regression: the flat-buffer utf8 array crashed on byte 0xCF)."""
+    refs = [("c1", 1000)]
+    ref_ids = {"c1": 0}
+    hi = "".join(chr(q + 33) for q in (200, 99, 10, 222, 0))
+    recs = [
+        ("hq", 0, "c1", 10, 14, 60, "5M", None, 0, 0, "ACGTA", hi, {}),
+        ("lo", 0, "c1", 20, 24, 60, "5M", None, 0, 0, "ACGTA", "IIIII", {}),
+    ]
+    path = str(tmp_path / "hq.bam")
+    with open(path, "wb") as f:
+        w = B.BgzfWriter(f)
+        B.write_bam_header(w, refs, "")
+        for r in recs:
+            w.write(B.encode_record(r, ref_ids))
+        w.close()
+    srefs, scalar = _scalar(path)
+    assert any(ord(c) >= 0x80 for c in scalar[0][11])
+    assert _vec(path, srefs) == [("S",) + r for r in scalar]
+
+
+@pytest.mark.skipif(not os.path.exists(MDBAM), reason="no reference BAM")
+def test_pruned_decode_matches_full():
+    """columns= pruning changes WHAT is rendered, never the values: the
+    pruned columns must equal the same columns sliced from a full decode,
+    for every record (soft-clipped + deletion CIGARs included)."""
+    refs, recs = _scalar(MDBAM, with_tags=False)
+    cols = ["qname", "contig", "pos_start", "pos_end", "seq"]
+    got = []
+    for b in BV.iter_span_batches(
+        MDBAM, refs, "S", None, with_tags=False, columns=cols
+    ):
+        got.extend(zip(*[c.to_pylist() for c in b.columns]))
+    # scalar tuple layout: qname flag contig pos_start pos_end mapq cigar
+    # rnext pnext tlen seq qual tags
+    want = [(r[0], r[2], r[3], r[4], r[10]) for r in recs]
+    assert got == want
+
+
+@pytest.mark.skipif(not os.path.exists(MDBAM), reason="no reference BAM")
+def test_with_blocks_matches_sql_cigar_walk(spark):
+    """__blocks (decode-time vectorized M/=/X extraction) explodes to the
+    exact (start, end) block multiset the SQL CIGAR fold produces on the
+    same real reads — the equivalence operators/coverage relies on."""
+    from collections import Counter
+
+    from sequila_spark.operators.coverage import aligned_blocks
+    from sequila_spark.sources.bam import read_bam_native
+
+    with_b = read_bam_native(
+        spark, MDBAM, with_tags=False,
+        columns=["qname", "contig", "pos_start", "pos_end"], with_blocks=True,
+    )
+    fast = Counter(
+        (r["qname"], r["contig"], r["__sq_bs"], r["__sq_be"])
+        for r in aligned_blocks(with_b).collect()
+    )
+    full = read_bam_native(spark, MDBAM, with_tags=False).drop("__blocks")
+    slow = Counter(
+        (r["qname"], r["contig"], r["__sq_bs"], r["__sq_be"])
+        for r in aligned_blocks(full, use_cigar=True).collect()
+    )
+    assert fast == slow and len(fast) > 0
+
+
+@pytest.mark.skipif(not os.path.exists(MDBAM), reason="no reference BAM")
+def test_blocks_respects_explicit_use_cigar_false(spark):
+    """An explicit use_cigar=False must win over a __blocks column:
+    whole-span (pos_start..pos_end) rows, not per-M-block rows."""
+    from sequila_spark.operators.coverage import aligned_blocks
+    from sequila_spark.sources.bam import read_bam_native
+
+    df = read_bam_native(
+        spark, MDBAM, with_tags=False,
+        columns=["qname", "contig", "pos_start", "pos_end"], with_blocks=True,
+    )
+    rows = aligned_blocks(df, use_cigar=False)
+    bad = rows.where(
+        (rows["__sq_bs"] != rows["pos_start"]) | (rows["__sq_be"] != rows["pos_end"])
+    ).count()
+    assert bad == 0 and rows.count() == df.count()

@@ -64,7 +64,7 @@ def synth(spark):
         F.when(hot, F.lit("1"))
         .otherwise((F.col("id") % 5 + 1).cast("string"))
         .alias("contig"),
-        F.when(hot, (F.xxhash64("id") % (HOT_HI - HOT_LO) + HOT_LO))
+        F.when(hot, F.pmod(F.xxhash64("id"), F.lit(HOT_HI - HOT_LO)) + HOT_LO)
         .otherwise(F.abs(F.xxhash64("id", F.lit("c"))) % COLD_SPACE + 1)
         .cast("int")
         .alias("pos_start"),
@@ -74,7 +74,9 @@ def synth(spark):
         F.when(hot, F.lit("1"))
         .otherwise((F.col("id") % 5 + 1).cast("string"))
         .alias("contig"),
-        F.when(hot, (F.xxhash64("id", F.lit("t")) % (HOT_HI - HOT_LO) + HOT_LO))
+        F.when(
+            hot, F.pmod(F.xxhash64("id", F.lit("t")), F.lit(HOT_HI - HOT_LO)) + HOT_LO
+        )
         .otherwise(F.abs(F.xxhash64("id", F.lit("tc"))) % COLD_SPACE + 1)
         .cast("int")
         .alias("pos_start"),
@@ -141,6 +143,18 @@ def main() -> None:
     reads, targets = synth(spark)
     reads = reads.persist()
     targets = targets.persist()
+    # fail fast if the fixture drifts: a signed-modulo bug here once made
+    # the hot window twice as wide as designed, silently halving the key
+    # skew the whole experiment exists to measure
+    from pyspark.sql import functions as F
+
+    for df, label in ((reads, "reads"), (targets, "targets")):
+        hot_rows = df.where(
+            (F.col("contig") == "1")
+            & F.col("pos_start").between(HOT_LO, HOT_HI)
+        ).count()
+        frac = hot_rows / df.count()
+        assert 0.75 <= frac <= 0.85, (label, frac)
     print(
         f"# fixture: {reads.count()} reads / {targets.count()} targets, "
         f"hot window {HOT_LO}-{HOT_HI} on contig 1",
