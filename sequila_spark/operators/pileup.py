@@ -468,7 +468,10 @@ def pileup(
     mate-overlap tweak, the same order as samtools (realign at read load,
     overlap tweak at pileup push).  ``baq_extended`` selects extended BAQ,
     the samtools default (flag 3 = apply+extend).  Map-only, no new
-    shuffle — see functions/baq.py.
+    shuffle — see functions/baq.py.  With ``mate_overlap=True`` the
+    BAQ'd relation is persisted (MEMORY_AND_DISK, LRU-evicted, session-
+    scoped — Spark's CacheManager holds the entry until session end or
+    eviction) so the per-read HMM isn't recomputed per overlap branch.
     """
     from sequila_spark.operators.coverage import filter_reads
 
