@@ -52,6 +52,12 @@ def _strand_cased(base: Column, reads_cols: list[str], strand_case: bool) -> Col
 # short-read case, expanded without the fold.
 _GAPLESS_RE = "^[0-9]+[M=X]$"
 
+# at most ONE BAQ'd reads relation stays persisted per session: repeated
+# pileup(baq=..., mate_overlap=True) calls unpersist the previous call's
+# cache here (LRU eviction alone never reclaims disk-spilled blocks of a
+# still-referenced plan — same registry pattern as dedup._VERIFY_BCASTS)
+_BAQ_CACHE: list = []
+
 
 def _cigar_query_blocks(cigar: Column, start: Column) -> Column:
     """Fold the CIGAR into per-aligned-block structs
@@ -469,9 +475,10 @@ def pileup(
     overlap tweak at pileup push).  ``baq_extended`` selects extended BAQ,
     the samtools default (flag 3 = apply+extend).  Map-only, no new
     shuffle — see functions/baq.py.  With ``mate_overlap=True`` the
-    BAQ'd relation is persisted (MEMORY_AND_DISK, LRU-evicted, session-
-    scoped — Spark's CacheManager holds the entry until session end or
-    eviction) so the per-read HMM isn't recomputed per overlap branch.
+    BAQ'd relation is persisted (MEMORY_AND_DISK) so the per-read HMM
+    isn't recomputed per overlap branch; a module registry keeps at most
+    ONE such cache per session — the next baq+mate_overlap call
+    unpersists the previous one.
     """
     from sequila_spark.operators.coverage import filter_reads
 
@@ -492,10 +499,18 @@ def pileup(
             # persist the per-read BAQ HMM — the dominant cost of the
             # samtools default-mode path — runs once PER BRANCH.  Cached
             # blocks are read-level (pre-expansion), spill to disk, and
-            # evict LRU; this is a same-stage reuse hint, not a pin.
+            # evict LRU; this is a same-stage reuse hint, not a pin.  The
+            # module registry bounds a long-lived session to ONE cached
+            # BAQ relation: the next call unpersists this one.
             from pyspark import StorageLevel
 
+            while _BAQ_CACHE:
+                try:
+                    _BAQ_CACHE.pop().unpersist(False)
+                except Exception:
+                    pass  # context already stopped
             reads = reads.persist(StorageLevel.MEMORY_AND_DISK)
+            _BAQ_CACHE.append(reads)
 
     sparse_ok = not quals and callable(ref) and not isinstance(ref, DataFrame)
     if strategy == "sparse" and not sparse_ok:

@@ -31,6 +31,13 @@ _PLANE_MOD = 1_000_003
 # below this corpus size the quadratic bucket work is cheaper in the JVM
 # than the per-group Python invocations of the grid engine
 _GRID_MIN_VECS = 5_000
+# below this corpus size the (id, vec) projection is NOT persisted: the
+# 2-3 downstream re-evaluations of a tiny subplan are cheaper than the
+# cache-materialization job.  At/above it, the projection persists and the
+# registry below drops the previous call's cache (leak fix — LRU eviction
+# never reclaims disk-spilled blocks of a still-referenced plan).
+_PROJ_PERSIST_MIN_VECS = 2_048
+_PROJ_CACHE: list = []
 
 
 def quantized(col):
@@ -159,12 +166,16 @@ def cosine_dup_pairs(
     for small corpora / recall measurement in tests.
 
     NOT lazy: the LSH path runs engine-choice probes eagerly at call time
-    (one combined aggregate over a persisted minimal (id, vec) projection
-    — corpus row count, dim, max quantized magnitude) and, on the grid
-    path, collects that projection to build the replicated matrix.  The
-    projection stays cached (MEMORY_AND_DISK, LRU-evicted) so the corpus
-    subplan is evaluated ONCE however expensive it is; pass an already-
-    cached corpus if you need to control its storage level yourself.
+    (one combined aggregate over a minimal (id, vec) projection — corpus
+    row count, dim, max quantized magnitude) and, on the grid path,
+    collects that projection to build the replicated matrix.  Corpora of
+    >= ``_PROJ_PERSIST_MIN_VECS`` rows persist the projection
+    (MEMORY_AND_DISK) so the corpus subplan is evaluated once for the
+    downstream legs; the module registry unpersists the previous call's
+    projection, so at most one cached projection is held per session.
+    Smaller corpora skip the persist entirely (the re-evaluations are
+    cheaper than the materialization job).  Pass an already-cached corpus
+    if you need to control its storage level yourself.
     """
     if candidates not in ("lsh", "all_pairs"):
         raise ValueError(f"unsupported candidates={candidates!r}")
@@ -202,20 +213,14 @@ def cosine_dup_pairs(
 
     buckets = _buckets_batch()
     # minimal projection every downstream leg (bucket explode, probe
-    # aggregate, grid collect, join-engine vector attach) derives from:
-    # persisted so the corpus subplan — however expensive — is evaluated
-    # exactly once, by the probe aggregate below
+    # aggregate, grid collect, join-engine vector attach) derives from
     proj = corpus.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    ebt = proj.select(
-        "id", buckets(F.col("vec")).alias("bs")
-    ).select("id", "bs", F.posexplode("bs").alias("table", "bucket"))
+    )
     spark = corpus.sparkSession
     # ONE combined engine-choice probe: row count, dim, and the max
-    # quantized magnitude (dgemm exactness gate) in a single pass that
-    # also fills the proj cache (was three separate driver jobs, each
-    # re-evaluating an uncached corpus)
+    # quantized magnitude (dgemm exactness gate) in a single pass (was
+    # three separate driver jobs, each re-evaluating an uncached corpus)
     probe_row = proj.agg(
         F.count("*").alias("n"),
         F.first(F.size("vec"), ignorenulls=True).alias("d"),
@@ -226,6 +231,25 @@ def cosine_dup_pairs(
     n_vecs = probe_row["n"] or 0
     dim = probe_row["d"] or 0
     qmax = probe_row["m"] or 0
+    # Persist the projection only when the corpus is big enough that
+    # re-evaluating its subplan per downstream leg (2-3 reads) costs more
+    # than the cache materialization job — a few-hundred-row corpus pays
+    # a measurable fixed persist cost for nothing.  The module registry
+    # unpersists the PREVIOUS call's projection (including disk-spilled
+    # blocks LRU eviction never reclaims), so a long-lived session calling
+    # this over many corpora holds at most one cached projection — same
+    # pattern as dedup._VERIFY_BCASTS.
+    if n_vecs >= _PROJ_PERSIST_MIN_VECS:
+        while _PROJ_CACHE:
+            try:
+                _PROJ_CACHE.pop().unpersist(False)
+            except Exception:
+                pass  # context already stopped
+        proj = proj.persist(StorageLevel.MEMORY_AND_DISK)
+        _PROJ_CACHE.append(proj)
+    ebt = proj.select(
+        "id", buckets(F.col("vec")).alias("bs")
+    ).select("id", "bs", F.posexplode("bs").alias("table", "bucket"))
     pair_blocks = max(1, min(pair_blocks, (n_vecs or 0) // 1250 or 1))
     # the blk salt hashes the id, so any id type (string uuid, long)
     # partitions the build side; the grid engine additionally needs

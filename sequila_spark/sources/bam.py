@@ -426,7 +426,14 @@ def read_bam_native(
     ``__blocks list<struct<s:int,e:int>>`` — per-read M/=/X aligned
     blocks computed vectorized from the raw cigar ops at decode time
     (Read.scala:27-54's getAlignmentBlocks); operators/coverage consumes
-    it directly and skips its SQL cigar walk."""
+    it directly and skips its SQL cigar walk.
+
+    Pruning interacts with downstream feature detection: filter_reads /
+    coverage apply their flag/mapq predicates only when those columns are
+    present, so a ``columns`` list that omits ``flag``/``mapq`` silently
+    disables that filtering — include them whenever reads feed a filtered
+    operator.  ``typed_tags=True`` with a ``columns`` list that omits
+    ``'tags'`` is rejected here (it would fail at plan time otherwise)."""
     import glob as _glob
 
     from sequila_spark.sources import bamcodec as B
@@ -483,6 +490,14 @@ def read_bam_native(
             raise ValueError(f"unknown BAM columns: {sorted(unknown)}")
         if not arrow:
             raise ValueError("columns pruning requires arrow=True")
+        if typed_tags and "tags" not in columns:
+            # with_typed_tags projects the tag_* columns out of 'tags';
+            # pruning it away would otherwise fail downstream at plan time
+            # with an unresolved-column error far from the cause
+            raise ValueError(
+                "typed_tags=True needs the 'tags' column — add 'tags' to "
+                "columns (or drop the pruning list)"
+            )
     if with_blocks and not arrow:
         raise ValueError("with_blocks requires arrow=True")
     keep = [c for c in _COL_TYPES if columns is None or c in columns]

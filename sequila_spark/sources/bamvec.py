@@ -100,6 +100,14 @@ def _utf8_array(
     """Arrow utf8 array straight from a flat values buffer + int64 offsets
     (converted to Arrow's int32), optional validity mask."""
     n = len(cum) - 1
+    if len(cum) and int(cum[-1]) >= 1 << 31:
+        # Arrow utf8 offsets are int32; a silent wrap here would ship
+        # corrupt string buffers into the JVM.  Reachable only with a
+        # caller-raised batch_bytes (>~1 GiB decompressed; seq expands 2x).
+        raise ValueError(
+            f"utf8 values buffer {int(cum[-1])} bytes exceeds Arrow's "
+            "int32 offset range — lower batch_bytes"
+        )
     offsets = cum.astype(np.int32)
     validity = None
     null_count = 0
@@ -480,7 +488,17 @@ def iter_span_batches(
             off = 0
             append = offs.append
             while off <= limit:
-                end = off + 4 + unpack_i4(data, off)[0]
+                bs = unpack_i4(data, off)[0]
+                if bs < 32:
+                    # corrupt block_size: <= -4 would stall the scan on the
+                    # same offset forever, and anything below the 32-byte
+                    # fixed section would view garbage as a header; mirror
+                    # the scalar parser's failure instead (parse_records
+                    # raises struct.error on the same input)
+                    raise ValueError(
+                        f"corrupt BAM record at {path}: block_size={bs}"
+                    )
+                end = off + 4 + bs
                 if end > total:
                     break
                 append(off)

@@ -466,3 +466,16 @@ def test_reg2bin_spec_values():
     assert reg2bin(0, 16385) == 585       # spans two leaves -> 128kb level
     assert reg2bin(0, 1 << 26) == 1       # first 8Mb... spans -> level 1
     assert reg2bin(0, (1 << 29)) == 0     # whole-reference bin
+
+
+def test_typed_tags_requires_tags_in_columns(spark):
+    """typed_tags projects out of 'tags'; a pruning list that omits it
+    must fail at read time with a clear error, not at plan time."""
+    import pytest as _pytest
+
+    from sequila_spark.sources import read_bam_native
+
+    with _pytest.raises(ValueError, match="typed_tags"):
+        read_bam_native(
+            spark, MDBAM, typed_tags=True, columns=["qname", "contig"]
+        )

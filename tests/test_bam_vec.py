@@ -190,3 +190,37 @@ def test_blocks_respects_explicit_use_cigar_false(spark):
         (rows["__sq_bs"] != rows["pos_start"]) | (rows["__sq_be"] != rows["pos_end"])
     ).count()
     assert bad == 0 and rows.count() == df.count()
+
+
+def test_corrupt_block_size_raises(tmp_path):
+    """A record whose int32 block_size is negative (or below the 32-byte
+    fixed section) must raise, not stall the offset scan on the same
+    position forever (the <= -4 case made end == off)."""
+    import struct
+
+    refs = [("c1", 1000)]
+    path = str(tmp_path / "bad.bam")
+    with open(path, "wb") as f:
+        w = B.BgzfWriter(f)
+        B.write_bam_header(w, refs, "")
+        w.write(struct.pack("<i", -4) + b"\x00" * 64)
+        w.close()
+    with pytest.raises(ValueError, match="block_size"):
+        list(BV.iter_span_batches(path, refs, "S", None))
+    with open(path, "wb") as f:
+        w = B.BgzfWriter(f)
+        B.write_bam_header(w, refs, "")
+        w.write(struct.pack("<i", 8) + b"\x00" * 64)
+        w.close()
+    with pytest.raises(ValueError, match="block_size"):
+        list(BV.iter_span_batches(path, refs, "S", None))
+
+
+def test_utf8_array_rejects_int32_offset_overflow():
+    """Offsets past 2^31 would wrap silently in the int32 cast and ship
+    corrupt Arrow string buffers; the guard must fail loudly instead."""
+    import numpy as np
+
+    cum = np.array([0, 1 << 31], dtype=np.int64)
+    with pytest.raises(ValueError, match="int32 offset range"):
+        BV._utf8_array(np.zeros(8, dtype=np.uint8), cum)

@@ -254,3 +254,31 @@ def test_overlap_hardening_star_quals_and_wild_cigars():
                           99, cigar_ops("50M"), "ACGT", b_q)
     # no exception; any tweaks applied stayed within bounds
     assert len(a_q) == 4 and len(b_q) == 4
+
+
+def test_baq_mate_overlap_persist_hygiene(spark, tiny_fasta):
+    """Repeated pileup(baq=..., mate_overlap=True) calls hold at most ONE
+    persisted BAQ'd relation — the registry unpersists the previous one."""
+    from pyspark.sql import Row
+
+    import sequila_spark.operators.pileup as P
+
+    qstr = "".join(chr(30 + 33) for _ in range(12))
+    rows = [
+        Row(qname="p1", flag=99, contig="1", pos_start=4, pos_end=15,
+            cigar="12M", seq=REF[3:15], qual=qstr, rnext="1", pnext=8,
+            tlen=16, mapq=60),
+        Row(qname="p1", flag=147, contig="1", pos_start=8, pos_end=19,
+            cigar="12M", seq=REF[7:19], qual=qstr, rnext="1", pnext=4,
+            tlen=-16, mapq=60),
+    ]
+    reads = spark.createDataFrame(rows)
+    P._BAQ_CACHE.clear()
+    P.pileup(reads, ref=None, quals=True, baq=tiny_fasta,
+             mate_overlap=True).collect()
+    first = P._BAQ_CACHE[0]
+    P.pileup(reads, ref=None, quals=True, baq=tiny_fasta,
+             mate_overlap=True).collect()
+    assert len(P._BAQ_CACHE) == 1
+    assert P._BAQ_CACHE[0] is not first
+    P._BAQ_CACHE.pop().unpersist(False)

@@ -445,3 +445,37 @@ def test_verify_broadcast_budget_and_hygiene(spark, docs):
     D.ngram_jaccard_pairs(docs, threshold=0.9).collect()
     D.ngram_jaccard_pairs(docs, threshold=0.8).collect()
     assert len(D._VERIFY_BCASTS) == 1
+
+
+def test_cosine_dup_pairs_persist_hygiene(spark, embs):
+    """Small corpora (< _PROJ_PERSIST_MIN_VECS) never persist the (id, vec)
+    projection; at/above the gate, repeated calls hold at most ONE cached
+    projection — the registry unpersists the previous call's (leak fix:
+    LRU never reclaims disk-spilled blocks of a referenced plan)."""
+    import sequila_spark.operators.similarity as SIM
+
+    def n_persistent():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    SIM._PROJ_CACHE.clear()
+    embs.count()  # materialize the fixture's own .cache() first
+    before = n_persistent()
+    SIM.cosine_dup_pairs(embs, threshold=0.4).collect()  # 500 rows: below gate
+    assert SIM._PROJ_CACHE == []
+    assert n_persistent() == before
+
+    big = spark.range(SIM._PROJ_PERSIST_MIN_VECS + 8).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 97).cast("float"),
+            (F.col("id") % 89).cast("float"),
+            F.lit(1.0).cast("float"),
+        ).alias("embedding"),
+    )
+    SIM.cosine_dup_pairs(big, threshold=0.999999).collect()
+    first = SIM._PROJ_CACHE[0]
+    SIM.cosine_dup_pairs(big, threshold=0.999998).collect()
+    assert len(SIM._PROJ_CACHE) == 1
+    assert SIM._PROJ_CACHE[0] is not first
+    assert n_persistent() <= before + 1
+    SIM._PROJ_CACHE.pop().unpersist(False)
