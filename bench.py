@@ -29,6 +29,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+# one history file per harness run (bench_history/ is append-only across
+# runs; within a run the after-every-session rewrite updates in place)
+_RUN_STAMP = time.strftime("run_%Y%m%dT%H%M%SZ", time.gmtime()) + (
+    "_sf" + os.environ.get("SPARK_GRAFT_SF_DIR", "sf0.1").rsplit("sf", 1)[-1].rstrip("/") + ".json"
+)
 
 # Headline set: the flagship operators, heaviest first, plus the queries
 # whose plans were rearchitected for scale (so regressions stay visible
@@ -324,6 +329,62 @@ def _calibrate_gated(ref: dict | None, tries: int = 4, wait_s: int = 45):
     return best, False, best_dev
 
 
+def _load_prev_round(sf) -> tuple[str, dict] | None:
+    """Latest committed BENCH_r{N}.json with per-query numbers, a gated md5
+    anchor reading, and the same sf — the baseline for the per-query
+    calibrated regression block.  Returns (filename, parsed) or None."""
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best = None
+    for fn in os.listdir(here):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", fn)
+        if not m:
+            continue
+        try:
+            with open(os.path.join(here, fn)) as fh:
+                d = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if isinstance(d.get("parsed"), dict):
+            d = d["parsed"]  # driver artifact wraps the stdout line
+        if (
+            d.get("sf") == sf
+            and d.get("queries")
+            and d.get("cpu_calib_sec", {}).get("md5_256mb")
+        ):
+            rnd = int(m.group(1))
+            if best is None or rnd > best[0]:
+                best = (rnd, fn, d)
+    return (best[1], best[2]) if best else None
+
+
+def _per_query_calibrated(med: dict, calib: dict, sf) -> dict | None:
+    """Per-query ratio vs the previous round, NORMALIZED by the md5 host
+    anchor (ratio_vs_prev / md5_ratio): >1 means the query got slower
+    beyond what host drift explains.  Ratios > 1.15 are flagged — the
+    calibration gate validates the WINDOW but cannot see a single-query
+    plan regression; this block can."""
+    if not calib or not calib.get("md5_256mb"):
+        return None
+    prev = _load_prev_round(sf)
+    if prev is None:
+        return None
+    fn, d = prev
+    md5_ratio = calib["md5_256mb"] / d["cpu_calib_sec"]["md5_256mb"]
+    ratios = {
+        n: round((med[n] / d["queries"][n]) / md5_ratio, 2)
+        for n in med
+        if d["queries"].get(n)
+    }
+    return {
+        "vs": fn,
+        "md5_ratio": round(md5_ratio, 3),
+        "ratios": ratios,
+        "flagged_gt_1p15": sorted(n for n, r in ratios.items() if r > 1.15),
+    }
+
+
 def main() -> None:
     """Orchestrate N fresh JVM sessions (subprocesses of this script) and
     print the median-of-sessions aggregate as the ONE bench JSON line."""
@@ -432,18 +493,29 @@ def main() -> None:
         }
         if dropped:
             summary["dropped_queries"] = dropped
+        pqc = _per_query_calibrated(med, calib, summary["sf"])
+        if pqc is not None:
+            summary["per_query_calibrated"] = pqc
+        detail = {
+            **summary,
+            "session_queries": [s["queries"] for s in per_session],
+            "session_cold_runs": [s.get("cold_runs") for s in per_session],
+        }
+        here = os.path.dirname(os.path.abspath(__file__))
         try:
+            # latest-run detail (compat path) ...
+            with open(os.path.join(here, "bench_sessions.json"), "w") as fh:
+                json.dump(detail, fh, indent=1)
+            # ... plus the append-only history the per-query comparison
+            # needs round over round (the r9 artifact overwrote the r8
+            # per-query detail, losing the calibrated-ratio baseline)
+            os.makedirs(os.path.join(here, "bench_history"), exist_ok=True)
             with open(
-                os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "bench_sessions.json"), "w"
+                os.path.join(here, "bench_history", _RUN_STAMP), "w"
             ) as fh:
-                json.dump(
-                    {**summary, "session_queries": [s["queries"] for s in per_session],
-                     "session_cold_runs": [s.get("cold_runs") for s in per_session]},
-                    fh, indent=1,
-                )
+                json.dump(detail, fh, indent=1)
         except OSError as exc:
-            print(f"# bench_sessions.json not written: {exc}", file=sys.stderr)
+            print(f"# bench history not written: {exc}", file=sys.stderr)
         print(json.dumps(summary), flush=True)
 
     if not per_session:

@@ -1,0 +1,137 @@
+"""Optional C decode kernels (sources/bamscan.c) — compile-at-first-use
+via the system C compiler, loaded with ctypes.
+
+The kernels are pure data movement (record-offset scan, ragged segment
+gather); the NumPy fallbacks in bamvec.py stay the semantic reference and
+tests pin both paths to identical output.  Everything degrades gracefully:
+no compiler, a failed compile, a big-endian host, or
+``SEQUILA_DISABLE_CKERN=1`` all mean ``scan_offsets``/``take_ragged``
+are None and callers use the Python paths.
+
+The shared object is cached under the system temp dir keyed by an md5 of
+the C source, so a source change recompiles and concurrent Spark worker
+processes converge on one file (atomic rename; losers of the race just
+overwrite with identical bytes).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bamscan.c")
+
+_LIB = None  # CDLL | False
+
+
+def _build() -> object | None:
+    if sys.byteorder != "little":
+        return None
+    if os.environ.get("SEQUILA_DISABLE_CKERN") == "1":
+        return None
+    try:
+        with open(_SRC, "rb") as fh:
+            src = fh.read()
+    except OSError:
+        return None
+    key = hashlib.md5(src).hexdigest()[:16]
+    so = os.path.join(
+        tempfile.gettempdir(), f"sequila_bamscan_{key}.so"
+    )
+    if not os.path.exists(so):
+        tmp = so + f".build{os.getpid()}"
+        for cc in ("cc", "gcc", "clang"):
+            try:
+                r = subprocess.run(
+                    [cc, "-O2", "-shared", "-fPIC", "-o", tmp, _SRC],
+                    capture_output=True,
+                    timeout=60,
+                )
+            except (OSError, subprocess.TimeoutExpired):
+                continue
+            if r.returncode == 0:
+                os.replace(tmp, so)  # atomic: racers write identical bytes
+                break
+        else:
+            return None
+    try:
+        lib = ctypes.CDLL(so)
+    except OSError:
+        return None
+    i64 = ctypes.c_int64
+    p_u8 = ctypes.POINTER(ctypes.c_uint8)
+    p_i64 = ctypes.POINTER(i64)
+    lib.bam_scan_offsets.restype = i64
+    lib.bam_scan_offsets.argtypes = [p_u8, i64, p_i64, i64, p_i64]
+    lib.gather_ragged.restype = None
+    lib.gather_ragged.argtypes = [p_u8, p_i64, p_i64, p_i64, i64, p_u8]
+    return lib
+
+
+def _lib() -> object | None:
+    global _LIB
+    if _LIB is None:
+        _LIB = _build() or False
+    return _LIB or None
+
+
+def _p_u8(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def _p_i64(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+def available() -> bool:
+    return _lib() is not None
+
+
+def scan_offsets(u8: np.ndarray, total: int) -> tuple[np.ndarray, int] | None:
+    """Offsets of every complete BAM record in ``u8[:total]``.
+    Returns (int64 offsets, end_off) — end_off is where the carry-over
+    partial record starts.  Raises ValueError on a corrupt block_size
+    (mirrors the Python scan's guard).  None when the kernel is absent."""
+    lib = _lib()
+    if lib is None:
+        return None
+    max_n = total // 36 + 1  # smallest record = 4-byte size + 32-byte header
+    offs = np.empty(max_n, dtype=np.int64)
+    end = ctypes.c_int64(0)
+    n = lib.bam_scan_offsets(
+        _p_u8(u8), total, _p_i64(offs), max_n, ctypes.byref(end)
+    )
+    if n < 0:
+        raise ValueError(
+            f"corrupt BAM record: block_size at offset {end.value} "
+            "below the 32-byte fixed section"
+        )
+    return offs[: int(n)], int(end.value)
+
+
+def take_ragged(
+    u8: np.ndarray, starts: np.ndarray, lens: np.ndarray, cum: np.ndarray
+) -> np.ndarray | None:
+    """One-memcpy-pass ragged gather; same output as the NumPy
+    repeat/iota construction in bamvec._ragged_take.  None when absent."""
+    lib = _lib()
+    if lib is None:
+        return None
+    n = len(starts)
+    out = np.empty(int(cum[-1]), dtype=np.uint8)
+    if n:
+        lib.gather_ragged(
+            _p_u8(u8),
+            _p_i64(np.ascontiguousarray(starts, dtype=np.int64)),
+            _p_i64(np.ascontiguousarray(lens, dtype=np.int64)),
+            _p_i64(np.ascontiguousarray(cum, dtype=np.int64)),
+            n,
+            _p_u8(out),
+        )
+    return out

@@ -31,6 +31,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from sequila_spark.sources import _ckern as CK
 from sequila_spark.sources import bamcodec as B
 
 # fixed BAM record layout: 4-byte block_size + 32-byte fixed header
@@ -80,7 +81,8 @@ def _iota(total: int) -> np.ndarray:
 def _ragged_take(u8: np.ndarray, starts: np.ndarray, lens: np.ndarray):
     """Gather ``u8[starts[i] : starts[i]+lens[i]]`` for all i into one flat
     array; returns (values, cum) where cum is the per-record offset vector
-    (len+1).  The classic repeat/arange ragged-range construction — one
+    (len+1).  Uses the C gather kernel when available (one memcpy pass);
+    otherwise the classic repeat/arange ragged-range construction — one
     fancy-index C pass, no per-record Python."""
     n = len(starts)
     cum = np.zeros(n + 1, dtype=np.int64)
@@ -89,6 +91,9 @@ def _ragged_take(u8: np.ndarray, starts: np.ndarray, lens: np.ndarray):
     total = int(cum[-1])
     if total == 0:
         return _EMPTY_U8, cum
+    out = CK.take_ragged(u8, starts, lens, cum)
+    if out is not None:
+        return out, cum
     idx = np.repeat(starts - cum[:-1], lens)
     idx += _iota(total)
     return u8[idx], cum
@@ -477,37 +482,50 @@ def iter_span_batches(
         carry = b""
         n_out = 0
         unpack_i4 = _struct.Struct("<i").unpack_from
+        use_ck = CK.available()
         while True:
             chunk = st.read(batch_bytes)
             data = carry + chunk if carry else chunk
             if not data:
                 return
             total = len(data)
-            limit = total - 4
-            offs = []
-            off = 0
-            append = offs.append
-            while off <= limit:
-                bs = unpack_i4(data, off)[0]
-                if bs < 32:
-                    # corrupt block_size: <= -4 would stall the scan on the
-                    # same offset forever, and anything below the 32-byte
-                    # fixed section would view garbage as a header; mirror
-                    # the scalar parser's failure instead (parse_records
-                    # raises struct.error on the same input)
-                    raise ValueError(
-                        f"corrupt BAM record at {path}: block_size={bs}"
+            if use_ck:
+                # C kernel: same chain, same corrupt-block guard, ~300x
+                # the Python loop (the scan was the dominant per-record
+                # Python cost left in this decoder)
+                try:
+                    offs_arr, off = CK.scan_offsets(
+                        np.frombuffer(data, dtype=np.uint8), total
                     )
-                end = off + 4 + bs
-                if end > total:
-                    break
-                append(off)
-                off = end
+                except ValueError as exc:
+                    raise ValueError(f"{exc} (file {path})") from None
+            else:
+                limit = total - 4
+                offs = []
+                off = 0
+                append = offs.append
+                while off <= limit:
+                    bs = unpack_i4(data, off)[0]
+                    if bs < 32:
+                        # corrupt block_size: <= -4 would stall the scan on
+                        # the same offset forever, and anything below the
+                        # 32-byte fixed section would view garbage as a
+                        # header; mirror the scalar parser's failure instead
+                        # (parse_records raises struct.error on same input)
+                        raise ValueError(
+                            f"corrupt BAM record at {path}: block_size={bs}"
+                        )
+                    end = off + 4 + bs
+                    if end > total:
+                        break
+                    append(off)
+                    off = end
+                offs_arr = np.asarray(offs, dtype=np.int64)
             carry = data[off:]
-            if offs:
+            if len(offs_arr):
                 batch, finished = _decode_batch(
                     data,
-                    np.asarray(offs, dtype=np.int64),
+                    offs_arr,
                     ref_take,
                     nref,
                     sample,

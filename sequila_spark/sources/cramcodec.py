@@ -1155,7 +1155,11 @@ def _decompress(method: int, data: bytes, raw_size: int) -> bytes:
     if method == 0:
         return data
     if method == 1:
-        return zlib.decompress(data, wbits=31)
+        # gzip member with a spec-declared raw size: libdeflate one-shot
+        # when the system has it, zlib otherwise (sources/_inflate)
+        from sequila_spark.sources._inflate import gzip_decompress
+
+        return gzip_decompress(data, raw_size)
     if method == 2:
         return bz2.decompress(data)
     if method == 3:

@@ -479,3 +479,43 @@ def test_typed_tags_requires_tags_in_columns(spark):
         read_bam_native(
             spark, MDBAM, typed_tags=True, columns=["qname", "contig"]
         )
+
+
+def test_inflate_libdeflate_matches_zlib(tmp_path):
+    """sources/_inflate must yield byte-identical output to zlib on real
+    BGZF members, use the declared out_size, and reject corrupt members."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from sequila_spark.sources import _inflate
+    from sequila_spark.sources import bamcodec as B
+
+    p = tmp_path / "t.bgzf"
+    payload = b"sequila" * 4096
+    with open(p, "wb") as f:
+        w = B.BgzfWriter(f)
+        w.write(payload)
+        w.close()
+    raw = p.read_bytes()
+    # first member: parse BSIZE to slice it
+    xlen = struct.unpack_from("<H", raw, 10)[0]
+    bsize = None
+    off = 12
+    while off < 12 + xlen:
+        si1, si2, slen = raw[off], raw[off + 1], struct.unpack_from("<H", raw, off + 2)[0]
+        if si1 == 0x42 and si2 == 0x43 and slen == 2:
+            bsize = struct.unpack_from("<H", raw, off + 4)[0]
+            break
+        off += 4 + slen
+    member = raw[: bsize + 1]
+    ref = zlib.decompress(member, wbits=31)
+    assert _inflate.gzip_decompress(member) == ref
+    assert _inflate.gzip_decompress(member, len(ref)) == ref
+    # wrong declared size falls back to zlib and still yields right bytes
+    assert _inflate.gzip_decompress(member, len(ref) + 7) == ref
+    bad = bytearray(member)
+    bad[len(member) // 2] ^= 0xFF
+    with _pytest.raises(zlib.error):
+        _inflate.gzip_decompress(bytes(bad))

@@ -224,3 +224,22 @@ def test_utf8_array_rejects_int32_offset_overflow():
     cum = np.array([0, 1 << 31], dtype=np.int64)
     with pytest.raises(ValueError, match="int32 offset range"):
         BV._utf8_array(np.zeros(8, dtype=np.uint8), cum)
+
+
+def test_ckern_and_python_scan_identical(tmp_path, monkeypatch):
+    """The C offset-scan/gather kernel and the pure-Python/NumPy fallback
+    must produce byte-identical decode output (when the kernel built)."""
+    from sequila_spark.sources import _ckern
+
+    if not _ckern.available():
+        pytest.skip("C kernel unavailable on this host")
+    path = SLICE if os.path.exists(SLICE) else None
+    if path is None:
+        pytest.skip("no reference BAM")
+    refs, recs = _scalar(path)
+    with_c = _vec(path, refs, batch_bytes=100_000)
+    monkeypatch.setattr(_ckern, "_LIB", False)  # force fallback paths
+    assert not _ckern.available()
+    without_c = _vec(path, refs, batch_bytes=100_000)
+    monkeypatch.setattr(_ckern, "_LIB", None)
+    assert with_c == without_c == [("S",) + r for r in recs]

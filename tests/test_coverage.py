@@ -121,3 +121,24 @@ def test_coverage_bases_with_ref(spark):
     got = sorted((r["pos_start"], r["ref"], r["coverage"]) for r in out)
     # contig 1 of the fixture is ACGTACGT... -> positions 2..5 = C,G,T,A
     assert got == [(2, "C", 1), (3, "G", 1), (4, "T", 1), (5, "A", 1)]
+
+
+def test_multi_chunk_run_merges_to_one_row(spark):
+    """A constant-coverage run spanning MANY chunks must come back as one
+    block — the boundary-merge pass chains across every artificial split
+    the clip design introduces (chunk_size 10 -> a 95-long run crosses 9
+    boundaries)."""
+    df = reads_df(spark, [("r1", "1", 6, 100, None), ("r2", "1", 6, 100, None)])
+    got = blocks_of(coverage(df, mode="blocks", use_cigar=False, chunk_size=10))
+    assert got == [("1", 6, 100, 2)]
+
+
+def test_boundary_real_change_point_not_merged(spark):
+    """A REAL coverage change exactly at a chunk boundary must stay two
+    rows (the merge only collapses equal-coverage splits)."""
+    df = reads_df(
+        spark,
+        [("r1", "1", 1, 10, None), ("r2", "1", 1, 20, None)],
+    )
+    got = blocks_of(coverage(df, mode="blocks", use_cigar=False, chunk_size=10))
+    assert got == [("1", 1, 10, 2), ("1", 11, 20, 1)]
