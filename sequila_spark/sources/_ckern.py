@@ -67,10 +67,15 @@ def _build() -> object | None:
     i64 = ctypes.c_int64
     p_u8 = ctypes.POINTER(ctypes.c_uint8)
     p_i64 = ctypes.POINTER(i64)
+    p_u32 = ctypes.POINTER(ctypes.c_uint32)
+    p_u64 = ctypes.POINTER(ctypes.c_uint64)
     lib.bam_scan_offsets.restype = i64
     lib.bam_scan_offsets.argtypes = [p_u8, i64, p_i64, i64, p_i64]
     lib.gather_ragged.restype = None
     lib.gather_ragged.argtypes = [p_u8, p_i64, p_i64, p_i64, i64, p_u8]
+    for fn in (lib.rans4x8_decode0, lib.rans4x8_decode1):
+        fn.restype = i64
+        fn.argtypes = [p_u8, i64, i64, p_u64, p_u32, p_u8, i64]
     return lib
 
 
@@ -113,6 +118,43 @@ def scan_offsets(u8: np.ndarray, total: int) -> tuple[np.ndarray, int] | None:
             "below the 32-byte fixed section"
         )
     return offs[: int(n)], int(end.value)
+
+
+def rans4x8(
+    order: int,
+    data: bytes,
+    i: int,
+    tables: np.ndarray,
+    states: np.ndarray,
+    out_size: int,
+) -> tuple[bytes, int] | None:
+    """4-lane interleaved rANS 4x8 decode (CRAM 3.0 method 4).  ``tables``
+    is the packed per-slot table (uint64 — freq needs 13 bits; 4096 for
+    order 0, 256*4096 flat for order 1), ``states`` the 4 initial lane
+    states.  Returns (decoded bytes, new input index); ValueError on
+    input overrun; None when the kernel is absent."""
+    lib = _lib()
+    if lib is None:
+        return None
+    out = np.empty(out_size, dtype=np.uint8)
+    u8 = np.frombuffer(data, dtype=np.uint8)
+    fn = lib.rans4x8_decode1 if order else lib.rans4x8_decode0
+    new_i = fn(
+        _p_u8(u8),
+        len(data),
+        i,
+        np.ascontiguousarray(tables, dtype=np.uint64).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_uint64)
+        ),
+        np.ascontiguousarray(states, dtype=np.uint32).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_uint32)
+        ),
+        _p_u8(out),
+        out_size,
+    )
+    if new_i < 0:
+        raise ValueError("rANS 4x8 stream overran its input (corrupt block)")
+    return out.tobytes(), int(new_i)
 
 
 def take_ragged(

@@ -55,3 +55,72 @@ void gather_ragged(const uint8_t *data, const int64_t *starts,
         memcpy(out + cum[i], data + starts[i], (size_t)lens[i]);
     }
 }
+
+/* ---- rANS 4x8 (CRAM 3.0 external method 4, hts-specs CRAMcodecs) ----
+ *
+ * The 4-lane interleaved decode loops, fed by Python-parsed frequency
+ * tables packed one uint64 per slot: (freq << 24) | (bias << 12) | sym
+ * (freq needs 13 bits — up to 4096 — so the packed word is 64-bit here;
+ * the Python tables pack the same layout into unbounded ints)
+ * — the exact layout cramcodec._rans_read_freqs0 builds for the Python
+ * loops, so both paths share table semantics.  Renormalization reads are
+ * bounds-checked; -1 means input overran (corrupt stream), and the
+ * Python caller raises.  out_size == 0 is a valid no-op. */
+
+#define RANS_LOW (1u << 23)
+
+static inline int rans_step(uint32_t *x, const uint64_t *table,
+                            const uint8_t *in, int64_t in_len, int64_t *i,
+                            uint8_t *sym_out) {
+    uint64_t v = table[*x & 0xFFF];
+    *sym_out = (uint8_t)(v & 0xFF);
+    *x = (uint32_t)(v >> 24) * (*x >> 12) + (uint32_t)((v >> 12) & 0xFFF);
+    while (*x < RANS_LOW) {
+        if (*i >= in_len) return -1;
+        *x = (*x << 8) | in[(*i)++];
+    }
+    return 0;
+}
+
+/* Order-0: lanes rotate over output positions; remainder bytes continue
+ * on lane (pos & 3). */
+int64_t rans4x8_decode0(const uint8_t *in, int64_t in_len, int64_t i,
+                        const uint64_t *packed, const uint32_t *states,
+                        uint8_t *out, int64_t out_size) {
+    uint32_t x[4] = {states[0], states[1], states[2], states[3]};
+    for (int64_t pos = 0; pos < out_size; pos++) {
+        if (rans_step(&x[pos & 3], packed, in, in_len, &i, out + pos))
+            return -1;
+    }
+    return i;
+}
+
+/* Order-1: 256 context tables (flat 256*4096 uint32, ctx = previous
+ * symbol, initial ctx 0); four lanes each decode one quarter segment,
+ * the <=3 remainder bytes continue on lane 3. */
+int64_t rans4x8_decode1(const uint8_t *in, int64_t in_len, int64_t i,
+                        const uint64_t *tables, const uint32_t *states,
+                        uint8_t *out, int64_t out_size) {
+    uint32_t x[4] = {states[0], states[1], states[2], states[3]};
+    uint32_t ctx[4] = {0, 0, 0, 0};
+    int64_t quarter = out_size >> 2;
+    for (int64_t pos = 0; pos < quarter; pos++) {
+        for (int lane = 0; lane < 4; lane++) {
+            uint8_t s;
+            if (rans_step(&x[lane], tables + ((int64_t)ctx[lane] << 12), in,
+                          in_len, &i, &s))
+                return -1;
+            out[lane * quarter + pos] = s;
+            ctx[lane] = s;
+        }
+    }
+    for (int64_t pos = quarter * 4; pos < out_size; pos++) {
+        uint8_t s;
+        if (rans_step(&x[3], tables + ((int64_t)ctx[3] << 12), in, in_len,
+                      &i, &s))
+            return -1;
+        out[pos] = s;
+        ctx[3] = s;
+    }
+    return i;
+}

@@ -116,15 +116,15 @@ class ByteReader:
 _RANS_LOW = 1 << 23
 
 
-def _rans_read_freqs0(r: ByteReader) -> list[int]:
-    """Order-0 frequency table -> one PACKED per-slot decode table,
-    4096 wide: (freq << 24) | (slot_bias << 12) | symbol."""
-    freq = [0] * 256
+def _rans_read_freq_pairs(r: ByteReader) -> list[tuple[int, int]]:
+    """The order-0 frequency RLE parse -> [(symbol, freq)] in stream
+    order (shared by the Python and C decode paths)."""
+    pairs = []
     sym = r.u8()
     rle = 0
     while True:
         f = r.itf8()
-        freq[sym] = f
+        pairs.append((sym, f))
         if rle > 0:
             rle -= 1
             sym += 1
@@ -139,10 +139,19 @@ def _rans_read_freqs0(r: ByteReader) -> list[int]:
             sym = nxt
         if sym == 0:
             break
-    # per-SLOT decode table (total is 4096 per spec normalization), PACKED
-    # into one int per slot — (freq << 24) | (slot_bias << 12) | symbol —
-    # so the hot loop does ONE list index + three bit ops per byte instead
-    # of three list indexes (freq <= 4096 and bias < freq both fit 12 bits)
+    return pairs
+
+
+def _rans_pack_table(pairs: list[tuple[int, int]]) -> list[int]:
+    """Per-SLOT decode table (total is 4096 per spec normalization), PACKED
+    into one int per slot — (freq << 24) | (slot_bias << 12) | symbol —
+    so the hot loop does ONE list index + three bit ops per byte instead
+    of three list indexes (freq <= 4096 and bias < freq both fit 12 bits).
+    Cumulative offsets run in SYMBOL order (later duplicates overwrite,
+    like the C htscodecs table build)."""
+    freq = [0] * 256
+    for s, f in pairs:
+        freq[s] = f
     packed = [0] * 4096
     c = 0
     for s in range(256):
@@ -154,6 +163,30 @@ def _rans_read_freqs0(r: ByteReader) -> list[int]:
             packed[slot] = fs | ((slot - c) << 12) | s
         c += f
     return packed
+
+
+def _rans_pack_table_np(pairs: list[tuple[int, int]]):
+    """_rans_pack_table as a uint32 NumPy array (the C kernel's input),
+    built with one np.repeat pass instead of per-slot Python."""
+    import numpy as np
+
+    freq = np.zeros(256, dtype=np.int64)
+    for s, f in pairs:
+        freq[s] = f
+    syms = np.nonzero(freq)[0]
+    f = freq[syms]
+    total = int(f.sum())
+    packed = np.zeros(4096, dtype=np.uint64)  # freq is 13 bits: u64 word
+    if total:
+        starts = np.concatenate(([0], np.cumsum(f)[:-1]))
+        base = np.repeat((f << 24) | syms, f)
+        bias = np.arange(total, dtype=np.int64) - np.repeat(starts, f)
+        packed[:total] = (base | (bias << 12)).astype(np.uint64)
+    return packed
+
+
+def _rans_read_freqs0(r: ByteReader) -> list[int]:
+    return _rans_pack_table(_rans_read_freq_pairs(r))
 
 
 def _rans_decode0(r: ByteReader, out_size: int) -> bytes:
@@ -285,11 +318,42 @@ def rans_decode(data: bytes) -> bytes:
     order = r.u8()
     _csize = struct.unpack("<I", r.read(4))[0]
     rsize = struct.unpack("<I", r.read(4))[0]
+    if order not in (0, 1):
+        raise NotImplementedError(f"rANS order {order}")
+
+    from sequila_spark.sources import _ckern as CK
+
+    if CK.available():
+        # C hot loop fed by Python-parsed tables (the pure-Python decoders
+        # below stay the pinned reference; test_cram_native pins parity)
+        import numpy as np
+
+        if order == 0:
+            tables = _rans_pack_table_np(_rans_read_freq_pairs(r))
+        else:
+            tables = np.zeros((256, 4096), dtype=np.uint64)
+            sym = r.u8()
+            rle = 0
+            while True:
+                tables[sym] = _rans_pack_table_np(_rans_read_freq_pairs(r))
+                if rle > 0:
+                    rle -= 1
+                    sym += 1
+                else:
+                    # run-advanced comparison — see _rans_read_freq_pairs
+                    nxt = r.u8()
+                    if nxt == sym + 1:
+                        rle = r.u8()
+                    sym = nxt
+                if sym == 0:
+                    break
+        states = np.frombuffer(r.read(16), dtype="<u4")
+        out, _ = CK.rans4x8(order, r.b, r.i, tables, states, rsize)
+        return out
+
     if order == 0:
         return _rans_decode0(r, rsize)
-    if order == 1:
-        return _rans_decode1(r, rsize)
-    raise NotImplementedError(f"rANS order {order}")
+    return _rans_decode1(r, rsize)
 
 
 # --- rANS Nx16 (CRAM 3.1 external compression method 5) ---------------------

@@ -1872,3 +1872,29 @@ def test_cram31_end_to_end_records_identical(spark, tmp_path):
         a.select(*cols).exceptAll(b.select(*cols)).count() == 0
         and b.select(*cols).exceptAll(a.select(*cols)).count() == 0
     )
+
+
+def test_rans4x8_c_and_python_identical():
+    """The C rANS 4x8 kernel must reproduce the pure-Python decoders
+    byte-for-byte on every rANS block of the real CRAM fixture."""
+    import os
+
+    import pytest as _pytest
+
+    from sequila_spark.sources import _ckern
+    from sequila_spark.sources import cramcodec as C
+
+    if not _ckern.available():
+        _pytest.skip("C kernel unavailable")
+    path = "/root/reference/src/test/resources/NA12878.slice.cram"
+    if not os.path.exists(path):
+        _pytest.skip("no reference CRAM")
+    fasta = path.replace(".cram", ".fasta")
+    with_c = list(C.read_cram_records(path, ref_path=fasta))
+    old = _ckern._LIB
+    try:
+        _ckern._LIB = False
+        without_c = list(C.read_cram_records(path, ref_path=fasta))
+    finally:
+        _ckern._LIB = old
+    assert with_c == without_c and len(with_c) == 3172
