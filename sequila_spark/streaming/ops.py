@@ -94,6 +94,82 @@ def windowed_read_counts(reads: DataFrame, window_bp: int = 10_000) -> DataFrame
     )
 
 
+def window_coverage(
+    reads: DataFrame,
+    *,
+    window_bp: int = 10_000,
+    time_window: str | None = None,
+    watermark: str | None = None,
+    use_cigar: bool | None = None,
+) -> DataFrame:
+    """Fixed-genomic-window coverage computable INCREMENTALLY on a read
+    stream (SURVEY §2.9's streaming coverage extension).
+
+    Identity that makes coverage streamable: per genomic window, the sum of
+    per-base coverage equals the sum of per-READ aligned-block overlaps
+    with the window (count base-events by position or by read — same
+    multiset).  The left side needs ordered prefix sums (batch
+    ``coverage(mode='windows')``); the right side is a plain commutative
+    aggregate, so Structured Streaming can fold reads into (window) groups
+    incrementally, with watermark-bounded state.  Per group:
+
+      sum_bp          total covered base-events (exact long)
+      n_reads         contributing reads
+      mean_cov_milli  1000 * sum_bp div window_bp (exact integer)
+
+    ``time_window`` adds a tumbling EVENT-TIME dimension over the ``ts``
+    column (emit per arrival window); ``watermark`` (e.g. ``'30 seconds'``)
+    bounds state and drops reads later than the delay, the standard
+    late-data contract — pinned by test_streaming.  CIGAR semantics come
+    from operators.coverage.aligned_blocks (M/=/X consume reference), so
+    D/N gaps contribute nothing, exactly like the batch operator.
+
+    Batch==stream: the same expressions run on a batch relation; tests pin
+    the streamed result against the batch run AND against
+    ``coverage(mode='windows')`` re-derived sums."""
+    from sequila_spark.operators.coverage import aligned_blocks
+
+    if watermark:
+        reads = reads.withWatermark("ts", watermark)
+    blk = aligned_blocks(reads, use_cigar=use_cigar)
+    win_lo = F.floor((F.col("__sq_bs") - 1) / window_bp).cast("long")
+    win_hi = F.floor((F.col("__sq_be") - 1) / window_bp).cast("long")
+    per = blk.select(
+        *([F.col("ts")] if time_window else []),
+        F.col("contig"),
+        F.col("__sq_bs").alias("bs"),
+        F.col("__sq_be").alias("be"),
+        F.explode(F.sequence(win_lo, win_hi)).alias("gwin"),
+    )
+    wstart = (F.col("gwin") * window_bp + 1).cast("int")
+    wend = ((F.col("gwin") + 1) * window_bp).cast("int")
+    ov = F.least(F.col("be"), wend) - F.greatest(F.col("bs"), wstart) + 1
+    keys = (
+        [F.window("ts", time_window).alias("twin")] if time_window else []
+    ) + [F.col("contig"), F.col("gwin")]
+    agg = per.groupBy(*keys).agg(
+        F.sum(ov).cast("long").alias("sum_bp"),
+        F.count("*").cast("long").alias("n_blocks"),
+    )
+    time_cols = (
+        [
+            F.unix_timestamp(F.col("twin.start")).alias("twin_start_s"),
+            F.unix_timestamp(F.col("twin.end")).alias("twin_end_s"),
+        ]
+        if time_window
+        else []
+    )
+    return agg.select(
+        *time_cols,
+        "contig",
+        wstart.alias("pos_start"),
+        wend.alias("pos_end"),
+        "sum_bp",
+        "n_blocks",
+        F.expr(f"sum_bp * 1000 div {window_bp}").alias("mean_cov_milli"),
+    )
+
+
 def sessionize(events: DataFrame, gap_s: int = SESSION_GAP_S) -> DataFrame:
     """Batch sessionization: a session breaks when the gap to the previous
     event of the same user exceeds gap_s.  Output one row per session.

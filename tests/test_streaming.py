@@ -733,3 +733,117 @@ def test_stream_embedding_neardup_event_time_ttl_replay(spark, tmp_path):
     assert (2001, 2002) not in pairs, "event-time-expired anchor must not pair"
     assert (2001, 2003) not in pairs
     assert (2002, 2003) in pairs, "bucket must re-anchor at 2002 after expiry"
+
+
+def test_window_coverage_stream_equals_batch_and_coverage(spark, sf_small, tmp_path):
+    """Streaming fixed-window coverage == the batch run of the same
+    expressions == coverage(mode='windows') re-derived sums (the
+    per-position/per-read counting identity)."""
+    from sequila_spark import testdata as TD
+    from sequila_spark.operators.coverage import coverage
+    from sequila_spark.streaming.ops import window_coverage
+
+    reads = TD.reads(spark, sf_small)
+    path = str(tmp_path / "reads_cov_stream")
+    reads.write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(reads.schema).format("parquet").load(path)
+    q = (
+        window_coverage(stream, window_bp=10_000, use_cigar=False)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_cov")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["contig"], r["pos_start"]): (r["sum_bp"], r["n_blocks"], r["mean_cov_milli"])
+        for r in spark.sql("SELECT * FROM win_cov").collect()
+    }
+    batch = {
+        (r["contig"], r["pos_start"]): (r["sum_bp"], r["n_blocks"], r["mean_cov_milli"])
+        for r in window_coverage(reads, window_bp=10_000, use_cigar=False).collect()
+    }
+    assert got == batch and len(got) > 0
+    # identity vs the batch per-base operator: mean * w == sum_bp
+    cov = {
+        (r["contig"], r["pos_start"]): round(r["coverage"] * 10_000)
+        for r in coverage(
+            reads, mode="windows", window_size=10_000, use_cigar=False
+        ).collect()
+    }
+    got_sums = {k: v[0] for k, v in got.items() if v[0] > 0}
+    cov_nonzero = {k: v for k, v in cov.items() if v > 0}
+    assert got_sums == cov_nonzero
+
+
+def test_window_coverage_watermark_drops_late_reads(spark, tmp_path):
+    """Event-time windowed coverage with a watermark: closed windows emit
+    once; a read arriving behind the watermark is dropped (bounded-state
+    late-data contract)."""
+    import os
+
+    import pandas as pd
+
+    src = str(tmp_path / "cov_src")
+    os.makedirs(src, exist_ok=True)
+    base = 1_700_000_000
+
+    def write_batch(name, rows):
+        # rows: (ts_offset_s, contig, pos_start, pos_end)
+        import numpy as np
+
+        pd.DataFrame(
+            {
+                "ts": pd.to_datetime(
+                    [base + r[0] for r in rows], unit="s"
+                ).astype("datetime64[us]"),
+                "contig": [r[1] for r in rows],
+                "pos_start": np.array([r[2] for r in rows], dtype=np.int32),
+                "pos_end": np.array([r[3] for r in rows], dtype=np.int32),
+            }
+        ).to_parquet(f"{src}/{name}.parquet")
+
+    from sequila_spark.streaming.ops import window_coverage
+
+    schema = "ts timestamp, contig string, pos_start int, pos_end int"
+    write_batch("b1", [(5, "1", 100, 199), (10, "1", 150, 249)])
+    stream = spark.readStream.schema(schema).format("parquet").load(src)
+    out = window_coverage(
+        stream,
+        window_bp=1_000,
+        time_window="60 seconds",
+        watermark="30 seconds",
+        use_cigar=False,
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cov_wm")
+        .option("checkpointLocation", str(tmp_path / "ck_cov"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM cov_wm").count() == 0  # window open
+        write_batch("b2", [(500, "2", 10, 19)])  # advances watermark
+        q.processAllAvailable()
+        closed = {
+            (r["twin_start_s"], r["contig"], r["pos_start"]): r["sum_bp"]
+            for r in spark.sql("SELECT * FROM cov_wm").collect()
+        }
+        w1 = base - base % 60
+        assert closed == {(w1, "1", 1): 200}  # 100+100 covered bases
+        # a read behind the watermark is dropped, not re-emitted
+        write_batch("b3", [(2, "1", 100, 199), (700, "3", 10, 19)])
+        q.processAllAvailable()
+        final = {
+            (r["twin_start_s"], r["contig"], r["pos_start"]): r["sum_bp"]
+            for r in spark.sql("SELECT * FROM cov_wm").collect()
+        }
+    finally:
+        q.stop()
+    w2 = (base + 500) - (base + 500) % 60
+    assert final == {(w1, "1", 1): 200, (w2, "2", 1): 10}

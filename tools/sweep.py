@@ -392,6 +392,14 @@ def main() -> None:
         "additive digest merge (pileup family at sf1)",
     )
     ap.add_argument("--window-bases", type=int, default=2_000_000)
+    ap.add_argument(
+        "--master",
+        default=None,
+        help="Spark master override — e.g. local-cluster[4,8,6144] to run "
+        "the whole gate with ISOLATED executor JVMs + separate Python "
+        "workers (flushes one-JVM assumptions in Python-global caches: "
+        "plan-probe memos, broadcast registries, LSH plane matrices)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -399,14 +407,18 @@ def main() -> None:
     import __spark_entry__ as E
     from tests.oracle import duck_connection, normalize
 
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     spark = (
-        SparkSession.builder.master(f"local[{os.cpu_count() or 8}]")
+        SparkSession.builder.master(
+            args.master or f"local[{os.cpu_count() or 8}]"
+        )
         .appName("sequila_sweep")
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SWEEP_DRIVER_MEM", "8g"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.executorEnv.PYTHONPATH", repo)
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
