@@ -96,6 +96,13 @@ def main() -> None:
         write_alignments(decode(), "/root/repo/testdata_big/bigbam_parquet")
         best_pq = round(time.perf_counter() - t0, 1)
 
+    # host-window calibration (bench.py's anchors + the repo reference):
+    # anchor numbers from a degraded window are flagged, not trusted
+    from bench import _calib_deviation, _cpu_calibration, _dev_ok, _load_calib_ref
+
+    calib = _cpu_calibration()
+    ref = _load_calib_ref()
+    dev = _calib_deviation(calib, ref) if ref else {}
     out = {
         "files": len(files),
         "gb": round(total_bytes / 1e9, 2),
@@ -105,6 +112,9 @@ def main() -> None:
         "reads_per_sec": int(n_reads / best_cov),
         "reads_per_sec_per_core": int(n_reads / best_cov / args.cores),
         "decode_parquet_sec": best_pq,
+        "cpu_calib_sec": calib,
+        "calib_ok": _dev_ok(dev) if ref else None,
+        "calib_worst_dev_pct": dev,
         "baseline_wes_blocks": {
             "reads_per_sec_per_core_1c": 390_000,
             "reads_per_sec_per_core_10c": 252_000,

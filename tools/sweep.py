@@ -222,11 +222,14 @@ def distributed_hash_check(sdf, sql: str, sf_dir: str) -> dict | None:
 # predicate appended to the oracle SQL per slice, and the marker of the main
 # SELECT (everything before it is the CTE prologue, reused to enumerate the
 # contig domain).
+# (slice predicate template, SELECT marker splitting prologue from the
+#  final query, table whose DISTINCT contigs enumerate the slices)
 _SLICE_SPECS = {
-    "range_join_pairs": (" WHERE r.contig = '{c}'", "SELECT r.qname"),
-    "range_join_minoverlap": (" WHERE r.contig = '{c}'", "SELECT r.qname"),
-    "range_join_maxgap": (" WHERE r.contig = '{c}'", "SELECT r.qname"),
-    "range_join_semi": (" AND t.contig = '{c}'", "SELECT t.target_id"),
+    "range_join_pairs": (" WHERE r.contig = '{c}'", "SELECT r.qname", "reads"),
+    "range_join_minoverlap": (" WHERE r.contig = '{c}'", "SELECT r.qname", "reads"),
+    "range_join_maxgap": (" WHERE r.contig = '{c}'", "SELECT r.qname", "reads"),
+    "range_join_semi": (" AND t.contig = '{c}'", "SELECT t.target_id", "reads"),
+    "range_join_long": (" WHERE l.contig = '{c}'", "SELECT l.qname", "longreads"),
 }
 
 
@@ -240,7 +243,7 @@ def duckdb_sliced_hash_check(sdf, sql: str, sf_dir: str, name: str) -> dict | No
     spec = _SLICE_SPECS.get(name)
     if spec is None:
         return None
-    pred_tpl, select_marker = spec
+    pred_tpl, select_marker, contig_table = spec
     srow = _spark_hash_agg(sdf)
     if srow is None:
         return None
@@ -261,7 +264,8 @@ def duckdb_sliced_hash_check(sdf, sql: str, sf_dir: str, name: str) -> dict | No
         contigs = [
             r[0]
             for r in con.execute(
-                prologue + " SELECT DISTINCT contig FROM reads ORDER BY 1"
+                prologue
+                + f" SELECT DISTINCT contig FROM {contig_table} ORDER BY 1"
             ).fetchall()
         ]
         n_tot, x_tot, s_tot = 0, 0, 0
