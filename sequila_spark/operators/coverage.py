@@ -274,7 +274,56 @@ def coverage(
         .agg(F.sum("delta").alias("delta"))
         .where(F.col("delta") != 0)
     )
+    return _deltas_to_coverage(
+        deltas,
+        chunk_size=chunk_size,
+        mode=mode,
+        window_size=window_size,
+        ref_bases=ref_bases,
+    )
 
+
+def coverage_from_events(
+    events: DataFrame,
+    *,
+    chunk_size: int = DEFAULT_CHUNK,
+    mode: str = "blocks",
+    window_size: int | None = None,
+    ref_bases: DataFrame | None = None,
+) -> DataFrame:
+    """Coverage from a pre-clipped (contig, chunk, pos, delta) event
+    relation — the output of sources.read_bam_coverage_events, which
+    clips blocks at chunk boundaries and pre-aggregates deltas INSIDE the
+    decode task.  ``chunk_size`` must match the reader's (the clip
+    boundaries define the self-contained chunks).  Produces exactly the
+    rows coverage() produces on the same reads."""
+    if mode not in ("blocks", "bases", "windows"):
+        raise ValueError(f"unsupported mode={mode!r}")
+    if mode == "windows" and not window_size:
+        raise ValueError("mode='windows' requires window_size")
+    deltas = (
+        events.groupBy(S.CONTIG, "chunk", "pos")
+        .agg(F.sum("delta").alias("delta"))
+        .where(F.col("delta") != 0)
+    )
+    return _deltas_to_coverage(
+        deltas,
+        chunk_size=chunk_size,
+        mode=mode,
+        window_size=window_size,
+        ref_bases=ref_bases,
+    )
+
+
+def _deltas_to_coverage(
+    deltas: DataFrame,
+    *,
+    chunk_size: int,
+    mode: str,
+    window_size: int | None,
+    ref_bases: DataFrame | None,
+) -> DataFrame:
+    """Shared tail: net per-(contig, chunk, pos) deltas -> coverage rows."""
     # ONE window: local cumulative sum + next change point.  The final
     # event of each chunk always has local cum 0 (every clipped block
     # closes inside its chunk), so next_pos null rows carry no coverage.

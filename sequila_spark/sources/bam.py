@@ -577,6 +577,85 @@ def read_bam_native(
     return with_typed_tags(df) if typed_tags else df
 
 
+def read_bam_coverage_events(
+    spark: SparkSession,
+    path: str | list[str],
+    *,
+    chunk_size: int = 16_384,
+    flag_mask: int = 0,
+    min_mapq: int = 0,
+    chunk: int = 10_000_000,
+) -> DataFrame:
+    """Fused decode->coverage-events reader: (contig, chunk, pos, delta)
+    rows, CLIPPED at ``chunk_size`` boundaries and pre-aggregated per
+    decode batch (sources/bamvec.iter_span_cov_events).  Feed the result
+    to ``operators.coverage.coverage_from_events`` with the SAME
+    chunk_size — together they compute exactly
+    ``coverage(read_bam_native(..., with_blocks=True), chunk_size=...)``
+    while shuffling ~10x fewer rows and rendering zero strings: the
+    per-read columns never leave the decode task, the way the reference
+    fuses coverage into its scan partitions (pileup/PileupStrategy.scala)
+    — here as an opt-in reader, with the declarative operator unchanged
+    for alignment-shaped relations.  ``flag_mask``/``min_mapq`` apply
+    filter_reads' predicates at decode time (pass 1796 for the
+    reference's default read filter).  Span planning (BAI genomic chunks,
+    owner-by-start) is identical to read_bam_native."""
+    import glob as _glob
+
+    from sequila_spark.sources import bamcodec as B
+
+    if isinstance(path, (list, tuple)):
+        paths = list(path)
+    elif os.path.isdir(path):
+        paths = sorted(_glob.glob(os.path.join(path, "*.bam")))
+    elif any(ch in path for ch in "*?["):
+        paths = sorted(_glob.glob(path))
+    else:
+        paths = [path]
+    if not paths:
+        raise FileNotFoundError(f"no BAM files match {path!r}")
+
+    refs_by_path: dict[str, list[tuple[str, int]]] = {}
+    spans: list[tuple] = []
+    for p in paths:
+        with open(p, "rb") as f:
+            refs_by_path[p], _ = B.read_bam_header(B.BgzfReader(f))
+        bai = next(
+            (c for c in (p + ".bai", p[: p.rfind(".")] + ".bai") if os.path.exists(c)),
+            None,
+        )
+        if bai:
+            linear, _ = B.read_bai(bai)
+            for sp in B.plan_spans(refs_by_path[p], linear, chunk):
+                spans.append((p, sp))
+        else:
+            spans.append((p, None))
+
+    schema_str = "contig string, chunk long, pos int, delta int"
+    if not spans:
+        return spark.createDataFrame([], schema_str)
+
+    def gen_batches(batches):
+        from sequila_spark.sources import bamvec as BV
+
+        for b in batches:
+            for sid in b.column(0).to_pylist():
+                p, span = spans[sid]
+                yield from BV.iter_span_cov_events(
+                    p,
+                    refs_by_path[p],
+                    span,
+                    chunk_size=chunk_size,
+                    flag_mask=flag_mask,
+                    min_mapq=min_mapq,
+                )
+
+    df = spark.range(0, len(spans), 1, len(spans)).mapInArrow(
+        gen_batches, schema_str
+    )
+    return df.withColumn(S.CONTIG, clean_contig(F.col(S.CONTIG)))
+
+
 def plan_cram_containers(
     path: str,
     contig: str | None = None,

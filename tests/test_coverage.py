@@ -142,3 +142,77 @@ def test_boundary_real_change_point_not_merged(spark):
     )
     got = blocks_of(coverage(df, mode="blocks", use_cigar=False, chunk_size=10))
     assert got == [("1", 1, 10, 2), ("1", 11, 20, 1)]
+
+
+def test_fused_coverage_events_matches_batch_operator(spark):
+    """read_bam_coverage_events + coverage_from_events must produce exactly
+    the rows coverage(read_bam_native(..., with_blocks=True)) produces —
+    unfiltered AND with the reference's 1796/mapq filter, on both real
+    fixtures (incl. the dense-bincount and sorted event paths)."""
+    import os
+
+    import pytest as _pytest
+
+    from sequila_spark.sources import read_bam_native
+    from sequila_spark.sources.bam import read_bam_coverage_events
+    from sequila_spark.operators.coverage import coverage_from_events
+
+    bams = [
+        "/root/reference/src/test/resources/NA12878.slice.bam",
+        "/root/reference/src/test/resources/multichrom/mdbam/"
+        "NA12878.multichrom.md.bam",
+    ]
+    bams = [b for b in bams if os.path.exists(b)]
+    if not bams:
+        _pytest.skip("no reference BAMs")
+    for bam in bams:
+        a = coverage(
+            read_bam_native(
+                spark, bam, with_tags=False,
+                columns=["sample_id", "contig", "pos_start", "pos_end"],
+                with_blocks=True,
+            )
+        )
+        b = coverage_from_events(read_bam_coverage_events(spark, bam))
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+        c = coverage(
+            read_bam_native(
+                spark, bam, with_tags=False,
+                columns=["sample_id", "contig", "pos_start", "pos_end",
+                         "flag", "mapq"],
+                with_blocks=True,
+            ),
+            flag_mask=1796, min_mapq=10,
+        )
+        d = coverage_from_events(
+            read_bam_coverage_events(spark, bam, flag_mask=1796, min_mapq=10)
+        )
+        assert sorted(map(tuple, c.collect())) == sorted(map(tuple, d.collect()))
+
+
+def test_fused_coverage_events_chunk_sizes(spark):
+    """The fused path must be chunk_size-invariant (clip + merge round
+    trip) including TINY chunks that force the boundary-end bincount and
+    multi-chunk spans."""
+    import os
+
+    import pytest as _pytest
+
+    from sequila_spark.sources.bam import read_bam_coverage_events
+    from sequila_spark.operators.coverage import coverage_from_events
+
+    bam = "/root/reference/src/test/resources/NA12878.slice.bam"
+    if not os.path.exists(bam):
+        _pytest.skip("no reference BAM")
+    ref = sorted(
+        map(tuple, coverage_from_events(
+            read_bam_coverage_events(spark, bam)).collect())
+    )
+    for cs in (64, 1009, 1_000_000):
+        got = sorted(
+            map(tuple, coverage_from_events(
+                read_bam_coverage_events(spark, bam, chunk_size=cs),
+                chunk_size=cs,
+            ).collect())
+        )
+        assert got == ref, f"chunk_size={cs}"
