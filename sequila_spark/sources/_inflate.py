@@ -97,3 +97,61 @@ def gzip_decompress(block: bytes, out_size: int | None = None) -> bytes:
 def active_engine() -> str:
     """'libdeflate' or 'zlib' — which engine gzip_decompress will use."""
     return "libdeflate" if _load() is not None else "zlib"
+
+
+def _load_comp() -> object | None:
+    """Compressor-side symbols (separate probe: an old libdeflate could in
+    principle expose only one side)."""
+    lib = _load()
+    if lib is None or getattr(lib, "_comp_ready", None) is False:
+        return None
+    if getattr(lib, "_comp_ready", None) is None:
+        try:
+            lib.libdeflate_alloc_compressor.restype = ctypes.c_void_p
+            lib.libdeflate_alloc_compressor.argtypes = [ctypes.c_int]
+            lib.libdeflate_deflate_compress.restype = ctypes.c_size_t
+            lib.libdeflate_deflate_compress.argtypes = [
+                ctypes.c_void_p,
+                ctypes.c_char_p,
+                ctypes.c_size_t,
+                ctypes.c_void_p,
+                ctypes.c_size_t,
+            ]
+            lib.libdeflate_crc32.restype = ctypes.c_uint32
+            lib.libdeflate_crc32.argtypes = [
+                ctypes.c_uint32,
+                ctypes.c_char_p,
+                ctypes.c_size_t,
+            ]
+            lib._comp_ready = True
+        except AttributeError:
+            lib._comp_ready = False
+            return None
+    return lib
+
+
+def raw_deflate(payload: bytes, level: int) -> tuple[bytes, int] | None:
+    """(raw deflate stream, crc32) via libdeflate, or None when
+    unavailable / the output would not fit the caller's bound — callers
+    fall back to zlib.  Output BYTES differ from zlib's (any compliant
+    inflater accepts both); BGZF round-trip tests pin record equality,
+    not compressed bytes."""
+    lib = _load_comp()
+    if lib is None:
+        return None
+    comps = getattr(_TLS, "c", None)
+    if comps is None:
+        comps = _TLS.c = {}
+    c = comps.get(level)
+    if c is None:
+        c = comps[level] = lib.libdeflate_alloc_compressor(level)
+    if not c:
+        return None
+    # worst-case bound: stored blocks, ~5 bytes per 65535 + slack
+    cap = len(payload) + (len(payload) >> 9) + 64
+    out = ctypes.create_string_buffer(cap)
+    n = lib.libdeflate_deflate_compress(c, payload, len(payload), out, cap)
+    if n == 0:
+        return None
+    crc = lib.libdeflate_crc32(0, payload, len(payload))
+    return out.raw[:n], int(crc)

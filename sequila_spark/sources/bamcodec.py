@@ -288,17 +288,27 @@ BGZF_EOF = bytes.fromhex(
 
 def bgzf_compress_block(payload: bytes, level: int = 6) -> bytes:
     """One BGZF block: a gzip member with the BC/BSIZE extra subfield.
-    Payload must be <= 65535 bytes (callers chunk)."""
-    comp = zlib.compressobj(level, zlib.DEFLATED, -15)
-    cdata = comp.compress(payload) + comp.flush()
+    Payload must be <= 65535 bytes (callers chunk).  Deflates through the
+    system libdeflate when present (~2x; compressed bytes differ from
+    zlib's, which is fine — BGZF readers accept any compliant deflate and
+    the tests pin record round-trips), zlib otherwise."""
+    ld = _inflate.raw_deflate(payload, level)
+    if ld is not None:
+        cdata, crc = ld
+    else:
+        comp = zlib.compressobj(level, zlib.DEFLATED, -15)
+        cdata = comp.compress(payload) + comp.flush()
+        crc = zlib.crc32(payload) & 0xFFFFFFFF
     bsize = len(cdata) + 25  # total = header 18 + cdata + footer 8; BSIZE = total-1
+    if bsize > 0xFFFF:
+        raise ValueError(f"BGZF block overflow: {bsize + 1} bytes compressed")
     header = (
         b"\x1f\x8b\x08\x04\x00\x00\x00\x00\x00\xff"
         + struct.pack("<H", 6)
         + b"BC"
         + struct.pack("<HH", 2, bsize)
     )
-    footer = struct.pack("<II", zlib.crc32(payload) & 0xFFFFFFFF, len(payload) & 0xFFFFFFFF)
+    footer = struct.pack("<II", crc, len(payload) & 0xFFFFFFFF)
     return header + cdata + footer
 
 
