@@ -349,7 +349,17 @@ def _deltas_to_coverage(
     # O(|genome|/chunk_size) rows, not data-sized), interior rows pass
     # through untouched.  Within a chunk, consecutive change points differ
     # in coverage by construction (delta != 0), so no interior merging is
-    # ever needed.
+    # ever needed.  ONLY blocks mode needs it at all: bases mode explodes
+    # every block to single positions (identical base set whether a
+    # constant run is split or not), and windows mode weights blocks by
+    # window overlap (additive across any split) — both are
+    # split-invariant, so they skip the merge stages.
+    if mode != "blocks":
+        blocks = raw_blocks
+        if mode == "bases":
+            return _bases_from_blocks(blocks, ref_bases)
+        return _windows_from_blocks(blocks, int(window_size))
+
     at_boundary = (F.col(S.END) % chunk_size == 0) | (
         (F.col(S.START) - 1) % chunk_size == 0
     )
@@ -372,37 +382,37 @@ def _deltas_to_coverage(
         )
         .select(S.CONTIG, S.START, S.END, S.COVERAGE)
     )
-    blocks = interior.unionByName(merged)
+    return interior.unionByName(merged)
 
-    if mode == "blocks":
-        return blocks
-    if mode == "bases":
-        bases = blocks.select(
-            S.CONTIG,
-            F.explode(F.sequence(F.col(S.START), F.col(S.END))).alias("pos"),
-            S.COVERAGE,
-        ).select(
-            S.CONTIG,
-            F.col("pos").cast("int").alias(S.START),
-            F.col("pos").cast("int").alias(S.END),
-            S.COVERAGE,
+
+def _bases_from_blocks(blocks: DataFrame, ref_bases: DataFrame | None) -> DataFrame:
+    bases = blocks.select(
+        S.CONTIG,
+        F.explode(F.sequence(F.col(S.START), F.col(S.END))).alias("pos"),
+        S.COVERAGE,
+    ).select(
+        S.CONTIG,
+        F.col("pos").cast("int").alias(S.START),
+        F.col("pos").cast("int").alias(S.END),
+        S.COVERAGE,
+    )
+    if ref_bases is not None:
+        r = ref_bases.select(
+            F.col(S.CONTIG).alias("__rc"),
+            F.col("pos").alias("__rp"),
+            F.col(S.REF).alias(S.REF),
         )
-        if ref_bases is not None:
-            r = ref_bases.select(
-                F.col(S.CONTIG).alias("__rc"),
-                F.col("pos").alias("__rp"),
-                F.col(S.REF).alias(S.REF),
-            )
-            bases = bases.join(
-                r,
-                (bases[S.CONTIG] == r["__rc"]) & (bases[S.START] == r["__rp"]),
-                "left",
-            ).select(S.CONTIG, S.START, S.END, S.REF, S.COVERAGE)
-        return bases
+        bases = bases.join(
+            r,
+            (bases[S.CONTIG] == r["__rc"]) & (bases[S.START] == r["__rp"]),
+            "left",
+        ).select(S.CONTIG, S.START, S.END, S.REF, S.COVERAGE)
+    return bases
 
+
+def _windows_from_blocks(blocks: DataFrame, w: int) -> DataFrame:
     # windows: weighted by the overlap of each block with each window —
     # blocks explode into the few windows they span, never into bases.
-    w = int(window_size)
     win_lo = F.floor((F.col(S.START) - 1) / w).cast("long")
     win_hi = F.floor((F.col(S.END) - 1) / w).cast("long")
     per_win = blocks.select(
