@@ -76,6 +76,8 @@ def _build() -> object | None:
     for fn in (lib.rans4x8_decode0, lib.rans4x8_decode1):
         fn.restype = i64
         fn.argtypes = [p_u8, i64, i64, p_u64, p_u32, p_u8, i64]
+    lib.itf8_scan.restype = i64
+    lib.itf8_scan.argtypes = [p_u8, i64, p_i64]
     return lib
 
 
@@ -155,6 +157,21 @@ def rans4x8(
     if new_i < 0:
         raise ValueError("rANS 4x8 stream overran its input (corrupt block)")
     return out.tobytes(), int(new_i)
+
+
+def itf8_scan_all(data: bytes) -> np.ndarray | None:
+    """Every ITF8 value in ``data`` (matches ByteReader.itf8, 5-byte
+    negative wrap included).  None when the kernel is absent; ValueError
+    when the final value is truncated."""
+    lib = _lib()
+    if lib is None:
+        return None
+    u8 = np.frombuffer(data, dtype=np.uint8)
+    out = np.empty(max(len(data), 1), dtype=np.int64)
+    n = lib.itf8_scan(_p_u8(u8), len(data), _p_i64(out))
+    if n < 0:
+        raise ValueError("truncated ITF8 stream")
+    return out[: int(n)]
 
 
 def take_ragged(

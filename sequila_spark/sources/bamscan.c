@@ -124,3 +124,44 @@ int64_t rans4x8_decode1(const uint8_t *in, int64_t in_len, int64_t i,
     }
     return i;
 }
+
+/* ---- ITF8 varint batch scan (CRAM spec 2.3) ----
+ * Decodes every ITF8 value in b[0:len) into out (caller sizes out to
+ * len — one value is at least one byte).  Returns the value count, or
+ * -1 when the final value is truncated (caller falls back to the
+ * per-value Python reader).  Matches ByteReader.itf8 exactly, including
+ * the 5-byte negative wrap. */
+int64_t itf8_scan(const uint8_t *b, int64_t len, int64_t *out) {
+    int64_t i = 0, n = 0;
+    while (i < len) {
+        uint8_t b0 = b[i];
+        int64_t v;
+        if (b0 < 0x80) {
+            v = b0;
+            i += 1;
+        } else if (b0 < 0xC0) {
+            if (i + 2 > len) return -1;
+            v = ((int64_t)(b0 & 0x7F) << 8) | b[i + 1];
+            i += 2;
+        } else if (b0 < 0xE0) {
+            if (i + 3 > len) return -1;
+            v = ((int64_t)(b0 & 0x3F) << 16) | ((int64_t)b[i + 1] << 8) |
+                b[i + 2];
+            i += 3;
+        } else if (b0 < 0xF0) {
+            if (i + 4 > len) return -1;
+            v = ((int64_t)(b0 & 0x1F) << 24) | ((int64_t)b[i + 1] << 16) |
+                ((int64_t)b[i + 2] << 8) | b[i + 3];
+            i += 4;
+        } else {
+            if (i + 5 > len) return -1;
+            v = ((int64_t)(b0 & 0x0F) << 28) | ((int64_t)b[i + 1] << 20) |
+                ((int64_t)b[i + 2] << 12) | ((int64_t)b[i + 3] << 4) |
+                (b[i + 4] & 0x0F);
+            if (v >= (1LL << 31)) v -= (1LL << 32);
+            i += 5;
+        }
+        out[n++] = v;
+    }
+    return n;
+}

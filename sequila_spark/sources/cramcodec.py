@@ -1537,6 +1537,9 @@ class CompressionHeader:
                 code = (byte >> (6 - 2 * oi)) & 3
                 by_code[code] = ob
             self.sub_table[refb] = "".join(by_code)
+        # byte-valued mirror for the hot X-feature branch (direct bytearray
+        # store, no per-substitution ord()/str indexing)
+        self.sub_table_b = {k: v.encode() for k, v in self.sub_table.items()}
 
 
 # --- container / slice scan -------------------------------------------------
@@ -1792,6 +1795,65 @@ def decode_container(
         )
 
 
+def _enc_content_ids(e: "Encoding") -> list[int]:
+    """External content ids an encoding reads from (recursing into
+    BYTE_ARRAY_LEN's sub-encodings)."""
+    if e.codec in (1, 5):
+        return [e.content_id]
+    if e.codec == 4:
+        return _enc_content_ids(e.len_enc) + _enc_content_ids(e.val_enc)
+    return []
+
+
+def _bulk_feature_series(ch, ds, ext, rdr) -> None:
+    """Bulk pre-decode of the hot per-FEATURE series (FC: byte, FP: itf8,
+    BS: byte): when a series is EXTERNAL with a content stream no other
+    encoding shares, its whole slice block IS the series' value sequence,
+    so it decodes in one pass (C itf8 kernel for FP) and the per-feature
+    reads become C-level list-iterator next() calls — the feature walk in
+    _reconstruct was dominated by these three reader invocations
+    (~3 x sum(FN) calls per slice).  Non-external / shared-stream /
+    kernel-less layouts keep the per-value readers (identical output;
+    parity pinned by the byte-exact CRAM-vs-BAM test)."""
+    from sequila_spark.sources import _ckern as CK
+
+    if not CK.available():
+        return
+    id_use: dict[int, int] = {}
+    for e in list(ds.values()) + list(ch.tag_enc.values()):
+        for cid in _enc_content_ids(e):
+            id_use[cid] = id_use.get(cid, 0) + 1
+
+    def exclusive_external(name: str):
+        e = ds.get(name)
+        if (
+            e is not None
+            and e.codec == 1
+            and id_use.get(e.content_id) == 1
+            and e.content_id in ext
+        ):
+            return ext[e.content_id]
+        return None
+
+    for name, kind in (("FC", "u8"), ("BS", "u8"), ("FP", "itf8")):
+        st = exclusive_external(name)
+        if st is None:
+            continue
+        raw = bytes(st.b[st.i :])
+        if kind == "u8":
+            vals = list(raw)
+        else:
+            try:
+                arr = CK.itf8_scan_all(raw)
+            except ValueError:
+                continue  # truncated stream: keep the per-value reader
+            if arr is None:
+                continue
+            vals = arr.tolist()
+        st.i = len(st.b)  # stream fully consumed by the bulk decode
+        rdr[name] = iter(vals).__next__
+
+
 def _decode_slice_records(
     ch: CompressionHeader,
     core: BitReader,
@@ -1838,6 +1900,7 @@ def _decode_slice_records(
         "RS": ir("RS"), "PD": ir("PD"), "HC": ir("HC"), "BB": sr("BB"),
         "QQ": sr("QQ"), "QS": qs_r,
     }
+    _bulk_feature_series(ch, ds, ext, rdr)
     # per-TL-line tag readers (name, SAM type, specialized raw reader)
     tag_rdr = [
         [(name, typ, ch.tag_enc[(name, typ)].bytes_reader(core, ext))
@@ -2056,7 +2119,7 @@ def _reconstruct(
     bs_r, in_r, sc_r, ba_r = rdr["BS"], rdr["IN"], rdr["SC"], rdr["BA"]
     dl_r, rs_r, pd_r, hc_r = rdr["DL"], rdr["RS"], rdr["PD"], rdr["HC"]
     bb_r, qs_r, qq_r = rdr["BB"], rdr["QS"], rdr["QQ"]
-    sub_table = ch.sub_table
+    sub_table_b = ch.sub_table_b
     seq = bytearray(b"N" * rl)
     cig: list[list] = []
     last = None  # last cigar op, mirrored in cig[-1][1]
@@ -2081,8 +2144,8 @@ def _reconstruct(
         if code == 88:  # X: substitution code via the header table
             val = bs_r()
             refb = refseq[ref_off] if ref_off < len(refseq) else "N"
-            table = sub_table.get(refb, "ACGT")
-            seq[rpos] = ord(table[val] if val < len(table) else "N")
+            table = sub_table_b.get(refb, b"ACGT")
+            seq[rpos] = table[val] if val < len(table) else 78
             if last == "M":
                 cig[-1][0] += 1
             else:
