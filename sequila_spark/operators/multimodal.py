@@ -120,3 +120,133 @@ def decode_media(media: DataFrame) -> DataFrame:
             yield _extract(batch)
 
     return media.mapInPandas(op, schema=FEATURE_SCHEMA)
+
+
+IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("pixels", T.BinaryType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def _decoder_for(mt: str) -> Callable[[bytes], dict]:
+    fn = _DECODERS.get(mt)
+    if fn is None:
+        raise NotImplementedError(
+            f"no decoder registered for media_type={mt!r}; register one "
+            "with register_decoder() (fake_image_decoder / "
+            "fake_video_decoder are the deterministic test backends)"
+        )
+    return fn
+
+
+def fake_image_decoder(b: bytes) -> dict:
+    """Deterministic stand-in for an image codec (the real libraries are
+    not in this container): payload = <w:int32le><h:int32le><w*h pixel
+    bytes, row-major grayscale>.  Returns {'width', 'height', 'pixels'} —
+    the contract a PIL-backed decoder would fill."""
+    import struct as _s
+
+    w, h = _s.unpack_from("<ii", b, 0)
+    px = b[8 : 8 + w * h]
+    if w < 0 or h < 0 or len(px) != w * h:
+        raise ValueError("corrupt fake image payload")
+    return {"width": w, "height": h, "pixels": px}
+
+
+def fake_video_decoder(b: bytes) -> dict:
+    """Deterministic stand-in for a video demuxer: payload =
+    <n_frames:int32le><frame_len:int32le><n*frame_len bytes>.  Returns
+    {'frames': list[bytes]} — the contract an ffmpeg-backed decoder
+    would fill."""
+    import struct as _s
+
+    n, flen = _s.unpack_from("<ii", b, 0)
+    if n < 0 or flen < 0 or len(b) < 8 + n * flen:
+        raise ValueError("corrupt fake video payload")
+    return {
+        "frames": [b[8 + i * flen : 8 + (i + 1) * flen] for i in range(n)]
+    }
+
+
+# The registry is module state IN EACH PYTHON WORKER: a decoder must be
+# importable where the tasks run (register it at module import, or ship
+# it via a package/zip) — a driver-only register_decoder() call never
+# reaches executors.  The deterministic fakes below are pre-registered at
+# import, so they exist in every worker and the full dispatch path is
+# exercisable without media libraries.
+_DECODERS.setdefault("x-fake/image", fake_image_decoder)
+_DECODERS.setdefault("x-fake/video", fake_video_decoder)
+
+
+def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Decode + nearest-neighbor resize per image payload — Arrow-batched
+    mapInPandas, map-only (no shuffle; binary stays off the driver).  The
+    resample itself is vectorized NumPy over the decoded pixel buffer;
+    the decode step dispatches through the registry (stub backends in
+    this environment, PIL/torchvision in production — same contract)."""
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ys = None  # per-output-size index grids, built once per worker
+        for batch in batches:
+            rows = {"doc_id": [], "media_type": [], "width": [],
+                    "height": [], "pixels": []}
+            for doc_id, mt, payload in zip(
+                batch["doc_id"], batch["media_type"], batch["payload"]
+            ):
+                d = _decoder_for(mt)(bytes(payload))
+                w, h = d["width"], d["height"]
+                img = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(h, w)
+                if ys is None or ys[0] != (h, w):
+                    yi = (np.arange(out_h) * h) // out_h
+                    xi = (np.arange(out_w) * w) // out_w
+                    ys = ((h, w), yi, xi)
+                _, yi, xi = ys
+                rows["doc_id"].append(doc_id)
+                rows["media_type"].append(mt)
+                rows["width"].append(out_w)
+                rows["height"].append(out_h)
+                rows["pixels"].append(img[yi[:, None], xi[None, :]].tobytes())
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(op, schema=IMAGE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n: int) -> DataFrame:
+    """Demux + sample every ``every_n``-th frame of each video payload —
+    one output row per kept frame (map-only; a 1-to-many mapInPandas, so
+    downstream operators see ordinary rows).  Decode dispatches through
+    the registry, like resize_images."""
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = {"doc_id": [], "media_type": [], "frame_idx": [],
+                    "frame": []}
+            for doc_id, mt, payload in zip(
+                batch["doc_id"], batch["media_type"], batch["payload"]
+            ):
+                frames = _decoder_for(mt)(bytes(payload))["frames"]
+                for i in range(0, len(frames), every_n):
+                    rows["doc_id"].append(doc_id)
+                    rows["media_type"].append(mt)
+                    rows["frame_idx"].append(i)
+                    rows["frame"].append(frames[i])
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(op, schema=FRAME_SCHEMA)

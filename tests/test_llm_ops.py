@@ -479,3 +479,66 @@ def test_cosine_dup_pairs_persist_hygiene(spark, embs):
     assert SIM._PROJ_CACHE[0] is not first
     assert n_persistent() <= before + 1
     SIM._PROJ_CACHE.pop().unpersist(False)
+
+
+def test_resize_images_nearest_neighbor(spark):
+    """Image resize plumbing: decode via the worker-side registry, NumPy
+    nearest-neighbor resample, (width, height, pixels) rows out."""
+    import struct
+
+    import numpy as np
+
+    from sequila_spark.operators.multimodal import resize_images
+
+    w, h = 8, 4
+    img = np.arange(w * h, dtype=np.uint8).reshape(h, w)
+    payload = struct.pack("<ii", w, h) + img.tobytes()
+    rows = [(1, bytearray(payload), "x-fake/image", len(payload))]
+    media = spark.createDataFrame(
+        rows, "doc_id long, payload binary, media_type string, byte_len int"
+    )
+    out = resize_images(media, 4, 2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["width"], r["height"]) == (4, 2)
+    got = np.frombuffer(r["pixels"], dtype=np.uint8).reshape(2, 4)
+    yi = (np.arange(2) * h) // 2
+    xi = (np.arange(4) * w) // 4
+    assert (got == img[yi[:, None], xi[None, :]]).all()
+
+
+def test_sample_frames_every_n(spark):
+    """Frame sampling plumbing: demux via the registry, one row per kept
+    frame, 1-to-many mapInPandas."""
+    import struct
+
+    from sequila_spark.operators.multimodal import sample_frames
+
+    frames = [bytes([i] * 6) for i in range(7)]
+    payload = struct.pack("<ii", len(frames), 6) + b"".join(frames)
+    rows = [(5, bytearray(payload), "x-fake/video", len(payload))]
+    media = spark.createDataFrame(
+        rows, "doc_id long, payload binary, media_type string, byte_len int"
+    )
+    got = {
+        r["frame_idx"]: bytes(r["frame"])
+        for r in sample_frames(media, 3).collect()
+    }
+    assert got == {0: frames[0], 3: frames[3], 6: frames[6]}
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="every_n"):
+        sample_frames(media, 0)
+
+
+def test_resize_unregistered_type_raises(spark):
+    from sequila_spark.operators.multimodal import resize_images
+
+    media = spark.createDataFrame(
+        [(1, bytearray(b"xx"), "image/png", 2)],
+        "doc_id long, payload binary, media_type string, byte_len int",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="no decoder registered"):
+        resize_images(media, 2, 2).collect()
