@@ -78,6 +78,12 @@ def _build() -> object | None:
         fn.argtypes = [p_u8, i64, i64, p_u64, p_u32, p_u8, i64]
     lib.itf8_scan.restype = i64
     lib.itf8_scan.argtypes = [p_u8, i64, p_i64]
+    for fn in (lib.rans_nx16_decode0, lib.rans_nx16_decode1):
+        fn.restype = i64
+        fn.argtypes = [
+            p_u8, i64, i64, p_u64, ctypes.c_int, p_u32, ctypes.c_int,
+            p_u8, i64,
+        ]
     return lib
 
 
@@ -156,6 +162,47 @@ def rans4x8(
     )
     if new_i < 0:
         raise ValueError("rANS 4x8 stream overran its input (corrupt block)")
+    return out.tobytes(), int(new_i)
+
+
+def rans_nx16(
+    order: int,
+    data: bytes,
+    i: int,
+    tables: np.ndarray,
+    shift: int,
+    states: np.ndarray,
+    n_way: int,
+    out_size: int,
+) -> tuple[bytes, int] | None:
+    """N-state interleaved rANS Nx16 decode (CRAM 3.1 method 5).
+    ``tables``: packed u64 words (freq << 24 | bias << 8 | sym) — one
+    (1<<shift)-entry table for order 0, flat 256 tables for order 1.
+    Returns (bytes, new input index); ValueError on overrun; None when
+    the kernel is absent."""
+    lib = _lib()
+    if lib is None:
+        return None
+    out = np.empty(out_size, dtype=np.uint8)
+    u8 = np.frombuffer(data, dtype=np.uint8)
+    fn = lib.rans_nx16_decode1 if order else lib.rans_nx16_decode0
+    new_i = fn(
+        _p_u8(u8),
+        len(data),
+        i,
+        np.ascontiguousarray(tables, dtype=np.uint64).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_uint64)
+        ),
+        shift,
+        np.ascontiguousarray(states, dtype=np.uint32).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_uint32)
+        ),
+        n_way,
+        _p_u8(out),
+        out_size,
+    )
+    if new_i < 0:
+        raise ValueError("rANS Nx16 stream overran its input (corrupt block)")
     return out.tobytes(), int(new_i)
 
 

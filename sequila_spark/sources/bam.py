@@ -25,7 +25,9 @@ from sequila_spark import schemas as S
 from sequila_spark.functions.intervals import clean_contig
 
 
-def write_alignments(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+def write_alignments(
+    df: DataFrame, path: str, mode: str = "overwrite", assume_sorted: bool = False
+) -> None:
     """Recommended storage layout for alignment relations: parquet
     partitioned by sample_id and sorted within partitions by
     (contig, pos_start).  This is what makes the reference's custom
@@ -44,13 +46,25 @@ def write_alignments(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     # task — measured 5x slower on the 17M-read single-contig anchor —
     # while ranges spread a contig across tasks AND keep each output
     # file's (contig, pos) row-group min/max spans tight for skipping.
-    (
-        df.repartitionByRange(S.SAMPLE, S.CONTIG, S.START)
-        .sortWithinPartitions(S.CONTIG, S.START)
-        .write.mode(mode)
-        .partitionBy(S.SAMPLE)
-        .parquet(path)
-    )
+    #
+    # ``assume_sorted=True`` skips the shuffle+sort entirely: rows from
+    # read_bam_native/read_cram_native are ALREADY (contig, pos_start)-
+    # ordered within each task (coordinate-sorted input, one genomic span
+    # per task, each span single-sample), so writing partitions as-is
+    # preserves every layout guarantee above — each output file covers
+    # its span's tight (contig, pos) range — without re-moving the
+    # (wide: seq/qual) rows through a full shuffle.  Only pass it for
+    # relations with that per-partition order.
+    if assume_sorted:
+        df.write.mode(mode).partitionBy(S.SAMPLE).parquet(path)
+    else:
+        (
+            df.repartitionByRange(S.SAMPLE, S.CONTIG, S.START)
+            .sortWithinPartitions(S.CONTIG, S.START)
+            .write.mode(mode)
+            .partitionBy(S.SAMPLE)
+            .parquet(path)
+        )
 
 
 def read_alignments(

@@ -165,3 +165,82 @@ int64_t itf8_scan(const uint8_t *b, int64_t len, int64_t *out) {
     }
     return n;
 }
+
+/* ---- rANS Nx16 (CRAM 3.1 external method 5) ----
+ * N interleaved 32-bit states, 16-bit single-step renormalization
+ * (lower bound 1<<15), variable precision `shift` (freq sum = 1<<shift).
+ * Packed table word: (freq << 24) | (bias << 8) | sym — bias = cum[sym],
+ * freq <= 4096 (13 bits), bias <= 4095 (12 bits).  Python parses the
+ * frequency tables (incl. the RLE/compressed-table framing) and builds
+ * the packed arrays; the pure-Python loops remain the pinned fallback. */
+
+#define NX16_LOW (1u << 15)
+
+static inline int nx16_step(uint32_t *x, const uint64_t *table,
+                            uint32_t mask, int shift, const uint8_t *in,
+                            int64_t in_len, int64_t *i, uint8_t *sym_out) {
+    uint32_t slot = *x & mask;
+    uint64_t v = table[slot];
+    *sym_out = (uint8_t)(v & 0xFF);
+    *x = (uint32_t)(v >> 24) * (*x >> shift) + slot -
+         (uint32_t)((v >> 8) & 0xFFFF);
+    if (*x < NX16_LOW) {
+        if (*i + 2 > in_len) return -1;
+        *x = (*x << 16) | in[*i] | ((uint32_t)in[*i + 1] << 8);
+        *i += 2;
+    }
+    return 0;
+}
+
+/* Order-0: states rotate over output positions (pos % n_way). */
+int64_t rans_nx16_decode0(const uint8_t *in, int64_t in_len, int64_t i,
+                          const uint64_t *packed, int shift,
+                          const uint32_t *states, int n_way, uint8_t *out,
+                          int64_t out_size) {
+    uint32_t x[32];
+    uint32_t mask = (1u << shift) - 1;
+    for (int j = 0; j < n_way; j++) x[j] = states[j];
+    for (int64_t pos = 0; pos < out_size; pos++) {
+        if (nx16_step(&x[pos % n_way], packed, mask, shift, in, in_len, &i,
+                      out + pos))
+            return -1;
+    }
+    return i;
+}
+
+/* Order-1: N contiguous output slices of out_size/n_way, per-state
+ * previous-symbol context; the remainder continues on the LAST state's
+ * chain.  tables: flat 256 * (1<<shift) packed words. */
+int64_t rans_nx16_decode1(const uint8_t *in, int64_t in_len, int64_t i,
+                          const uint64_t *tables, int shift,
+                          const uint32_t *states, int n_way, uint8_t *out,
+                          int64_t out_size) {
+    uint32_t x[32];
+    uint32_t ctx[32];
+    uint32_t mask = (1u << shift) - 1;
+    int64_t tot = (int64_t)1 << shift;
+    for (int j = 0; j < n_way; j++) {
+        x[j] = states[j];
+        ctx[j] = 0;
+    }
+    int64_t slice = out_size / n_way;
+    for (int64_t pos = 0; pos < slice; pos++) {
+        for (int j = 0; j < n_way; j++) {
+            uint8_t s;
+            if (nx16_step(&x[j], tables + (int64_t)ctx[j] * tot, mask,
+                          shift, in, in_len, &i, &s))
+                return -1;
+            out[j * slice + pos] = s;
+            ctx[j] = s;
+        }
+    }
+    for (int64_t pos = slice * n_way; pos < out_size; pos++) {
+        uint8_t s;
+        if (nx16_step(&x[n_way - 1], tables + (int64_t)ctx[n_way - 1] * tot,
+                      mask, shift, in, in_len, &i, &s))
+            return -1;
+        out[pos] = s;
+        ctx[n_way - 1] = s;
+    }
+    return i;
+}

@@ -432,12 +432,44 @@ def _nx16_norm_freqs(freq: list[int], target: int) -> None:
         freq[s] <<= shift
 
 
+def _nx16_pack_np(freq: list[int], tot: int):
+    """Packed Nx16 decode table (u64 per slot: freq << 24 | cum << 8 |
+    sym) for the C kernel, built with one np.repeat pass."""
+    import numpy as np
+
+    f = np.asarray(freq, dtype=np.int64)
+    syms = np.nonzero(f)[0]
+    fs = f[syms]
+    packed = np.zeros(tot, dtype=np.uint64)
+    total = int(fs.sum())
+    if total:
+        cum = np.concatenate(([0], np.cumsum(fs)[:-1]))
+        packed[:total] = np.repeat(
+            (fs << 24) | (cum << 8) | syms, fs
+        ).astype(np.uint64)
+    return packed
+
+
 def _nx16_decode0(r: ByteReader, out_size: int, n_way: int) -> bytes:
     syms = _nx16_read_alphabet(r)
     freq = [0] * 256
     for s in syms:
         freq[s] = _uint7(r)
     _nx16_norm_freqs(freq, 4096)
+
+    from sequila_spark.sources import _ckern as CK
+
+    if CK.available() and out_size:
+        import numpy as np
+
+        states_a = np.frombuffer(r.read(4 * n_way), dtype="<u4")
+        out, new_i = CK.rans_nx16(
+            0, r.b, r.i, _nx16_pack_np(freq, 4096), 12, states_a, n_way,
+            out_size,
+        )
+        r.i = new_i
+        return out
+
     cum = [0] * 257
     for s in range(256):
         cum[s + 1] = cum[s] + freq[s]
@@ -511,6 +543,22 @@ def _nx16_decode1(r: ByteReader, out_size: int, n_way: int) -> bytes:
         F[i] = row
         cum[i] = c
         lookup[i] = lk
+
+    from sequila_spark.sources import _ckern as CK
+
+    if CK.available() and out_size:
+        import numpy as np
+
+        tables = np.zeros((256, tot), dtype=np.uint64)
+        for ctx, row in F.items():
+            tables[ctx] = _nx16_pack_np(row, tot)
+        states_a = np.frombuffer(r.read(4 * n_way), dtype="<u4")
+        out_b, new_i = CK.rans_nx16(
+            1, r.b, r.i, tables, shift, states_a, n_way, out_size
+        )
+        r.i = new_i
+        return out_b
+
     states = [struct.unpack("<I", r.read(4))[0] for _ in range(n_way)]
     out = bytearray(out_size)
     b = r.b

@@ -1898,3 +1898,38 @@ def test_rans4x8_c_and_python_identical():
     finally:
         _ckern._LIB = old
     assert with_c == without_c and len(with_c) == 3172
+
+
+def test_rans_nx16_c_and_python_identical():
+    """The Nx16 C kernels must match the pure-Python decoders byte-for-byte
+    on synthetic order-0/order-1 streams at both interleave widths."""
+    import pytest as _pytest
+
+    from sequila_spark.sources import _ckern
+    from sequila_spark.sources.cramcodec import rans_nx16_decode
+
+    if not _ckern.available():
+        _pytest.skip("C kernel unavailable")
+    import random
+
+    rng = random.Random(1234)
+    payloads = [
+        bytes(rng.choice(b"ACGTN") for _ in range(517)),
+        bytes(rng.randrange(256) for _ in range(2048)),
+        b"A" * 100,
+    ]
+    for payload in payloads:
+        for n_way in (4, 32):
+            for enc in (
+                _nx16_encode0(payload, n_way),
+                _nx16_encode1(payload, n_way),
+                _nx16_encode1(payload, n_way, shift=10),
+            ):
+                with_c = rans_nx16_decode(enc, len(payload))
+                old = _ckern._LIB
+                try:
+                    _ckern._LIB = False
+                    without_c = rans_nx16_decode(enc, len(payload))
+                finally:
+                    _ckern._LIB = old
+                assert with_c == without_c == payload, (len(payload), n_way)
