@@ -995,14 +995,34 @@ blocks AS (
 """
 
 
-def _pileup_base_cte(where: str = "TRUE") -> str:
+def _pileup_base_cte(
+    where: str = "TRUE", prune: tuple[str, int, int] | None = None
+) -> str:
     """DuckDB per-base expansion + per-(pos,base) counts.  The oracle derives
     bases arithmetically (testdata.read_base_sql) — independent of the Spark
-    path, which materializes seq strings and parses them back."""
-    return f"""
+    path, which materializes seq strings and parses them back.
+
+    ``prune=(contig, lo, hi)`` pushes a slice filter BELOW the UNNEST:
+    reads are pruned by overlap and the expanded range clipped to
+    [lo, hi] — semantically identical for slice queries (non-overlapping
+    reads contribute no in-slice bases) but it keeps the expansion
+    slice-sized, which is what lets the same oracle run at sf1 where the
+    full per-base expansion exhausts single-node DuckDB."""
+    if prune is not None:
+        c, lo, hi = prune
+        pb = f"""
+pb AS (
+  SELECT contig, okey,
+         UNNEST(range(GREATEST(pos_start, {lo}), LEAST(pos_end, {hi}) + 1)) AS p
+  FROM reads
+  WHERE contig = '{c}' AND pos_start <= {hi} AND pos_end >= {lo}
+),"""
+    else:
+        pb = """
 pb AS (
   SELECT contig, okey, UNNEST(range(pos_start, pos_end + 1)) AS p FROM reads
-),
+),"""
+    return f"""{pb}
 pb2 AS (
   SELECT contig, CAST(p AS INT) AS pos,
          {TD.read_base_sql('p', 'contig', 'okey')} AS base,
@@ -1649,7 +1669,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT sample_id FROM reads
         """,
         "pileup_slice": f"""
-            {cte('reads')}, {_pileup_base_cte("contig = '1' AND p BETWEEN 1 AND 20000")}
+            {cte('reads')}, {_pileup_base_cte("contig = '1' AND p BETWEEN 1 AND 20000", prune=('1', 1, 20000))}
             SELECT contig, pos AS pos_start, pos AS pos_end, ref,
                    CAST(SUM(cnt) AS INT) AS coverage,
                    CAST(SUM(CASE WHEN base = ref THEN cnt ELSE 0 END) AS INT) AS "countRef",
@@ -1676,7 +1696,7 @@ def oracle_sql() -> dict[str, str]:
             FROM pos_level GROUP BY contig
         """,
         "pileup_quals_slice": f"""
-            {cte('reads')}, {_pileup_base_cte("contig = '2' AND p BETWEEN 1 AND 10000")},
+            {cte('reads')}, {_pileup_base_cte("contig = '2' AND p BETWEEN 1 AND 10000", prune=('2', 1, 10000))},
             qc AS (
               SELECT contig, pos, ref, base, q, COUNT(*) AS n
               FROM pb2 GROUP BY contig, pos, ref, base, q
@@ -1693,7 +1713,7 @@ def oracle_sql() -> dict[str, str]:
             FROM hist GROUP BY contig, pos, ref
         """,
         "pileup_quals_binned": f"""
-            {cte('reads')}, {_pileup_base_cte("contig = '4' AND p BETWEEN 1 AND 10000")},
+            {cte('reads')}, {_pileup_base_cte("contig = '4' AND p BETWEEN 1 AND 10000", prune=('4', 1, 10000))},
             qc AS (
               SELECT contig, pos, base, CAST(FLOOR(q / 10) AS INT) AS qb, COUNT(*) AS n
               FROM pb2 GROUP BY contig, pos, base, CAST(FLOOR(q / 10) AS INT)

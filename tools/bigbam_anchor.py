@@ -111,7 +111,9 @@ def main() -> None:
         from sequila_spark.sources.bam import write_alignments
 
         t0 = time.perf_counter()
-        write_alignments(decode(), "/root/repo/testdata_big/bigbam_parquet")
+        write_alignments(
+            decode(), "/root/repo/testdata_big/bigbam_parquet", assume_sorted=True
+        )
         best_pq = round(time.perf_counter() - t0, 1)
 
     # host-window calibration (bench.py's anchors + the repo reference):
