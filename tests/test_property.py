@@ -91,3 +91,61 @@ def test_resize_property(spark, start, length, k, fix):
         resize(F.lit(start), F.lit(end), F.lit(k), fix).alias("iv")
     ).first()["iv"]
     assert (got["pos_start"], got["pos_end"]) == _resize_ref(start, end, k, fix)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    reads=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=400),  # pos_start
+            st.integers(min_value=0, max_value=150),  # length - 1
+            st.sampled_from(["1", "2"]),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    chunk_size=st.sampled_from([7, 64, 1_000_000]),
+)
+def test_coverage_blocks_match_bruteforce(spark, reads, chunk_size):
+    """The clip-at-chunk coverage (arbitrary chunk sizes, boundary merges
+    included) must reproduce a per-position brute force on ANY read set:
+    maximal equal-coverage runs, cov > 0, 1-based inclusive."""
+    from collections import Counter
+
+    from sequila_spark.operators.coverage import coverage
+
+    df = spark.createDataFrame(
+        [(c, s, s + l) for (s, l, c) in reads],
+        "contig string, pos_start int, pos_end int",
+    )
+    got = sorted(
+        map(
+            tuple,
+            coverage(
+                df, use_cigar=False, chunk_size=chunk_size
+            ).collect(),
+        )
+    )
+
+    depth: Counter = Counter()
+    for s, l, c in reads:
+        for p in range(s, s + l + 1):
+            depth[(c, p)] += 1
+    expect = []
+    for c in sorted({k[0] for k in depth}):
+        positions = sorted(p for (cc, p) in depth if cc == c)
+        run_start = None
+        prev_p = None
+        prev_cov = None
+        for p in positions:
+            cov = depth[(c, p)]
+            if run_start is None:
+                run_start, prev_p, prev_cov = p, p, cov
+            elif p == prev_p + 1 and cov == prev_cov:
+                prev_p = p
+            else:
+                expect.append((c, run_start, prev_p, prev_cov))
+                run_start, prev_p, prev_cov = p, p, cov
+        if run_start is not None:
+            expect.append((c, run_start, prev_p, prev_cov))
+    assert got == sorted(expect)
