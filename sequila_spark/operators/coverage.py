@@ -295,12 +295,30 @@ def coverage_from_events(
     relation — the output of sources.read_bam_coverage_events, which
     clips blocks at chunk boundaries and pre-aggregates deltas INSIDE the
     decode task.  ``chunk_size`` must match the reader's (the clip
-    boundaries define the self-contained chunks).  Produces exactly the
-    rows coverage() produces on the same reads."""
+    boundaries define the self-contained chunks); a mismatch would
+    silently leave boundary splits unmerged, so every event row is
+    asserted to lie inside its chunk's range — one comparison per row,
+    raising at execution time on the first inconsistent row."""
     if mode not in ("blocks", "bases", "windows"):
         raise ValueError(f"unsupported mode={mode!r}")
     if mode == "windows" and not window_size:
         raise ValueError("mode='windows' requires window_size")
+    in_chunk = (F.col("pos") > F.col("chunk") * chunk_size) & (
+        F.col("pos") <= (F.col("chunk") + 1) * chunk_size + 1
+    )
+    # assert_true returns NULL on success, so the filter passes every
+    # valid row; an `| lit(True)` variant would let Catalyst constant-fold
+    # the assertion away entirely
+    events = events.where(
+        F.assert_true(
+            in_chunk,
+            F.lit(
+                f"coverage_from_events: event outside its chunk — the "
+                f"events were clipped with a different chunk_size than "
+                f"{chunk_size}"
+            ),
+        ).isNull()
+    )
     deltas = (
         events.groupBy(S.CONTIG, "chunk", "pos")
         .agg(F.sum("delta").alias("delta"))

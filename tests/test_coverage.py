@@ -216,3 +216,21 @@ def test_fused_coverage_events_chunk_sizes(spark):
             ).collect())
         )
         assert got == ref, f"chunk_size={cs}"
+
+
+def test_fused_events_chunk_size_mismatch_is_loud(spark):
+    """Events clipped at one chunk_size consumed with another must raise
+    (a silent mismatch would leave boundary splits unmerged)."""
+    import os
+
+    import pytest as _pytest
+
+    from sequila_spark.sources.bam import read_bam_coverage_events
+    from sequila_spark.operators.coverage import coverage_from_events
+
+    bam = "/root/reference/src/test/resources/NA12878.slice.bam"
+    if not os.path.exists(bam):
+        _pytest.skip("no reference BAM")
+    ev = read_bam_coverage_events(spark, bam, chunk_size=16_384)
+    with _pytest.raises(Exception, match="different chunk_size"):
+        coverage_from_events(ev, chunk_size=1_000_000).count()
