@@ -160,11 +160,12 @@ def fake_image_decoder(b: bytes) -> dict:
     the contract a PIL-backed decoder would fill."""
     import struct as _s
 
-    w, h = _s.unpack_from("<ii", b, 0)
-    px = b[8 : 8 + w * h]
-    if w < 0 or h < 0 or len(px) != w * h:
+    if len(b) < 8:
         raise ValueError("corrupt fake image payload")
-    return {"width": w, "height": h, "pixels": px}
+    w, h = _s.unpack_from("<ii", b, 0)
+    if w <= 0 or h <= 0 or len(b) < 8 + w * h:
+        raise ValueError("corrupt fake image payload")
+    return {"width": w, "height": h, "pixels": b[8 : 8 + w * h]}
 
 
 def fake_video_decoder(b: bytes) -> dict:
@@ -174,6 +175,8 @@ def fake_video_decoder(b: bytes) -> dict:
     would fill."""
     import struct as _s
 
+    if len(b) < 8:
+        raise ValueError("corrupt fake video payload")
     n, flen = _s.unpack_from("<ii", b, 0)
     if n < 0 or flen < 0 or len(b) < 8 + n * flen:
         raise ValueError("corrupt fake video payload")

@@ -234,7 +234,13 @@ def cosine_dup_pairs(
     # Persist the projection only when the corpus is big enough that
     # re-evaluating its subplan per downstream leg (2-3 reads) costs more
     # than the cache materialization job — a few-hundred-row corpus pays
-    # a measurable fixed persist cost for nothing.  The module registry
+    # a measurable fixed persist cost for nothing (measured: the r9
+    # persist-before-probe version cost the sf0.1 bench query ~0.7 s it
+    # never earned back).  Trade-off owned deliberately: a LARGE corpus
+    # now evaluates its subplan twice (probe, then cache fill on the
+    # first downstream action) where persist-before-probe evaluated it
+    # once — callers with an expensive upstream plan should pass an
+    # already-cached corpus.  The module registry
     # unpersists the PREVIOUS call's projection (including disk-spilled
     # blocks LRU eviction never reclaims), so a long-lived session calling
     # this over many corpora holds at most one cached projection — same

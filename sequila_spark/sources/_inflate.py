@@ -72,6 +72,13 @@ def gzip_decompress(block: bytes, out_size: int | None = None) -> bytes:
         if len(block) < 4:
             return zlib.decompress(block, wbits=31)
         out_size = struct.unpack_from("<I", block, len(block) - 4)[0]
+        if out_size > 1 << 26:
+            # the ISIZE trailer is untrusted: a corrupt 18-byte block can
+            # claim ~4 GiB and this would allocate it BEFORE libdeflate
+            # rejects the member.  No caller without an explicit out_size
+            # is near this (BGZF members are <= 64 KiB by construction);
+            # let zlib stream-decode (and raise) instead.
+            return zlib.decompress(block, wbits=31)
     out = ctypes.create_string_buffer(out_size) if out_size else b""
     if out_size == 0:
         # empty payload (BGZF EOF marker): nothing to inflate, but still

@@ -73,8 +73,12 @@ static inline int rans_step(uint32_t *x, const uint64_t *table,
                             const uint8_t *in, int64_t in_len, int64_t *i,
                             uint8_t *sym_out) {
     uint64_t v = table[*x & 0xFFF];
+    if (!(v & ((uint64_t)1 << 48))) return -1; /* unfilled slot / missing
+        context: corrupt stream — fail loudly like the Python reference
+        instead of decoding the zero word into silent garbage */
     *sym_out = (uint8_t)(v & 0xFF);
-    *x = (uint32_t)(v >> 24) * (*x >> 12) + (uint32_t)((v >> 12) & 0xFFF);
+    *x = (uint32_t)((v >> 24) & 0x1FFF) * (*x >> 12) +
+         (uint32_t)((v >> 12) & 0xFFF);
     while (*x < RANS_LOW) {
         if (*i >= in_len) return -1;
         *x = (*x << 8) | in[(*i)++];
@@ -181,8 +185,9 @@ static inline int nx16_step(uint32_t *x, const uint64_t *table,
                             int64_t in_len, int64_t *i, uint8_t *sym_out) {
     uint32_t slot = *x & mask;
     uint64_t v = table[slot];
+    if (!(v & ((uint64_t)1 << 48))) return -1; /* see rans_step */
     *sym_out = (uint8_t)(v & 0xFF);
-    *x = (uint32_t)(v >> 24) * (*x >> shift) + slot -
+    *x = (uint32_t)((v >> 24) & 0x1FFF) * (*x >> shift) + slot -
          (uint32_t)((v >> 8) & 0xFFFF);
     if (*x < NX16_LOW) {
         if (*i + 2 > in_len) return -1;

@@ -305,6 +305,19 @@ def _decode_batch(
     ql_off = sq_off + sq_bytes
     tg_off = ql_off + l_seq
     rec_end = offs + 4 + h["bs"].astype(np.int64)
+    # Field-extent validation BEFORE any gather: the offset scan only
+    # checks block_size, so corrupt inner fields (l_qname=0, negative
+    # l_seq, n_cigar/l_seq overstating the record) would otherwise drive
+    # the C memcpy gather out of bounds (worker crash / foreign-memory
+    # bytes in Arrow buffers) where the scalar parser raises cleanly.
+    bad = (l_qname < 1) | (l_seq < 0) | (tg_off > rec_end)
+    if bad.any():
+        j = int(np.argmax(bad))
+        raise ValueError(
+            f"corrupt BAM record fields at offset {int(offs[j])}: "
+            f"l_qname={int(l_qname[j])} n_cigar={int(n_cigar[j])} "
+            f"l_seq={int(l_seq[j])} exceed block_size"
+        )
 
     out: dict[str, pa.Array] = {}
 
@@ -690,7 +703,16 @@ def _cov_event_batch(
     """One batch's aggregated clipped coverage events (see
     iter_span_cov_events)."""
     n_cigar = h["n_cigar"].astype(np.int64)
-    cg_off = offs + 36 + h["l_qname"].astype(np.int64)
+    l_qname = h["l_qname"].astype(np.int64)
+    cg_off = offs + 36 + l_qname
+    rec_end = offs + 4 + h["bs"].astype(np.int64)
+    bad = (l_qname < 1) | (cg_off + 4 * n_cigar > rec_end)
+    if bad.any():
+        j = int(np.argmax(bad))
+        raise ValueError(
+            f"corrupt BAM record fields at offset {int(offs[j])}: cigar "
+            "extent exceeds block_size"
+        )
     cg_vals, cg_cum = _ragged_take(u8, cg_off, 4 * n_cigar)
     cig_u32 = np.ascontiguousarray(cg_vals).view("<u4")
     bs, be, rec_of, _ = _blocks_raw(cig_u32, cg_cum // 4, pos0)

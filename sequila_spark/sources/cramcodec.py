@@ -179,7 +179,10 @@ def _rans_pack_table_np(pairs: list[tuple[int, int]]):
     packed = np.zeros(4096, dtype=np.uint64)  # freq is 13 bits: u64 word
     if total:
         starts = np.concatenate(([0], np.cumsum(f)[:-1]))
-        base = np.repeat((f << 24) | syms, f)
+        # bit 48 = slot-filled marker: the C kernel refuses unfilled slots
+        # (missing order-1 contexts, out-of-range padding) instead of
+        # decoding the zero word into silent garbage on corrupt input
+        base = np.repeat((f << 24) | syms | (1 << 48), f)
         bias = np.arange(total, dtype=np.int64) - np.repeat(starts, f)
         packed[:total] = (base | (bias << 12)).astype(np.uint64)
     return packed
@@ -444,8 +447,9 @@ def _nx16_pack_np(freq: list[int], tot: int):
     total = int(fs.sum())
     if total:
         cum = np.concatenate(([0], np.cumsum(fs)[:-1]))
+        # bit 48 = slot-filled marker (see _rans_pack_table_np)
         packed[:total] = np.repeat(
-            (fs << 24) | (cum << 8) | syms, fs
+            (fs << 24) | (cum << 8) | syms | (1 << 48), fs
         ).astype(np.uint64)
     return packed
 

@@ -114,7 +114,9 @@ def window_coverage(
     incrementally, with watermark-bounded state.  Per group:
 
       sum_bp          total covered base-events (exact long)
-      n_reads         contributing reads
+      n_blocks        contributing (aligned block x window) rows — a read
+                      with several M-blocks spanning several windows
+                      contributes one per (block, window), NOT one
       mean_cov_milli  1000 * sum_bp div window_bp (exact integer)
 
     ``time_window`` adds a tumbling EVENT-TIME dimension over the ``ts``

@@ -243,3 +243,32 @@ def test_ckern_and_python_scan_identical(tmp_path, monkeypatch):
     without_c = _vec(path, refs, batch_bytes=100_000)
     monkeypatch.setattr(_ckern, "_LIB", None)
     assert with_c == without_c == [("S",) + r for r in recs]
+
+
+def test_corrupt_inner_fields_raise_before_gather(tmp_path):
+    """Corrupt inner record fields (valid block_size, overstated l_seq /
+    zero l_qname) must raise before any gather — the C memcpy path would
+    otherwise read out of bounds where the scalar parser raises."""
+    import struct
+
+    refs = [("c1", 1000)]
+
+    def rec(l_qname, n_cigar, l_seq, body_len):
+        fixed = struct.pack(
+            "<iiiBBHHHiiii", 32 + body_len, 0, 10, l_qname, 30, 0,
+            n_cigar, 0, l_seq, -1, -1, 0,
+        )
+        return fixed + b"\x00" * body_len
+
+    for bad in (
+        rec(l_qname=0, n_cigar=0, l_seq=0, body_len=4),
+        rec(l_qname=2, n_cigar=0, l_seq=1000, body_len=4),  # l_seq > record
+    ):
+        path = str(tmp_path / "inner.bam")
+        with open(path, "wb") as f:
+            w = B.BgzfWriter(f)
+            B.write_bam_header(w, refs, "")
+            w.write(bad)
+            w.close()
+        with pytest.raises(ValueError, match="corrupt BAM record"):
+            list(BV.iter_span_batches(path, refs, "S", None))

@@ -95,7 +95,12 @@ def main() -> None:
 
     best_cov = float("inf")
     best_decl = float("inf")
-    fused_cov().write.format("noop").mode("overwrite").save()  # warm
+    # warm BOTH plan shapes before any timed run (the two legs compile
+    # different codegen and shuffle stages)
+    fused_cov().write.format("noop").mode("overwrite").save()
+    coverage(decode_cov(), mode="blocks").write.format("noop").mode(
+        "overwrite"
+    ).save()
     for _ in range(args.runs):
         t0 = time.perf_counter()
         fused_cov().write.format("noop").mode("overwrite").save()
