@@ -8,10 +8,14 @@ no compiler, a failed compile, a big-endian host, or
 ``SEQUILA_DISABLE_CKERN=1`` all mean ``scan_offsets``/``take_ragged``
 are None and callers use the Python paths.
 
-The shared object is cached under the system temp dir keyed by an md5 of
-the C source, so a source change recompiles and concurrent Spark worker
-processes converge on one file (atomic rename; losers of the race just
-overwrite with identical bytes).
+The shared object is cached under a per-user 0700 cache directory
+(``~/.cache/sequila_spark`` or ``$TMPDIR/sequila_ckern_<uid>``) keyed by
+an md5 of the C source, so a source change recompiles and concurrent
+Spark worker processes converge on one file (atomic rename; losers of
+the race just overwrite with identical bytes).  Before ``CDLL`` the
+cached file must be owned by us and not group/other-writable — a
+pre-planted .so at a predictable shared-tempdir name would otherwise be
+loaded into every worker (CWE-379/427).
 """
 
 from __future__ import annotations
@@ -30,6 +34,39 @@ _SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bamscan.c")
 _LIB = None  # CDLL | False
 
 
+def _cache_dir() -> str | None:
+    """Per-user 0700 cache directory for compiled kernels."""
+    candidates = []
+    home = os.path.expanduser("~")
+    if home and home != "~":
+        candidates.append(os.path.join(home, ".cache", "sequila_spark"))
+    candidates.append(
+        os.path.join(tempfile.gettempdir(), f"sequila_ckern_{os.getuid()}")
+    )
+    for d in candidates:
+        try:
+            os.makedirs(d, mode=0o700, exist_ok=True)
+            st = os.stat(d)
+            if st.st_uid != os.getuid() or (st.st_mode & 0o022):
+                os.chmod(d, 0o700)
+                st = os.stat(d)
+                if st.st_uid != os.getuid() or (st.st_mode & 0o022):
+                    continue
+            return d
+        except OSError:
+            continue
+    return None
+
+
+def _safe_to_load(path: str) -> bool:
+    """Refuse a cached .so not owned by us or writable by group/other."""
+    try:
+        st = os.stat(path)
+    except OSError:
+        return False
+    return st.st_uid == os.getuid() and not (st.st_mode & 0o022)
+
+
 def _build() -> object | None:
     if sys.byteorder != "little":
         return None
@@ -40,10 +77,11 @@ def _build() -> object | None:
             src = fh.read()
     except OSError:
         return None
+    cache = _cache_dir()
+    if cache is None:
+        return None
     key = hashlib.md5(src).hexdigest()[:16]
-    so = os.path.join(
-        tempfile.gettempdir(), f"sequila_bamscan_{key}.so"
-    )
+    so = os.path.join(cache, f"sequila_bamscan_{key}.so")
     if not os.path.exists(so):
         tmp = so + f".build{os.getpid()}"
         for cc in ("cc", "gcc", "clang"):
@@ -56,10 +94,13 @@ def _build() -> object | None:
             except (OSError, subprocess.TimeoutExpired):
                 continue
             if r.returncode == 0:
+                os.chmod(tmp, 0o500)
                 os.replace(tmp, so)  # atomic: racers write identical bytes
                 break
         else:
             return None
+    if not _safe_to_load(so):
+        return None
     try:
         lib = ctypes.CDLL(so)
     except OSError:

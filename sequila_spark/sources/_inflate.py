@@ -79,6 +79,13 @@ def gzip_decompress(block: bytes, out_size: int | None = None) -> bytes:
             # is near this (BGZF members are <= 64 KiB by construction);
             # let zlib stream-decode (and raise) instead.
             return zlib.decompress(block, wbits=31)
+    elif out_size > len(block) * 1032 + 4096:
+        # explicit out_size is ALSO untrusted (CRAM's itf8 rsize comes
+        # straight off disk): deflate's maximum expansion is 1032x, so a
+        # claimed size past that bound is impossible for a valid member —
+        # don't pre-allocate ~GiB for an 18-byte corrupt block, let zlib
+        # stream-decode (it allocates as it inflates) and raise.
+        return zlib.decompress(block, wbits=31)
     out = ctypes.create_string_buffer(out_size) if out_size else b""
     if out_size == 0:
         # empty payload (BGZF EOF marker): nothing to inflate, but still

@@ -350,7 +350,10 @@ def rans_decode(data: bytes) -> bytes:
                     sym = nxt
                 if sym == 0:
                     break
-        states = np.frombuffer(r.read(16), dtype="<u4")
+        sbytes = r.read(16)
+        if len(sbytes) != 16:
+            raise ValueError("corrupt rANS 4x8 block: truncated state vector")
+        states = np.frombuffer(sbytes, dtype="<u4")
         out, _ = CK.rans4x8(order, r.b, r.i, tables, states, rsize)
         return out
 
@@ -466,7 +469,10 @@ def _nx16_decode0(r: ByteReader, out_size: int, n_way: int) -> bytes:
     if CK.available() and out_size:
         import numpy as np
 
-        states_a = np.frombuffer(r.read(4 * n_way), dtype="<u4")
+        sbytes = r.read(4 * n_way)
+        if len(sbytes) != 4 * n_way:
+            raise ValueError("corrupt rANS Nx16 block: truncated state vector")
+        states_a = np.frombuffer(sbytes, dtype="<u4")
         out, new_i = CK.rans_nx16(
             0, r.b, r.i, _nx16_pack_np(freq, 4096), 12, states_a, n_way,
             out_size,
@@ -550,13 +556,20 @@ def _nx16_decode1(r: ByteReader, out_size: int, n_way: int) -> bytes:
 
     from sequila_spark.sources import _ckern as CK
 
-    if CK.available() and out_size:
+    # C path only for shift <= 12: the packed u64 word gives freq a 13-bit
+    # field ((v>>24)&0x1FFF in bamscan.c), so a context with freq >= 8192
+    # (possible at shift 13-15 with a dominant symbol) would mis-extract.
+    # Spec-valid high-shift streams take the pinned Python path instead.
+    if CK.available() and out_size and shift <= 12:
         import numpy as np
 
         tables = np.zeros((256, tot), dtype=np.uint64)
         for ctx, row in F.items():
             tables[ctx] = _nx16_pack_np(row, tot)
-        states_a = np.frombuffer(r.read(4 * n_way), dtype="<u4")
+        sbytes = r.read(4 * n_way)
+        if len(sbytes) != 4 * n_way:
+            raise ValueError("corrupt rANS Nx16 block: truncated state vector")
+        states_a = np.frombuffer(sbytes, dtype="<u4")
         out_b, new_i = CK.rans_nx16(
             1, r.b, r.i, tables, shift, states_a, n_way, out_size
         )

@@ -715,6 +715,26 @@ def test_rans_nx16_order1_roundtrip():
     assert rans_nx16_decode(enc, len(seqish)) == seqish
 
 
+def test_rans_nx16_order1_high_shift():
+    """Shift 13-15: a single-successor context normalizes to freq == tot
+    >= 8192, which overflows the C kernel's 13-bit packed freq field —
+    the decoder must route these spec-valid streams to the pinned Python
+    path (shift<=12 guard in _nx16_decode1) and stay exact."""
+    from sequila_spark.sources.cramcodec import rans_nx16_decode
+
+    rng = random.Random(13)
+    # strict alternation: context 'A' is always followed by 'B' -> that
+    # row's only frequency IS tot (8192/16384/32768)
+    alternating = b"AB" * 2048
+    seqish = bytes(rng.choice(b"ACGTN") for _ in range(3000))
+    for shift in (13, 14, 15):
+        for payload in (alternating, seqish):
+            enc = _nx16_encode1(payload, 4, shift=shift)
+            assert rans_nx16_decode(enc, len(payload)) == payload, (
+                f"shift={shift} len={len(payload)}"
+            )
+
+
 def test_rans_nx16_pack_transform():
     from sequila_spark.sources.cramcodec import rans_nx16_decode
 
