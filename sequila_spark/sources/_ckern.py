@@ -34,6 +34,33 @@ _SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bamscan.c")
 _LIB = None  # CDLL | False
 
 
+class CramSeries(ctypes.Structure):
+    """Mirror of bamscan.c's CramSeries: bulk-decoded data-series arrays
+    for the per-slice CRAM feature-walk kernel."""
+
+    _fields_ = [
+        ("ref", ctypes.c_void_p), ("ref_len", ctypes.c_int64),
+        ("subtab", ctypes.c_void_p),
+        ("fn", ctypes.c_void_p), ("fp", ctypes.c_void_p),
+        ("dl", ctypes.c_void_p), ("rs", ctypes.c_void_p),
+        ("pd", ctypes.c_void_p), ("hc", ctypes.c_void_p),
+        ("fn_n", ctypes.c_int64), ("fp_n", ctypes.c_int64),
+        ("dl_n", ctypes.c_int64), ("rs_n", ctypes.c_int64),
+        ("pd_n", ctypes.c_int64), ("hc_n", ctypes.c_int64),
+        ("fc", ctypes.c_void_p), ("bs", ctypes.c_void_p),
+        ("ba", ctypes.c_void_p),
+        ("fc_n", ctypes.c_int64), ("bs_n", ctypes.c_int64),
+        ("ba_n", ctypes.c_int64),
+        ("sc_b", ctypes.c_void_p), ("sc_o", ctypes.c_void_p),
+        ("sc_n", ctypes.c_int64),
+        ("in_b", ctypes.c_void_p), ("in_o", ctypes.c_void_p),
+        ("in_n", ctypes.c_int64),
+        ("bb_b", ctypes.c_void_p), ("bb_o", ctypes.c_void_p),
+        ("bb_n", ctypes.c_int64),
+        ("qs_total", ctypes.c_int64),
+    ]
+
+
 def _cache_dir() -> str | None:
     """Per-user 0700 cache directory for compiled kernels."""
     candidates = []
@@ -125,6 +152,11 @@ def _build() -> object | None:
             p_u8, i64, i64, p_u64, ctypes.c_int, p_u32, ctypes.c_int,
             p_u8, i64,
         ]
+    lib.cram_walk.restype = i64
+    lib.cram_walk.argtypes = [
+        ctypes.POINTER(CramSeries), i64, p_i64, p_i64, p_u8, p_i64,
+        p_i64, p_u8, p_u8, i64, p_i64, p_i64, p_i64, p_i64, p_i64,
+    ]
     return lib
 
 
@@ -260,6 +292,115 @@ def itf8_scan_all(data: bytes) -> np.ndarray | None:
     if n < 0:
         raise ValueError("truncated ITF8 stream")
     return out[: int(n)]
+
+
+class CramWalkAbort(Exception):
+    """The C walk declined this slice (unsupported feature code, series
+    underrun, or a boundary case whose semantics live in the Python walk).
+    Callers re-run the slice through the pinned Python path."""
+
+    def __init__(self, code: int, info: int):
+        super().__init__(f"cram_walk abort code={code} info={info}")
+        self.code = code
+        self.info = info
+
+
+def has_cram_walk() -> bool:
+    return _lib() is not None
+
+
+def _vp(a: np.ndarray | None):
+    return a.ctypes.data if a is not None and a.size else None
+
+
+def cram_walk(
+    ref: np.ndarray,
+    subtab: np.ndarray,
+    ints: dict,
+    byts: dict,
+    arrs: dict,
+    qs_total: int,
+    rl: np.ndarray,
+    ap: np.ndarray,
+    mapped: np.ndarray,
+    cf: np.ndarray,
+):
+    """Per-slice CRAM feature-walk: reconstruct every record's sequence,
+    CIGAR text, reference span, NM count and QS offset in one C call.
+
+    ``ints``: name -> int64 array for FN/FP/DL/RS/PD/HC (missing ok);
+    ``byts``: name -> uint8 array for FC/BS/BA; ``arrs``: name ->
+    (concat uint8, int64 offsets) for SC/IN/BB.  Raises CramWalkAbort
+    when the slice needs the Python walk."""
+    lib = _lib()
+    if lib is None:
+        raise CramWalkAbort(-99, 0)
+    n = len(rl)
+    seq_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(rl, out=seq_off[1:])
+    total_seq = int(seq_off[-1])
+    fn = ints.get("FN")
+    total_fn = int(np.clip(fn, 0, None).sum()) if fn is not None else 0
+    if total_seq < 0 or total_seq > 1 << 31 or total_fn > 50_000_000:
+        raise CramWalkAbort(-98, 0)  # implausible sizes: corrupt input
+    seq_out = np.empty(max(total_seq, 1), dtype=np.uint8)
+    cig_cap = 12 * (2 * total_fn + 2 * n + 2) + 16
+    cig_out = np.empty(cig_cap, dtype=np.uint8)
+    cig_off = np.empty(n + 1, dtype=np.int64)
+    reflen = np.empty(n, dtype=np.int64)
+    nm = np.empty(n, dtype=np.int64)
+    qual_off = np.empty(n + 1, dtype=np.int64)
+    err = ctypes.c_int64(0)
+
+    S = CramSeries()
+    S.ref = _vp(ref)
+    S.ref_len = int(ref.size)
+    S.subtab = subtab.ctypes.data
+    keep = [seq_off]  # hold temporaries alive across the C call
+    for name, fld in (("FN", "fn"), ("FP", "fp"), ("DL", "dl"),
+                      ("RS", "rs"), ("PD", "pd"), ("HC", "hc")):
+        a = ints.get(name)
+        if a is not None:
+            a = np.ascontiguousarray(a, dtype=np.int64)
+            keep.append(a)
+        setattr(S, fld, _vp(a))
+        setattr(S, fld + "_n", int(a.size) if a is not None else 0)
+    for name, fld in (("FC", "fc"), ("BS", "bs"), ("BA", "ba")):
+        a = byts.get(name)
+        if a is not None:
+            a = np.ascontiguousarray(a, dtype=np.uint8)
+            keep.append(a)
+        setattr(S, fld, _vp(a))
+        setattr(S, fld + "_n", int(a.size) if a is not None else 0)
+    for name, fld in (("SC", "sc"), ("IN", "in"), ("BB", "bb")):
+        pair = arrs.get(name)
+        if pair is not None:
+            b = np.ascontiguousarray(pair[0], dtype=np.uint8)
+            o = np.ascontiguousarray(pair[1], dtype=np.int64)
+            keep.extend((b, o))
+            setattr(S, fld + "_b", _vp(b))
+            setattr(S, fld + "_o", o.ctypes.data)
+            setattr(S, fld + "_n", int(o.size) - 1)
+        else:
+            setattr(S, fld + "_b", None)
+            setattr(S, fld + "_o", None)
+            setattr(S, fld + "_n", 0)
+    S.qs_total = int(qs_total)
+
+    rl_a = np.ascontiguousarray(rl, dtype=np.int64)
+    ap_a = np.ascontiguousarray(ap, dtype=np.int64)
+    mp_a = np.ascontiguousarray(mapped, dtype=np.uint8)
+    cf_a = np.ascontiguousarray(cf, dtype=np.int64)
+    rc = lib.cram_walk(
+        ctypes.byref(S), n,
+        _p_i64(rl_a), _p_i64(ap_a), _p_u8(mp_a), _p_i64(cf_a),
+        _p_i64(seq_off), _p_u8(seq_out), _p_u8(cig_out), cig_cap,
+        _p_i64(cig_off), _p_i64(reflen), _p_i64(nm), _p_i64(qual_off),
+        ctypes.byref(err),
+    )
+    if rc != 0:
+        raise CramWalkAbort(int(rc), int(err.value))
+    return seq_out, seq_off, cig_out, cig_off, reflen, nm, qual_off
 
 
 def take_ragged(

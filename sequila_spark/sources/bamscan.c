@@ -249,3 +249,337 @@ int64_t rans_nx16_decode1(const uint8_t *in, int64_t in_len, int64_t i,
     }
     return i;
 }
+
+/* ---- CRAM feature-walk reconstruction (spec section 10.5) ----
+ *
+ * One call per slice: replays the per-record feature walk for every
+ * record against bulk pre-decoded data-series arrays (Python splits the
+ * external streams; cramcodec._reconstruct remains the pinned semantic
+ * reference).  Writes all sequences into one contiguous buffer
+ * (seq_off = exclusive prefix sum of read lengths), renders CIGAR text
+ * directly, and tracks QS-stream consumption so the caller can slice
+ * quality strings afterwards.
+ *
+ * Unsupported feature codes or any boundary condition the Python walk
+ * handles with bytearray-resize semantics (reference/sequence overrun)
+ * abort the whole slice with a negative code: the caller re-runs the
+ * slice through the Python walk, so the C path never has to replicate
+ * edge-case semantics — it only has to detect them.
+ *
+ * Return: 0 ok; -1 unsupported feature code (*err_info = code);
+ * -2 a series ran dry (*err_info = series tag); -3 reference/sequence
+ * bounds overrun; -4 cigar buffer overflow. */
+
+typedef struct {
+    const uint8_t *ref; int64_t ref_len;
+    const uint8_t *subtab;            /* 256*4: (refbase, code) -> base */
+    const int64_t *fn, *fp, *dl, *rs, *pd, *hc;
+    int64_t fn_n, fp_n, dl_n, rs_n, pd_n, hc_n;
+    const uint8_t *fc, *bs, *ba;
+    int64_t fc_n, bs_n, ba_n;
+    const uint8_t *sc_b; const int64_t *sc_o; int64_t sc_n;
+    const uint8_t *in_b; const int64_t *in_o; int64_t in_n;
+    const uint8_t *bb_b; const int64_t *bb_o; int64_t bb_n;
+    int64_t qs_total;
+} CramSeries;
+
+/* append "<count><op>" to the cigar text buffer */
+static inline int cig_emit(uint8_t *out, int64_t cap, int64_t *pos,
+                           int64_t count, char op) {
+    char tmp[24];
+    int k = 0;
+    if (count <= 0) return 0; /* caller guards; belt and braces */
+    while (count > 0) { tmp[k++] = (char)('0' + count % 10); count /= 10; }
+    if (*pos + k + 1 > cap) return -1;
+    while (k > 0) out[(*pos)++] = (uint8_t)tmp[--k];
+    out[(*pos)++] = (uint8_t)op;
+    return 0;
+}
+
+#define CW_NEED(idx, n_have, tag) \
+    do { if ((idx) >= (n_have)) { *err_info = (tag); return -2; } } while (0)
+
+int64_t cram_walk(const CramSeries *S, int64_t n_rec, const int64_t *rl,
+                  const int64_t *ap, const uint8_t *mapped,
+                  const int64_t *cf, const int64_t *seq_off,
+                  uint8_t *seq_out, uint8_t *cig_out, int64_t cig_cap,
+                  int64_t *cig_off, int64_t *reflen_out, int64_t *nm_out,
+                  int64_t *qual_off, int64_t *err_info) {
+    int64_t ifn = 0, ifp = 0, idl = 0, irs = 0, ipd = 0, ihc = 0;
+    int64_t ifc = 0, ibs = 0, iba = 0, isc = 0, iin = 0, ibb = 0;
+    int64_t qs_pos = 0, cpos = 0;
+    const uint8_t *ref = S->ref;
+    const int64_t ref_len = S->ref_len;
+    cig_off[0] = 0;
+    for (int64_t r = 0; r < n_rec; r++) {
+        const int64_t L = rl[r];
+        uint8_t *seq = seq_out + seq_off[r];
+        int64_t reflen = 0, nm = 0;
+        if (!mapped[r]) {
+            /* unmapped: sequence comes verbatim from the BA series */
+            CW_NEED(iba + L - 1, S->ba_n, 'A');
+            memcpy(seq, S->ba + iba, (size_t)L);
+            iba += L;
+            if (cpos + 1 > cig_cap) return -4;
+            cig_out[cpos++] = '*';
+        } else {
+            int64_t fn;
+            CW_NEED(ifn, S->fn_n, 'F');
+            fn = S->fn[ifn++];
+            if (fn == 0 && !(cf[r] & 8) && ap[r] > 0 && L > 0 &&
+                ap[r] - 1 + L <= ref_len) {
+                /* featureless full-match read */
+                memcpy(seq, ref + ap[r] - 1, (size_t)L);
+                if (cig_emit(cig_out, cig_cap, &cpos, L, 'M')) return -4;
+                reflen = L;
+            } else {
+                int64_t fpos = 0, rpos = 0, ref_off = ap[r] - 1;
+                char last = 0;
+                if (ref_off < 0) return -3; /* Python's negative-slice
+                    wraparound semantics live in the fallback */
+                int64_t last_n = 0;   /* pending (count, op) not yet written */
+                for (int64_t f = 0; f < fn; f++) {
+                    uint8_t code;
+                    int64_t gap;
+                    CW_NEED(ifc, S->fc_n, 'C');
+                    code = S->fc[ifc++];
+                    CW_NEED(ifp, S->fp_n, 'P');
+                    fpos += S->fp[ifp++];
+                    gap = (fpos - 1) - rpos;
+                    if (gap > 0) {
+                        if (ref_off + gap > ref_len || rpos + gap > L)
+                            return -3;
+                        memcpy(seq + rpos, ref + ref_off, (size_t)gap);
+                        if (last == 'M') last_n += gap;
+                        else {
+                            if (last && cig_emit(cig_out, cig_cap, &cpos,
+                                                 last_n, last)) return -4;
+                            last = 'M'; last_n = gap;
+                        }
+                        reflen += gap;
+                        rpos += gap;
+                        ref_off += gap;
+                    }
+                    switch (code) {
+                    case 'X': {
+                        uint8_t val, refb, sub;
+                        CW_NEED(ibs, S->bs_n, 'B');
+                        val = S->bs[ibs++];
+                        refb = ref_off < ref_len ? ref[ref_off] : (uint8_t)'N';
+                        sub = val < 4 ? S->subtab[(int64_t)refb * 4 + val]
+                                      : (uint8_t)'N';
+                        if (rpos >= L) return -3;
+                        seq[rpos] = sub;
+                        if (last == 'M') last_n += 1;
+                        else {
+                            if (last && cig_emit(cig_out, cig_cap, &cpos,
+                                                 last_n, last)) return -4;
+                            last = 'M'; last_n = 1;
+                        }
+                        nm++; reflen++; rpos++; ref_off++;
+                        break;
+                    }
+                    case 'B': {   /* one explicit base + quality (M-type) */
+                        uint8_t val;
+                        CW_NEED(iba, S->ba_n, 'A');
+                        val = S->ba[iba++];
+                        if (qs_pos + 1 > S->qs_total) { *err_info = 'Q'; return -2; }
+                        qs_pos++;
+                        if (ref_off < ref_len) nm += (val != ref[ref_off]);
+                        else nm += 1;
+                        if (rpos >= L) return -3;
+                        seq[rpos] = val;
+                        if (last == 'M') last_n += 1;
+                        else {
+                            if (last && cig_emit(cig_out, cig_cap, &cpos,
+                                                 last_n, last)) return -4;
+                            last = 'M'; last_n = 1;
+                        }
+                        reflen++; rpos++; ref_off++;
+                        break;
+                    }
+                    case 'b': {   /* literal M-type base run */
+                        int64_t n, ov, k;
+                        const uint8_t *v;
+                        CW_NEED(ibb, S->bb_n, 'b');
+                        n = S->bb_o[ibb + 1] - S->bb_o[ibb];
+                        v = S->bb_b + S->bb_o[ibb];
+                        ibb++;
+                        if (n > 0) {
+                            ov = ref_len - ref_off;
+                            if (ov < 0) ov = 0;
+                            if (ov > n) ov = n;
+                            for (k = 0; k < ov; k++)
+                                nm += (v[k] != ref[ref_off + k]);
+                            nm += n - ov;
+                            if (rpos + n > L) return -3;
+                            memcpy(seq + rpos, v, (size_t)n);
+                            if (last == 'M') last_n += n;
+                            else {
+                                if (last && cig_emit(cig_out, cig_cap, &cpos,
+                                                     last_n, last)) return -4;
+                                last = 'M'; last_n = n;
+                            }
+                            reflen += n; rpos += n; ref_off += n;
+                        }
+                        break;
+                    }
+                    case 'I': {   /* insertion bytes */
+                        int64_t n;
+                        CW_NEED(iin, S->in_n, 'I');
+                        n = S->in_o[iin + 1] - S->in_o[iin];
+                        if (n > 0) {
+                            if (rpos + n > L) return -3;
+                            memcpy(seq + rpos, S->in_b + S->in_o[iin],
+                                   (size_t)n);
+                            if (last == 'I') last_n += n;
+                            else {
+                                if (last && cig_emit(cig_out, cig_cap, &cpos,
+                                                     last_n, last)) return -4;
+                                last = 'I'; last_n = n;
+                            }
+                            nm += n; rpos += n;
+                        }
+                        iin++;
+                        break;
+                    }
+                    case 'S': {   /* soft clip */
+                        int64_t n;
+                        CW_NEED(isc, S->sc_n, 'S');
+                        n = S->sc_o[isc + 1] - S->sc_o[isc];
+                        if (n > 0) {
+                            if (rpos + n > L) return -3;
+                            memcpy(seq + rpos, S->sc_b + S->sc_o[isc],
+                                   (size_t)n);
+                            if (last == 'S') last_n += n;
+                            else {
+                                if (last && cig_emit(cig_out, cig_cap, &cpos,
+                                                     last_n, last)) return -4;
+                                last = 'S'; last_n = n;
+                            }
+                            rpos += n;
+                        }
+                        isc++;
+                        break;
+                    }
+                    case 'i': {   /* single inserted base */
+                        CW_NEED(iba, S->ba_n, 'A');
+                        if (rpos >= L) return -3;
+                        seq[rpos] = S->ba[iba++];
+                        if (last == 'I') last_n += 1;
+                        else {
+                            if (last && cig_emit(cig_out, cig_cap, &cpos,
+                                                 last_n, last)) return -4;
+                            last = 'I'; last_n = 1;
+                        }
+                        nm++; rpos++;
+                        break;
+                    }
+                    case 'D': {
+                        int64_t v;
+                        CW_NEED(idl, S->dl_n, 'D');
+                        v = S->dl[idl++];
+                        if (v > 0) {
+                            if (last == 'D') last_n += v;
+                            else {
+                                if (last && cig_emit(cig_out, cig_cap, &cpos,
+                                                     last_n, last)) return -4;
+                                last = 'D'; last_n = v;
+                            }
+                            reflen += v;
+                        }
+                        nm += v; ref_off += v;
+                        break;
+                    }
+                    case 'N': {
+                        int64_t v;
+                        CW_NEED(irs, S->rs_n, 'N');
+                        v = S->rs[irs++];
+                        if (v > 0) {
+                            if (last == 'N') last_n += v;
+                            else {
+                                if (last && cig_emit(cig_out, cig_cap, &cpos,
+                                                     last_n, last)) return -4;
+                                last = 'N'; last_n = v;
+                            }
+                            reflen += v;
+                        }
+                        ref_off += v;
+                        break;
+                    }
+                    case 'P': {
+                        int64_t v;
+                        CW_NEED(ipd, S->pd_n, 'p');
+                        v = S->pd[ipd++];
+                        if (v > 0) {
+                            if (last == 'P') last_n += v;
+                            else {
+                                if (last && cig_emit(cig_out, cig_cap, &cpos,
+                                                     last_n, last)) return -4;
+                                last = 'P'; last_n = v;
+                            }
+                        }
+                        break;
+                    }
+                    case 'H': {
+                        int64_t v;
+                        CW_NEED(ihc, S->hc_n, 'h');
+                        v = S->hc[ihc++];
+                        if (v > 0) {
+                            if (last == 'H') last_n += v;
+                            else {
+                                if (last && cig_emit(cig_out, cig_cap, &cpos,
+                                                     last_n, last)) return -4;
+                                last = 'H'; last_n = v;
+                            }
+                        }
+                        break;
+                    }
+                    case 'Q':   /* per-base quality: consumes one QS byte */
+                        if (qs_pos + 1 > S->qs_total) { *err_info = 'Q'; return -2; }
+                        qs_pos++;
+                        break;
+                    default:
+                        *err_info = code;
+                        return -1;
+                    }
+                }
+                {
+                    int64_t tail = L - rpos;
+                    if (tail > 0) {
+                        if (ref_off + tail > ref_len) return -3;
+                        memcpy(seq + rpos, ref + ref_off, (size_t)tail);
+                        if (last == 'M') last_n += tail;
+                        else {
+                            if (last && cig_emit(cig_out, cig_cap, &cpos,
+                                                 last_n, last)) return -4;
+                            last = 'M'; last_n = tail;
+                        }
+                        reflen += tail;
+                        ref_off += tail;
+                    }
+                    if (last) {
+                        if (cig_emit(cig_out, cig_cap, &cpos, last_n, last))
+                            return -4;
+                    } else {
+                        if (cpos + 1 > cig_cap) return -4;
+                        cig_out[cpos++] = '*';
+                    }
+                }
+                if (cf[r] & 8) memset(seq, 'N', (size_t)L);
+            }
+        }
+        cig_off[r + 1] = cpos;
+        reflen_out[r] = reflen;
+        nm_out[r] = nm;
+        if (cf[r] & 1) {
+            if (qs_pos + L > S->qs_total) { *err_info = 'Q'; return -2; }
+            qual_off[r] = qs_pos;
+            qs_pos += L;
+        } else {
+            qual_off[r] = -1;
+        }
+    }
+    qual_off[n_rec] = qs_pos;
+    return 0;
+}

@@ -1870,53 +1870,284 @@ def _enc_content_ids(e: "Encoding") -> list[int]:
     return []
 
 
-def _bulk_feature_series(ch, ds, ext, rdr) -> None:
-    """Bulk pre-decode of the hot per-FEATURE series (FC: byte, FP: itf8,
-    BS: byte): when a series is EXTERNAL with a content stream no other
-    encoding shares, its whole slice block IS the series' value sequence,
-    so it decodes in one pass (C itf8 kernel for FP) and the per-feature
-    reads become C-level list-iterator next() calls — the feature walk in
-    _reconstruct was dominated by these three reader invocations
-    (~3 x sum(FN) calls per slice).  Non-external / shared-stream /
-    kernel-less layouts keep the per-value readers (identical output;
-    parity pinned by the byte-exact CRAM-vs-BAM test)."""
+#: data series consumed ONLY by the feature walk / seq-qual extraction —
+#: the set whose streams may be bulk-decoded and (when their content
+#: streams are disjoint from every other series') deferred past the
+#: record-field loop for the C walk kernel.
+_WALK_SERIES = (
+    "FN", "FC", "FP", "BS", "BA", "DL", "RS", "PD", "HC",
+    "IN", "SC", "BB", "QQ", "QS",
+)
+
+
+def _reads_core(e: "Encoding") -> bool:
+    """Whether decoding this series consumes core bit-stream bits (which
+    would make its read order relative to other core readers observable)."""
+    c = e.codec
+    if c in (0, 1, 5):
+        return False
+    if c == 3:
+        return not e._const()
+    if c == 4:
+        return _reads_core(e.len_enc) or _reads_core(e.val_enc)
+    return True
+
+
+def _bulk_feature_series(ch, ds, ext, rdr) -> dict:
+    """Bulk pre-decode of the per-FEATURE series: when a series is
+    EXTERNAL (or BYTE_ARRAY_STOP) with a content stream no other encoding
+    shares, its whole slice block IS the series' value sequence, so it
+    decodes in one pass (C itf8 kernel for int series, a single split()
+    for stop-delimited byte arrays) and the per-feature reads become
+    C-level list-iterator next() calls — the feature walk in _reconstruct
+    was dominated by these reader invocations.  Non-external /
+    shared-stream / kernel-less layouts keep the per-value readers
+    (identical output; parity pinned by the byte-exact CRAM-vs-BAM test).
+
+    Returns the bulk arrays for the C walk kernel:
+    ``{"ints": {name: int64 array}, "bytes": {name: uint8 array},
+    "arrs": {name: (concat uint8, int64 offsets)}, "id_use": {...}}``.
+    QS is never iterator-replaced (its stream position interleaves with
+    the per-record quality reads), only counted via ``id_use``."""
     from sequila_spark.sources import _ckern as CK
 
+    out: dict = {"ints": {}, "bytes": {}, "arrs": {}, "id_use": {}}
     if not CK.available():
-        return
+        return out
+    import numpy as np
+
     id_use: dict[int, int] = {}
     for e in list(ds.values()) + list(ch.tag_enc.values()):
         for cid in _enc_content_ids(e):
             id_use[cid] = id_use.get(cid, 0) + 1
+    out["id_use"] = id_use
 
-    def exclusive_external(name: str):
+    def exclusive(name: str, codec: int):
         e = ds.get(name)
         if (
             e is not None
-            and e.codec == 1
+            and e.codec == codec
             and id_use.get(e.content_id) == 1
             and e.content_id in ext
         ):
-            return ext[e.content_id]
-        return None
+            return e, ext[e.content_id]
+        return None, None
 
-    for name, kind in (("FC", "u8"), ("BS", "u8"), ("FP", "itf8")):
-        st = exclusive_external(name)
+    for name in ("FC", "BS", "BA"):
+        _e, st = exclusive(name, 1)
         if st is None:
             continue
         raw = bytes(st.b[st.i :])
-        if kind == "u8":
-            vals = list(raw)
-        else:
-            try:
-                arr = CK.itf8_scan_all(raw)
-            except ValueError:
-                continue  # truncated stream: keep the per-value reader
-            if arr is None:
-                continue
-            vals = arr.tolist()
-        st.i = len(st.b)  # stream fully consumed by the bulk decode
+        st.i = len(st.b)
+        out["bytes"][name] = np.frombuffer(raw, dtype=np.uint8)
+        rdr[name] = iter(raw).__next__
+
+    for name in ("FN", "FP", "DL", "RS", "PD", "HC"):
+        _e, st = exclusive(name, 1)
+        if st is None:
+            continue
+        raw = bytes(st.b[st.i :])
+        try:
+            arr = CK.itf8_scan_all(raw)
+        except ValueError:
+            continue  # truncated stream: keep the per-value reader
+        if arr is None:
+            continue
+        st.i = len(st.b)
+        out["ints"][name] = arr
+        rdr[name] = iter(arr.tolist()).__next__
+
+    for name in ("SC", "IN", "BB"):
+        e, st = exclusive(name, 5)
+        if st is None:
+            continue
+        raw = st.b[st.i :]
+        parts = raw.split(bytes([e.stop]))
+        vals = parts[:-1]  # trailing piece = unread tail past the last stop
+        st.i = len(st.b)
+        lens = np.fromiter((len(v) for v in vals), dtype=np.int64,
+                           count=len(vals))
+        offs = np.zeros(len(vals) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        out["arrs"][name] = (
+            np.frombuffer(b"".join(vals), dtype=np.uint8), offs
+        )
         rdr[name] = iter(vals).__next__
+    return out
+
+
+def _can_defer_walk(ch, ds, bulk, s_ref, qs_ext) -> bool:
+    """Whether the feature walk may run AFTER the record-field loop as one
+    C call (bamscan.c cram_walk).  Deferral preserves observable behavior
+    iff (a) no walk series reads core bits (their order vs the record
+    fields' core reads would change), (b) no walk series shares an
+    external content stream with a record-field or tag series, and (c)
+    the slice maps to one known reference (per-record RI handled by the
+    Python path).  QS additionally must be the sole reader of its stream
+    so quality extraction can move after the loop."""
+    from sequila_spark.sources import _ckern as CK
+
+    if not CK.has_cram_walk() or s_ref < 0 or "FN" not in bulk["ints"]:
+        return False
+    id_use = bulk["id_use"]
+    walk_ids: set[int] = set()
+    for n in _WALK_SERIES:
+        e = ds.get(n)
+        if e is None:
+            continue
+        if _reads_core(e):
+            return False
+        walk_ids.update(_enc_content_ids(e))
+    nonwalk_ids: set[int] = set()
+    for n, e in ds.items():
+        if n not in _WALK_SERIES:
+            nonwalk_ids.update(_enc_content_ids(e))
+    for e in ch.tag_enc.values():
+        nonwalk_ids.update(_enc_content_ids(e))
+    if walk_ids & nonwalk_ids:
+        return False
+    qe = ds.get("QS")
+    if qe is not None and qs_ext is not None and id_use.get(qe.content_id) != 1:
+        return False
+    return True
+
+
+#: str reference -> uint8 view cache (id-keyed; the tuple keeps the str
+#: alive so the id cannot be reused).  Bounded by the number of distinct
+#: contig strings a worker decodes — the genome itself dominates it.
+_REF_B: dict[int, tuple] = {}
+
+
+def _ref_bytes(s: str):
+    import numpy as np
+
+    e = _REF_B.get(id(s))
+    if e is not None and e[0] is s:
+        return e[1]
+    try:
+        arr = np.frombuffer(s.encode("ascii"), dtype=np.uint8)
+    except UnicodeEncodeError:
+        return None  # non-ASCII reference: Python-walk semantics only
+    _REF_B[id(s)] = (s, arr)
+    return arr
+
+
+def _subtab_c(ch):
+    """256x4 uint8 (ref byte, substitution code) -> base table for the C
+    walk, replicating _reconstruct's lookup exactly: rows from
+    ch.sub_table_b (which may be SHORTER than 4 when the matrix repeats a
+    code — join compaction), 'ACGT' for bytes without a row, 'N' past the
+    row end."""
+    t = getattr(ch, "_subtab_c", None)
+    if t is not None:
+        return t
+    import numpy as np
+
+    t = np.empty((256, 4), dtype=np.uint8)
+    default = b"ACGT"
+    for refb in range(256):
+        row = ch.sub_table_b.get(chr(refb), default)
+        for c in range(4):
+            t[refb, c] = row[c] if c < len(row) else 78  # 'N'
+    ch._subtab_c = t
+    return t
+
+
+def _finish_deferred_walk(
+    ch, rdr, recs, bulk, qs_ext, ref_names, s_ref, ref_seqs, synthesize_nm
+) -> None:
+    """Run the deferred feature walk for one slice: one cram_walk C call;
+    any abort (unsupported code, bounds case, series underrun) replays
+    the slice through the pinned Python walk over the SAME bulk arrays —
+    their iterators are untouched because the C call consumes nothing
+    Python-visible."""
+    from sequila_spark.sources import _ckern as CK
+    from sequila_spark.sources.bamcodec import _QUAL33
+
+    import numpy as np
+
+    def replay() -> None:
+        qs_r = rdr["QS"]
+        ba_r = rdr["BA"]
+        for rec in recs:
+            rl = rec["rl"]
+            cf = rec["cf"]
+            if not rec["unmapped"]:
+                seq, cigar, ref_len, nm = _reconstruct(
+                    ch, rdr, rl, rec["ap"], rec["contig"], ref_seqs, cf
+                )
+                rec["seq"] = seq
+                rec["cigar"] = cigar
+                rec["end"] = (rec["ap"] + ref_len - 1) if ref_len > 0 else 0
+                if synthesize_nm:
+                    rec["tags"].setdefault("NM", str(nm))
+            else:
+                rec["seq"] = bytes(ba_r() for _ in range(rl)).decode(
+                    "ascii", "replace"
+                )
+            if cf & 1:
+                qraw = (
+                    qs_ext.read(rl)
+                    if qs_ext is not None
+                    else bytes(qs_r() for _ in range(rl))
+                )
+                if qraw != b"\xff" * rl:
+                    rec["qual"] = qraw.translate(_QUAL33).decode("latin-1")
+
+    contig = ref_names[s_ref] if 0 <= s_ref < len(ref_names) else None
+    have_ref = ref_seqs is not None and contig in ref_seqs
+    if (not have_ref) and ch.rr and any(not r["unmapped"] for r in recs):
+        replay()  # raises _reconstruct's reference-required ValueError
+        return
+    refseq = ref_seqs[contig] if have_ref else ""
+    ref_b = _ref_bytes(refseq)
+    if ref_b is None:
+        replay()
+        return
+    n = len(recs)
+    rl_a = np.fromiter((r["rl"] for r in recs), dtype=np.int64, count=n)
+    ap_a = np.fromiter((r["ap"] for r in recs), dtype=np.int64, count=n)
+    mp_a = np.fromiter(
+        (0 if r["unmapped"] else 1 for r in recs), dtype=np.uint8, count=n
+    )
+    cf_a = np.fromiter((r["cf"] for r in recs), dtype=np.int64, count=n)
+    qs_total = (len(qs_ext.b) - qs_ext.i) if qs_ext is not None else 0
+    try:
+        seq_out, seq_off, cig_out, cig_off, reflen, nm_a, qual_off = (
+            CK.cram_walk(
+                ref_b, _subtab_c(ch), bulk["ints"], bulk["bytes"],
+                bulk["arrs"], qs_total, rl_a, ap_a, mp_a, cf_a,
+            )
+        )
+    except CK.CramWalkAbort:
+        replay()
+        return
+    total = int(seq_off[-1])
+    if total and int(seq_out[:total].max()) > 127:
+        replay()  # >0x7F byte: strict-vs-replace decode semantics differ
+        return
+    big = seq_out[:total].tobytes().decode("ascii")
+    cig_s = cig_out[: int(cig_off[-1])].tobytes().decode("ascii")
+    qs_b = qs_ext.b if qs_ext is not None else b""
+    qbase = qs_ext.i if qs_ext is not None else 0
+    so = seq_off.tolist()
+    co = cig_off.tolist()
+    qo = qual_off.tolist()
+    rf = reflen.tolist()
+    nmv = nm_a.tolist()
+    for i, rec in enumerate(recs):
+        rec["seq"] = big[so[i] : so[i + 1]]
+        rec["cigar"] = cig_s[co[i] : co[i + 1]]
+        if not rec["unmapped"]:
+            rec["end"] = (rec["ap"] + rf[i] - 1) if rf[i] > 0 else 0
+            if synthesize_nm:
+                rec["tags"].setdefault("NM", str(nmv[i]))
+        q = qo[i]
+        if q >= 0:
+            rl = rec["rl"]
+            qraw = qs_b[qbase + q : qbase + q + rl]
+            if qraw != b"\xff" * rl:
+                rec["qual"] = qraw.translate(_QUAL33).decode("latin-1")
 
 
 def _decode_slice_records(
@@ -1965,7 +2196,12 @@ def _decode_slice_records(
         "RS": ir("RS"), "PD": ir("PD"), "HC": ir("HC"), "BB": sr("BB"),
         "QQ": sr("QQ"), "QS": qs_r,
     }
-    _bulk_feature_series(ch, ds, ext, rdr)
+    bulk = _bulk_feature_series(ch, ds, ext, rdr)
+    # defer the feature walk past the record-field loop and run it as ONE
+    # C call per slice (cram_walk in bamscan.c) when every walk series'
+    # content stream is isolated from the record-field series — legal
+    # because deferral then preserves per-stream read order exactly
+    defer = _can_defer_walk(ch, ds, bulk, s_ref, qs_ext)
     # per-TL-line tag readers (name, SAM type, specialized raw reader)
     tag_rdr = [
         [(name, typ, ch.tag_enc[(name, typ)].bytes_reader(core, ext))
@@ -2019,25 +2255,38 @@ def _decode_slice_records(
         contig = ref_names[rid] if 0 <= rid < len(ref_names) else None
 
         if not unmapped:
-            seq, cigar, ref_len, nm = _reconstruct(
-                ch, rdr, rl, ap, contig, ref_seqs, cf
-            )
+            if defer:
+                seq = None
+                cigar = None
+                ref_len = 0
+            else:
+                seq, cigar, ref_len, nm = _reconstruct(
+                    ch, rdr, rl, ap, contig, ref_seqs, cf
+                )
+                if synthesize_nm:
+                    # edit distance from the feature walk (samtools-calmd
+                    # analog).  Off by default: htslib drops NM at encode
+                    # when it assumes recomputability, so a faithful decode
+                    # yields no NM unless the tag dictionary carried it —
+                    # synthesizing is only correct when ref_seqs is the
+                    # aligner's actual reference.
+                    tags.setdefault("NM", str(nm))
             mapq = mq_r()
-            if synthesize_nm:
-                # edit distance from the feature walk (samtools-calmd
-                # analog).  Off by default: htslib drops NM at encode
-                # when it assumes recomputability, so a faithful decode
-                # yields no NM unless the tag dictionary carried it —
-                # synthesizing is only correct when ref_seqs is the
-                # aligner's actual reference.
-                tags.setdefault("NM", str(nm))
         else:
-            seq = bytes(ba_r() for _ in range(rl)).decode("ascii", "replace")
+            if defer:
+                seq = None
+            else:
+                # rdr["BA"], not the pre-bulk local: _bulk_feature_series
+                # may have replaced the series reader with a list iterator
+                ba_rd = rdr["BA"]
+                seq = bytes(ba_rd() for _ in range(rl)).decode(
+                    "ascii", "replace"
+                )
             cigar = "*"
             ref_len = 0
             mapq = 0
         qual = None
-        if cf & 1:
+        if (cf & 1) and not defer:
             qraw = (
                 qs_ext.read(rl)
                 if qs_ext is not None
@@ -2054,6 +2303,9 @@ def _decode_slice_records(
                 "bf": bf,
                 "rid": rid,
                 "ap": ap,
+                "rl": rl,
+                "cf": cf,
+                "contig": contig,
                 "end": (ap + ref_len - 1) if (not unmapped and ref_len > 0) else 0,
                 "mapq": mapq,
                 "cigar": cigar,
@@ -2068,6 +2320,11 @@ def _decode_slice_records(
             }
         )
 
+    if defer:
+        _finish_deferred_walk(
+            ch, rdr, recs, bulk, qs_ext, ref_names, s_ref, ref_seqs,
+            synthesize_nm,
+        )
     _resolve_mates(recs)
     for rec in recs:
         yield (

@@ -1953,3 +1953,29 @@ def test_rans_nx16_c_and_python_identical():
                 finally:
                     _ckern._LIB = old
                 assert with_c == without_c == payload, (len(payload), n_way)
+
+
+def test_cram_walk_c_vs_python_paths(monkeypatch):
+    """The C feature-walk (bamscan.c cram_walk), the deferred-replay
+    Python walk (CramWalkAbort path), and the fully undeferred per-record
+    walk must produce identical records on the real NA12878 slice."""
+    from sequila_spark.sources import _ckern as CK
+    from sequila_spark.sources import cramcodec as C
+
+    if not CK.has_cram_walk():
+        pytest.skip("C kernels unavailable")
+    via_c = list(C.read_cram_records(CRAM, FASTA))
+
+    # force the abort path: the replay must be exercised and identical
+    def abort(*a, **k):
+        raise CK.CramWalkAbort(-1, 0)
+
+    monkeypatch.setattr(CK, "cram_walk", abort)
+    via_replay = list(C.read_cram_records(CRAM, FASTA))
+
+    # force no deferral at all: the original interleaved walk
+    monkeypatch.setattr(C, "_can_defer_walk", lambda *a, **k: False)
+    via_inline = list(C.read_cram_records(CRAM, FASTA))
+
+    assert via_c == via_replay == via_inline
+    assert len(via_c) == 3172
