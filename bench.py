@@ -65,6 +65,37 @@ BENCH_QUERIES = [
 ]
 
 
+def _plan_fp(df) -> str:
+    """Stable fingerprint of a query's physical plan: the formatted
+    explain string with volatile tokens (exprIds, plan ids, codegen ids,
+    AQE finality, input paths/sizes) normalized, md5-hashed.  A flagged
+    per_query_calibrated ratio with an UNCHANGED fingerprint is host
+    banding; a CHANGED fingerprint is a plan regression suspect — the
+    distinction the r10 similarity_ivf question needed (VERDICT r10
+    'What's wrong' #2)."""
+    import hashlib
+    import re
+
+    try:
+        jvm = df.sparkSession._jvm
+        s = df._jdf.queryExecution().explainString(
+            jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    except Exception:
+        return "unavailable"
+    s = re.sub(r"#\d+L?", "#x", s)
+    s = re.sub(r"\[plan_id=\d+\]", "", s)
+    s = re.sub(r"\(\d+\)", "(n)", s)  # formatted-mode operator numbering
+    s = re.sub(r"codegen id : \d+", "codegen id : n", s)
+    s = re.sub(r"isFinalPlan=\w+", "", s)
+    s = re.sub(r"Location: \S+", "Location: _", s)
+    s = re.sub(r"size=\S+", "size=_", s)
+    s = re.sub(r"rowCount=\S+", "rowCount=_", s)
+    return hashlib.md5(s.encode()).hexdigest()[:10]
+
+
 def run_session() -> None:
     from pyspark.sql import SparkSession
 
@@ -131,6 +162,7 @@ def run_session() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     times: dict[str, float] = {}
     cold: dict[str, float] = {}
+    plan_fp: dict[str, str] = {}
     def _gc():
         # settle the JVM between queries: garbage from the previous
         # query's shuffles otherwise triggers GC storms mid-measurement
@@ -141,6 +173,10 @@ def run_session() -> None:
             pass
 
     for name in names:
+        try:
+            plan_fp[name] = _plan_fp(qmap[name](spark, SF_DIR))
+        except Exception:
+            plan_fp[name] = "unavailable"
         best = float("inf")
         measured = []
         # extend up to 3 extra runs while the best is still dropping >8%
@@ -190,6 +226,7 @@ def run_session() -> None:
                 "unit": "sec",
                 "queries": times,
                 "cold_runs": cold,
+                "plan_fp": plan_fp,
                 "runs": runs,
                 "agg": "min",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
@@ -359,12 +396,15 @@ def _load_prev_round(sf) -> tuple[str, dict] | None:
     return (best[1], best[2]) if best else None
 
 
-def _per_query_calibrated(med: dict, calib: dict, sf) -> dict | None:
+def _per_query_calibrated(med: dict, calib: dict, sf, plan_fp: dict) -> dict | None:
     """Per-query ratio vs the previous round, NORMALIZED by the md5 host
     anchor (ratio_vs_prev / md5_ratio): >1 means the query got slower
     beyond what host drift explains.  Ratios > 1.15 are flagged — the
     calibration gate validates the WINDOW but cannot see a single-query
-    plan regression; this block can."""
+    plan regression; this block can.  Each flagged query is auto-
+    attributed via the plan fingerprint: fingerprint changed vs the prior
+    artifact -> 'plan_changed' (regression suspect); unchanged ->
+    'host' (banding); prior artifact has no fingerprints -> 'unknown'."""
     if not calib or not calib.get("md5_256mb"):
         return None
     prev = _load_prev_round(sf)
@@ -377,11 +417,22 @@ def _per_query_calibrated(med: dict, calib: dict, sf) -> dict | None:
         for n in med
         if d["queries"].get(n)
     }
+    flagged = sorted(n for n, r in ratios.items() if r > 1.15)
+    prev_fp = d.get("plan_fp") or {}
+    attribution = {}
+    for n in flagged:
+        cur = (plan_fp or {}).get(n)
+        old = prev_fp.get(n)
+        if not cur or not old or "unavailable" in (cur, old):
+            attribution[n] = "unknown"
+        else:
+            attribution[n] = "plan_changed" if cur != old else "host"
     return {
         "vs": fn,
         "md5_ratio": round(md5_ratio, 3),
         "ratios": ratios,
-        "flagged_gt_1p15": sorted(n for n, r in ratios.items() if r > 1.15),
+        "flagged_gt_1p15": flagged,
+        "flag_attribution": attribution,
     }
 
 
@@ -474,11 +525,19 @@ def main() -> None:
             for n in names
         }
         totals = [round(sum(s["queries"][n] for n in names), 3) for s in per_session]
+        # consensus plan fingerprint: identical across sessions for a
+        # deterministic build; a disagreement is itself a finding
+        fps = [s.get("plan_fp") or {} for s in per_session]
+        plan_fp = {}
+        for n in names:
+            vals = {f.get(n) for f in fps if f.get(n)}
+            plan_fp[n] = vals.pop() if len(vals) == 1 else "varies"
         summary = {
             "metric": "headline_queries_total_runtime",
             "value": round(sum(med.values()), 3),
             "unit": "sec",
             "queries": med,
+            "plan_fp": plan_fp,
             "sessions": len(per_session),
             "session_totals": totals,
             "spread_pct": round(
@@ -493,7 +552,7 @@ def main() -> None:
         }
         if dropped:
             summary["dropped_queries"] = dropped
-        pqc = _per_query_calibrated(med, calib, summary["sf"])
+        pqc = _per_query_calibrated(med, calib, summary["sf"], plan_fp)
         if pqc is not None:
             summary["per_query_calibrated"] = pqc
         detail = {
@@ -503,17 +562,23 @@ def main() -> None:
         }
         here = os.path.dirname(os.path.abspath(__file__))
         try:
-            # latest-run detail (compat path) ...
-            with open(os.path.join(here, "bench_sessions.json"), "w") as fh:
-                json.dump(detail, fh, indent=1)
-            # ... plus the append-only history the per-query comparison
-            # needs round over round (the r9 artifact overwrote the r8
-            # per-query detail, losing the calibrated-ratio baseline)
+            # append-only per-run detail: the per-query comparison needs it
+            # round over round (the r9 artifact overwrote the r8 per-query
+            # detail, losing the calibrated-ratio baseline)
             os.makedirs(os.path.join(here, "bench_history"), exist_ok=True)
             with open(
                 os.path.join(here, "bench_history", _RUN_STAMP), "w"
             ) as fh:
                 json.dump(detail, fh, indent=1)
+            # bench_sessions.json is a POINTER now — the full detail used
+            # to be rewritten here every run, churning 300+-line diffs per
+            # commit while bench_history already held the real record
+            with open(os.path.join(here, "bench_sessions.json"), "w") as fh:
+                json.dump(
+                    {"latest": os.path.join("bench_history", _RUN_STAMP)},
+                    fh,
+                    indent=1,
+                )
         except OSError as exc:
             print(f"# bench history not written: {exc}", file=sys.stderr)
         print(json.dumps(summary), flush=True)
