@@ -216,6 +216,7 @@ def coverage(
     min_mapq: int = 0,
     chunk_size: int = DEFAULT_CHUNK,
     ref_bases: DataFrame | None = None,
+    fuse: bool | None = None,
 ) -> DataFrame:
     """Depth of coverage over alignment-shaped rows.
 
@@ -231,11 +232,55 @@ def coverage(
     relation (sources.read_fasta_bases) — attaches the reference base in
     bases mode, matching the reference Coverage row schema
     (utvf/ResolveTableValuedFunctionsSeq.scala:239).
+
+    ``fuse`` (default auto): when ``reads`` is the UNTRANSFORMED result of
+    sources.read_bam_native, the plan is rewritten to the fused
+    decode->events reader (read_bam_coverage_events +
+    coverage_from_events) — same rows (pinned by
+    tests/test_coverage.py), ~10x fewer shuffled rows, zero string
+    rendering, the way the reference fuses coverage into its scan
+    (pileup/PileupStrategy.scala:37-56).  ``fuse=False`` forces the
+    declarative plan; ``fuse=True`` raises if the relation has no reader
+    provenance to fuse on.
     """
     if mode not in ("blocks", "bases", "windows"):
         raise ValueError(f"unsupported mode={mode!r}")
     if mode == "windows" and not window_size:
         raise ValueError("mode='windows' requires window_size")
+
+    src = getattr(reads, "_sequila_bam_source", None)
+    fusable = (
+        src is not None
+        and use_cigar is not False
+        and src["has_cigar"]
+        # the declarative filter is a no-op when the column is absent —
+        # the fused reader must not filter where the unfused plan cannot
+        and (flag_mask == 0 or src["has_flag"])
+        and (min_mapq == 0 or src["has_mapq"])
+    )
+    if fuse is True and not fusable:
+        raise ValueError(
+            "fuse=True requires an untransformed read_bam_native relation "
+            "(with cigar/flag/mapq available for the requested filters)"
+        )
+    if fusable and fuse is not False:
+        from sequila_spark.sources.bam import read_bam_coverage_events
+
+        events = read_bam_coverage_events(
+            reads.sparkSession,
+            src["path"],
+            chunk_size=chunk_size,
+            flag_mask=flag_mask,
+            min_mapq=min_mapq,
+            chunk=src["chunk"],
+        )
+        return coverage_from_events(
+            events,
+            chunk_size=chunk_size,
+            mode=mode,
+            window_size=window_size,
+            ref_bases=ref_bases,
+        )
 
     if flag_mask or min_mapq:
         reads = filter_reads(reads, flag_mask=flag_mask, min_mapq=min_mapq)

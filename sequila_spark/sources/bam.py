@@ -549,7 +549,11 @@ def read_bam_native(
             )
         if S.CONTIG in keep:
             df = df.withColumn(S.CONTIG, clean_contig(F.col(S.CONTIG)))
-        return with_typed_tags(df) if typed_tags else df
+        out = with_typed_tags(df) if typed_tags else df
+        _attach_bam_provenance(
+            out, path, chunk, columns=columns, with_blocks=with_blocks
+        )
+        return out
 
     def gen(task):
         span_idx, (p, sample, span) = task
@@ -588,7 +592,40 @@ def read_bam_native(
     ).flatMap(gen)
     df = rdd.toDF(schema_str)
     df = df.withColumn(S.CONTIG, clean_contig(F.col(S.CONTIG)))
-    return with_typed_tags(df) if typed_tags else df
+    out = with_typed_tags(df) if typed_tags else df
+    _attach_bam_provenance(out, path, chunk, columns=None, with_blocks=False)
+    return out
+
+
+def _attach_bam_provenance(
+    df: DataFrame,
+    path,
+    chunk: int,
+    *,
+    columns: list[str] | None,
+    with_blocks: bool,
+) -> None:
+    """Stamp reader provenance on a read_bam_native result so
+    operators.coverage can auto-route the declarative
+    ``coverage(read_bam_native(...))`` composition through the fused
+    decode->events plan (read_bam_coverage_events) — the reference fuses
+    scan+aggregate in its physical operator (pileup/PileupStrategy.scala:
+    37-56); here the fusion triggers on lineage without an opt-in reader.
+    The attribute lives on THIS DataFrame object only: any transformation
+    (filter/select/join) returns a new DataFrame without it, which is
+    exactly the contract — the fused reader can only reproduce the
+    reader's own row set."""
+    df._sequila_bam_source = {
+        "path": path,
+        "chunk": chunk,
+        # aligned-block semantics require the cigar walk (or decode-time
+        # blocks); span-only relations must not fuse
+        "has_cigar": columns is None or S.CIGAR in columns or with_blocks,
+        # filter pushdown parity: the declarative filter applies flag/mapq
+        # predicates only when those columns exist on the relation
+        "has_flag": columns is None or S.FLAG in columns,
+        "has_mapq": columns is None or S.MAPQ in columns,
+    }
 
 
 def read_bam_coverage_events(

@@ -171,7 +171,8 @@ def test_fused_coverage_events_matches_batch_operator(spark):
                 spark, bam, with_tags=False,
                 columns=["sample_id", "contig", "pos_start", "pos_end"],
                 with_blocks=True,
-            )
+            ),
+            fuse=False,
         )
         b = coverage_from_events(read_bam_coverage_events(spark, bam))
         assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
@@ -182,7 +183,7 @@ def test_fused_coverage_events_matches_batch_operator(spark):
                          "flag", "mapq"],
                 with_blocks=True,
             ),
-            flag_mask=1796, min_mapq=10,
+            flag_mask=1796, min_mapq=10, fuse=False,
         )
         d = coverage_from_events(
             read_bam_coverage_events(spark, bam, flag_mask=1796, min_mapq=10)
@@ -234,3 +235,67 @@ def test_fused_events_chunk_size_mismatch_is_loud(spark):
     ev = read_bam_coverage_events(spark, bam, chunk_size=16_384)
     with _pytest.raises(Exception, match="different chunk_size"):
         coverage_from_events(ev, chunk_size=1_000_000).count()
+
+
+def test_coverage_auto_fuses_native_reader(spark):
+    """coverage(read_bam_native(...)) must auto-plan the fused
+    decode->events path (the per-read columns never enter the plan), stay
+    row-exact vs fuse=False, and NOT fuse once the relation is
+    transformed or the needed columns are pruned."""
+    import os
+
+    import pytest as _pytest
+
+    from sequila_spark.sources import read_bam_native
+
+    bam = "/root/reference/src/test/resources/NA12878.slice.bam"
+    if not os.path.exists(bam):
+        _pytest.skip("no reference BAM")
+
+    import re
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def is_fused(df):
+        # the fused scan node: MapInArrow ... [contig#, chunk#, pos#, delta#]
+        return bool(
+            re.search(r"MapInArrow [^\[]*\[contig#\d+, chunk#", plan(df))
+        )
+
+    auto = coverage(read_bam_native(spark, bam), flag_mask=1796, min_mapq=10)
+    unfused = coverage(
+        read_bam_native(spark, bam), flag_mask=1796, min_mapq=10, fuse=False
+    )
+    # the fused scan emits (contig, chunk, pos, delta)
+    assert is_fused(auto)
+    assert not is_fused(unfused)
+    assert sorted(map(tuple, auto.collect())) == sorted(
+        map(tuple, unfused.collect())
+    )
+
+    # windows mode fuses too
+    w = coverage(read_bam_native(spark, bam), mode="windows", window_size=500)
+    assert is_fused(w)
+    assert w.count() > 0
+
+    # a TRANSFORMED relation must not fuse (provenance does not propagate)
+    filtered = read_bam_native(spark, bam).where("mapq > 0")
+    assert not is_fused(coverage(filtered))
+    with _pytest.raises(ValueError, match="fuse=True"):
+        coverage(filtered, fuse=True)
+
+    # pruning flag away + flag_mask: declarative filter would be a no-op,
+    # so the fused reader must not filter either -> no fusion
+    pruned = read_bam_native(
+        spark, bam, with_tags=False,
+        columns=["sample_id", "contig", "pos_start", "pos_end", "cigar"],
+    )
+    assert not is_fused(coverage(pruned, flag_mask=1796))
+    # ...but without the filter it fuses (cigar is available)
+    assert is_fused(coverage(pruned))
+
+    # span coverage (use_cigar=False) is a different operator: never fuse
+    assert not is_fused(
+        coverage(read_bam_native(spark, bam), use_cigar=False)
+    )

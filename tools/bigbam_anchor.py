@@ -95,12 +95,19 @@ def main() -> None:
 
     best_cov = float("inf")
     best_decl = float("inf")
-    # warm BOTH plan shapes before any timed run (the two legs compile
-    # different codegen and shuffle stages)
+    best_unfused = float("inf")
+    # warm ALL plan shapes before any timed run (the legs compile
+    # different codegen and shuffle stages).  Since round 11 the
+    # declarative call AUTO-fuses on reader lineage (operators/coverage
+    # fuse=None), so the declarative leg converges to the fused one; the
+    # fuse=False leg keeps the honest unfused number on record.
     fused_cov().write.format("noop").mode("overwrite").save()
     coverage(decode_cov(), mode="blocks").write.format("noop").mode(
         "overwrite"
     ).save()
+    coverage(decode_cov(), mode="blocks", fuse=False).write.format(
+        "noop"
+    ).mode("overwrite").save()
     for _ in range(args.runs):
         t0 = time.perf_counter()
         fused_cov().write.format("noop").mode("overwrite").save()
@@ -110,6 +117,11 @@ def main() -> None:
             "overwrite"
         ).save()
         best_decl = min(best_decl, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        coverage(decode_cov(), mode="blocks", fuse=False).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        best_unfused = min(best_unfused, time.perf_counter() - t0)
 
     best_pq = None
     if not args.skip_parquet:
@@ -137,6 +149,7 @@ def main() -> None:
         "reads_per_sec": int(n_reads / best_cov),
         "reads_per_sec_per_core": int(n_reads / best_cov / args.cores),
         "decode_coverage_declarative_sec": round(best_decl, 1),
+        "decode_coverage_unfused_sec": round(best_unfused, 1),
         "decode_parquet_sec": best_pq,
         "cpu_calib_sec": calib,
         "calib_ok": _dev_ok(dev) if ref else None,
