@@ -3,10 +3,13 @@ decoded / feature-extracted through Arrow-batched pandas over mapInPandas.
 
 Extends the reference's surface (BASELINE.json north star).  The Spark-side
 plumbing — schemas, batch iteration, partition-preserving projection — is
-real and tested; the actual media decoding is stubbed (the image/audio
-libraries are not in this environment): ``decode_media`` raises
-NotImplementedError unless a registered decoder exists, and
-``byte_features`` provides the deterministic fallback feature extractor
+real and tested.  Media decode dispatches through a per-worker registry:
+PNG and BMP decode NATIVELY (sources/image.py — pure Python + NumPy +
+zlib with a C unfilter kernel, registered as ``image/png``/``image/bmp``
+at import); formats that need external libraries (JPEG, audio, video
+containers) remain honestly stubbed — ``decode_media`` raises
+NotImplementedError unless a decoder is registered, and
+``byte_features`` provides the deterministic byte-level fallback
 (length, checksum, 16-bin byte histogram) used by tests and oracles.
 
 At scale this is a map-only pipeline: no shuffle, Arrow batches end-to-end,
@@ -128,6 +131,7 @@ IMAGE_SCHEMA = T.StructType(
         T.StructField("media_type", T.StringType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
         T.StructField("pixels", T.BinaryType()),
     ]
 )
@@ -190,30 +194,53 @@ def fake_video_decoder(b: bytes) -> dict:
 # it via a package/zip) — a driver-only register_decoder() call never
 # reaches executors.  The deterministic fakes below are pre-registered at
 # import, so they exist in every worker and the full dispatch path is
-# exercisable without media libraries.
+# exercisable without media libraries; PNG and BMP are pre-registered to
+# the NATIVE decoders (sources/image.py) — lazy imports so the codec
+# module loads only in workers that actually see those types.
 _DECODERS.setdefault("x-fake/image", fake_image_decoder)
 _DECODERS.setdefault("x-fake/video", fake_video_decoder)
+
+
+def _png_decoder(b: bytes) -> dict:
+    from sequila_spark.sources.image import decode_png
+
+    return decode_png(b)
+
+
+def _bmp_decoder(b: bytes) -> dict:
+    from sequila_spark.sources.image import decode_bmp
+
+    return decode_bmp(b)
+
+
+_DECODERS.setdefault("image/png", _png_decoder)
+_DECODERS.setdefault("image/bmp", _bmp_decoder)
 
 
 def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
     """Decode + nearest-neighbor resize per image payload — Arrow-batched
     mapInPandas, map-only (no shuffle; binary stays off the driver).  The
     resample itself is vectorized NumPy over the decoded pixel buffer;
-    the decode step dispatches through the registry (stub backends in
-    this environment, PIL/torchvision in production — same contract)."""
+    the decode step dispatches through the registry (native PNG/BMP via
+    sources/image.py; PIL/torchvision pluggable in production — same
+    contract).  Multi-channel images resize per channel (the decoder's
+    ``channels`` field, default 1)."""
     import numpy as np
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ys = None  # per-output-size index grids, built once per worker
+        ys = None  # per-input-size index grids, built once per worker
         for batch in batches:
             rows = {"doc_id": [], "media_type": [], "width": [],
-                    "height": [], "pixels": []}
+                    "height": [], "channels": [], "pixels": []}
             for doc_id, mt, payload in zip(
                 batch["doc_id"], batch["media_type"], batch["payload"]
             ):
                 d = _decoder_for(mt)(bytes(payload))
                 w, h = d["width"], d["height"]
-                img = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(h, w)
+                c = d.get("channels", 1)
+                img = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(
+                    h, w, c
+                )
                 if ys is None or ys[0] != (h, w):
                     yi = (np.arange(out_h) * h) // out_h
                     xi = (np.arange(out_w) * w) // out_w
@@ -223,7 +250,10 @@ def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
                 rows["media_type"].append(mt)
                 rows["width"].append(out_w)
                 rows["height"].append(out_h)
-                rows["pixels"].append(img[yi[:, None], xi[None, :]].tobytes())
+                rows["channels"].append(c)
+                rows["pixels"].append(
+                    img[yi[:, None], xi[None, :], :].tobytes()
+                )
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(op, schema=IMAGE_SCHEMA)

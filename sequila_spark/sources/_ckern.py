@@ -157,6 +157,8 @@ def _build() -> object | None:
         ctypes.POINTER(CramSeries), i64, p_i64, p_i64, p_u8, p_i64,
         p_i64, p_u8, p_u8, i64, p_i64, p_i64, p_i64, p_i64, p_i64,
     ]
+    lib.png_unfilter.restype = i64
+    lib.png_unfilter.argtypes = [p_u8, p_u8, i64, i64, i64]
     return lib
 
 
@@ -401,6 +403,27 @@ def cram_walk(
     if rc != 0:
         raise CramWalkAbort(int(rc), int(err.value))
     return seq_out, seq_off, cig_out, cig_off, reflen, nm, qual_off
+
+
+def png_unfilter(data: np.ndarray, filters: np.ndarray, bpp: int) -> bool:
+    """In-place PNG scanline unfilter over ``data`` (h x stride uint8,
+    filter bytes already stripped into ``filters``).  Returns True when
+    the C kernel ran, False when absent (caller uses the NumPy/Python
+    fallback); raises ValueError on an unknown filter type."""
+    lib = _lib()
+    if lib is None:
+        return False
+    h, stride = data.shape
+    rc = lib.png_unfilter(
+        _p_u8(data),
+        _p_u8(np.ascontiguousarray(filters, dtype=np.uint8)),
+        h,
+        stride,
+        bpp,
+    )
+    if rc != 0:
+        raise ValueError("unknown PNG filter type")
+    return True
 
 
 def take_ragged(

@@ -583,3 +583,51 @@ int64_t cram_walk(const CramSeries *S, int64_t n_rec, const int64_t *rl,
     qual_off[n_rec] = qs_pos;
     return 0;
 }
+
+/* ---- PNG scanline unfilter (RFC 2083 section 6) ----
+ * In-place: data = h*stride bytes (filter-type bytes already stripped),
+ * filters = h filter-type bytes, bpp = bytes per pixel.  Returns 0, or
+ * -1 on an unknown filter type (caller raises).  The NumPy/Python
+ * fallback in sources/image.py stays the pinned semantic reference. */
+int64_t png_unfilter(uint8_t *data, const uint8_t *filters, int64_t h,
+                     int64_t stride, int64_t bpp) {
+    for (int64_t y = 0; y < h; y++) {
+        uint8_t *cur = data + y * stride;
+        const uint8_t *up = y ? data + (y - 1) * stride : 0;
+        int64_t i;
+        switch (filters[y]) {
+        case 0:
+            break;
+        case 1: /* Sub */
+            for (i = bpp; i < stride; i++) cur[i] += cur[i - bpp];
+            break;
+        case 2: /* Up */
+            if (up)
+                for (i = 0; i < stride; i++) cur[i] += up[i];
+            break;
+        case 3: /* Average */
+            for (i = 0; i < stride; i++) {
+                int a = i >= bpp ? cur[i - bpp] : 0;
+                int b = up ? up[i] : 0;
+                cur[i] = (uint8_t)(cur[i] + ((a + b) >> 1));
+            }
+            break;
+        case 4: /* Paeth */
+            for (i = 0; i < stride; i++) {
+                int a = i >= bpp ? cur[i - bpp] : 0;
+                int b = up ? up[i] : 0;
+                int c = (up && i >= bpp) ? up[i - bpp] : 0;
+                int p = a + b - c;
+                int pa = p - a; if (pa < 0) pa = -pa;
+                int pb = p - b; if (pb < 0) pb = -pb;
+                int pc = p - c; if (pc < 0) pc = -pc;
+                int pr = (pa <= pb && pa <= pc) ? a : (pb <= pc ? b : c);
+                cur[i] = (uint8_t)(cur[i] + pr);
+            }
+            break;
+        default:
+            return -1;
+        }
+    }
+    return 0;
+}

@@ -535,7 +535,7 @@ def test_resize_unregistered_type_raises(spark):
     from sequila_spark.operators.multimodal import resize_images
 
     media = spark.createDataFrame(
-        [(1, bytearray(b"xx"), "image/png", 2)],
+        [(1, bytearray(b"xx"), "image/webp", 2)],
         "doc_id long, payload binary, media_type string, byte_len int",
     )
     import pytest as _pytest
