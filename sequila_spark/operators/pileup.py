@@ -196,7 +196,11 @@ def _md_mismatch_offsets(md: Column) -> Column:
     )
 
 
-def mismatches_from_md(reads: DataFrame, strand_case: bool = False) -> DataFrame:
+def mismatches_from_md(
+    reads: DataFrame,
+    strand_case: bool = False,
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
     """Per-mismatch rows (contig, pos, base, ref_base) derived purely from
     the MD tag + CIGAR — no reference genome and no seq-vs-ref comparison
     (the reference's approach, pileup/MDTagParser.scala:24-53): the MD walk
@@ -207,7 +211,11 @@ def mismatches_from_md(reads: DataFrame, strand_case: bool = False) -> DataFrame
     Only rows carrying an MD value contribute (``tag_MD`` column or
     ``tags['MD']``).  Mismatch volume is ~2% of bases, so this explodes
     candidates only — the same sparse property as _pileup_sparse, without
-    needing the reference at any position."""
+    needing the reference at any position.
+
+    ``passthrough`` — extra read columns carried verbatim onto each
+    mismatch row (e.g. the ``ts`` event-time column for streaming
+    windows); the extraction stays map-only either way."""
     if "tag_MD" in reads.columns:
         md = F.col("tag_MD")
     elif "tags" in reads.columns:
@@ -217,7 +225,7 @@ def mismatches_from_md(reads: DataFrame, strand_case: bool = False) -> DataFrame
 
     keep = [S.CONTIG] + (
         [S.FLAG] if strand_case and S.FLAG in reads.columns else []
-    )
+    ) + list(passthrough)
     rows = reads.where(md.isNotNull() & (F.col(S.CIGAR) != "*")).select(
         *keep,
         F.col(S.SEQUENCE).alias("__seq"),
@@ -240,6 +248,7 @@ def mismatches_from_md(reads: DataFrame, strand_case: bool = False) -> DataFrame
     ).where(F.col("pos").isNotNull())
     return out.select(
         S.CONTIG,
+        *passthrough,
         "pos",
         _strand_cased(F.col("__alt"), reads.columns, strand_case).alias("base"),
         "ref_base",

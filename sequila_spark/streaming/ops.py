@@ -172,6 +172,80 @@ def window_coverage(
     )
 
 
+def window_mismatches(
+    reads: DataFrame,
+    *,
+    window_bp: int = 10_000,
+    time_window: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Fixed-genomic-window MISMATCH counts computable incrementally on a
+    read stream — the streaming pileup(+alts) analog, completing the
+    genomic streaming surface next to window_coverage.
+
+    The per-read mismatch extraction is the MD-tag sparse path
+    (operators.pileup.mismatches_from_md — MDTagParser.scala:24-53
+    semantics: MD walk yields offsets + declared reference base, CIGAR
+    blocks map them to genomic positions and alt bases).  It is MAP-ONLY,
+    so each mismatch row lands in its (contig, genomic window) group and
+    the aggregate is plain commutative counting — exactly the shape
+    Structured Streaming folds incrementally with watermark-bounded state.
+
+    Output per (time window?, contig, genomic window): ``n_mismatches``
+    plus fixed per-alt-base counts (``alt_a/c/g/t/other`` — fixed columns,
+    not a map, so the aggregate stays streaming-composable).
+
+    ``time_window`` adds the tumbling EVENT-TIME dimension over ``ts``;
+    ``watermark`` bounds state and drops reads later than the delay —
+    same contract as window_coverage, pinned by test_streaming."""
+    from sequila_spark.operators.pileup import mismatches_from_md
+
+    if watermark:
+        reads = reads.withWatermark("ts", watermark)
+    mm = mismatches_from_md(
+        reads, passthrough=("ts",) if time_window else ()
+    )
+    gwin = F.floor((F.col("pos") - 1) / window_bp).cast("long")
+    keys = (
+        [F.window("ts", time_window).alias("twin")] if time_window else []
+    ) + [F.col("contig"), gwin.alias("gwin")]
+    base = F.upper(F.col("base"))
+
+    def cnt(b: str):
+        return F.sum((base == b).cast("long")).alias(f"alt_{b.lower()}")
+
+    agg = mm.groupBy(*keys).agg(
+        F.count("*").cast("long").alias("n_mismatches"),
+        cnt("A"),
+        cnt("C"),
+        cnt("G"),
+        cnt("T"),
+        F.sum((~base.isin("A", "C", "G", "T")).cast("long")).alias(
+            "alt_other"
+        ),
+    )
+    time_cols = (
+        [
+            F.unix_timestamp(F.col("twin.start")).alias("twin_start_s"),
+            F.unix_timestamp(F.col("twin.end")).alias("twin_end_s"),
+        ]
+        if time_window
+        else []
+    )
+    return agg.select(
+        *time_cols,
+        "contig",
+        (F.col("gwin") * window_bp + 1).cast("int").alias("pos_start"),
+        ((F.col("gwin") + 1) * window_bp).cast("int").alias("pos_end"),
+        "n_mismatches",
+        "alt_a",
+        "alt_c",
+        "alt_g",
+        "alt_t",
+        "alt_other",
+    )
+
+
 def sessionize(events: DataFrame, gap_s: int = SESSION_GAP_S) -> DataFrame:
     """Batch sessionization: a session breaks when the gap to the previous
     event of the same user exceeds gap_s.  Output one row per session.

@@ -847,3 +847,137 @@ def test_window_coverage_watermark_drops_late_reads(spark, tmp_path):
         q.stop()
     w2 = (base + 500) - (base + 500) % 60
     assert final == {(w1, "1", 1): 200, (w2, "2", 1): 10}
+
+
+def test_window_mismatches_stream_equals_batch_and_pileup_md(spark, tmp_path):
+    """Streaming per-window mismatch counts (MD sparse path) == the batch
+    run of the same expressions == aggregates re-derived from pileup_md
+    (per-window count_nonref sums and per-base alts sums)."""
+    from collections import defaultdict
+
+    from sequila_spark.operators.pileup import pileup_md
+    from sequila_spark.streaming.ops import window_mismatches
+
+    reads = spark.read.parquet("fixtures/mdbam/reads.parquet")
+    path = str(tmp_path / "mm_stream")
+    reads.write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(reads.schema).format("parquet").load(path)
+    q = (
+        window_mismatches(stream, window_bp=10_000)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_mm")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def keyed(rows):
+        return {
+            (r["contig"], r["pos_start"]): (
+                r["n_mismatches"], r["alt_a"], r["alt_c"], r["alt_g"],
+                r["alt_t"], r["alt_other"],
+            )
+            for r in rows
+        }
+
+    got = keyed(spark.sql("SELECT * FROM win_mm").collect())
+    batch = keyed(window_mismatches(reads, window_bp=10_000).collect())
+    assert got == batch and len(got) > 0
+
+    # independent derivation: pileup_md's per-position alts, re-binned
+    per_win = defaultdict(lambda: [0, 0, 0, 0, 0, 0])
+    order = {"A": 1, "C": 2, "G": 3, "T": 4}
+    for r in pileup_md(reads, alts=True).collect():
+        if r["countNonRef"] == 0:
+            continue
+        k = (r["contig"], ((r["pos_start"] - 1) // 10_000) * 10_000 + 1)
+        per_win[k][0] += r["countNonRef"]
+        for b, c in (r["alts"] or {}).items():
+            per_win[k][order.get(b.upper(), 5)] += c
+    assert got == {k: tuple(v) for k, v in per_win.items()}
+
+
+def test_window_mismatches_watermark_drops_late_reads(spark, tmp_path):
+    """Event-time windowed mismatch counts: closed windows emit once; a
+    read behind the watermark is dropped (bounded-state contract) — the
+    same late-data behavior window_coverage pins."""
+    import os
+
+    import pandas as pd
+
+    src = str(tmp_path / "mm_src")
+    os.makedirs(src, exist_ok=True)
+    base = 1_700_000_000
+
+    def write_batch(name, rows):
+        # rows: (ts_offset_s, contig, pos_start, cigar, seq, md)
+        import numpy as np
+
+        pd.DataFrame(
+            {
+                "ts": pd.to_datetime(
+                    [base + r[0] for r in rows], unit="s"
+                ).astype("datetime64[us]"),
+                "contig": [r[1] for r in rows],
+                "pos_start": np.array([r[2] for r in rows], dtype=np.int32),
+                "cigar": [r[3] for r in rows],
+                "seq": [r[4] for r in rows],
+                "tag_MD": [r[5] for r in rows],
+            }
+        ).to_parquet(f"{src}/{name}.parquet")
+
+    from sequila_spark.streaming.ops import window_mismatches
+
+    schema = (
+        "ts timestamp, contig string, pos_start int, cigar string, "
+        "seq string, tag_MD string"
+    )
+    # 10M read at pos 101: MD '4A5' -> one mismatch at pos 105, alt = seq[4]
+    write_batch("b1", [
+        (5, "1", 101, "10M", "AAAACAAAAA", "4A5"),   # alt C at 105
+        (10, "1", 101, "10M", "AAAAGAAAAA", "4A5"),  # alt G at 105
+    ])
+    stream = spark.readStream.schema(schema).format("parquet").load(src)
+    out = window_mismatches(
+        stream, window_bp=1_000, time_window="60 seconds",
+        watermark="30 seconds",
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("mm_wm")
+        .option("checkpointLocation", str(tmp_path / "ck_mm"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM mm_wm").count() == 0  # window open
+        write_batch("b2", [(500, "2", 11, "5M", "TTCTT", "2G2")])
+        q.processAllAvailable()
+        closed = {
+            (r["twin_start_s"], r["contig"], r["pos_start"]): (
+                r["n_mismatches"], r["alt_c"], r["alt_g"],
+            )
+            for r in spark.sql("SELECT * FROM mm_wm").collect()
+        }
+        w1 = base - base % 60
+        assert closed == {(w1, "1", 1): (2, 1, 1)}
+        # behind the watermark: dropped, never re-emitted
+        write_batch("b3", [
+            (2, "1", 101, "10M", "AAAATAAAAA", "4A5"),
+            (700, "3", 21, "5M", "GGGAG", "3C1"),
+        ])
+        q.processAllAvailable()
+        final = {
+            (r["twin_start_s"], r["contig"], r["pos_start"]): (
+                r["n_mismatches"], r["alt_c"], r["alt_g"],
+            )
+            for r in spark.sql("SELECT * FROM mm_wm").collect()
+        }
+    finally:
+        q.stop()
+    w2 = (base + 500) - (base + 500) % 60
+    assert final == {(w1, "1", 1): (2, 1, 1), (w2, "2", 1): (1, 1, 0)}
