@@ -146,8 +146,19 @@ def _q_read_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_coverage_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both aligned-block walks under one gate (round 11 folded the
+    former coverage_cigar slot in): span blocks (use_cigar=False) and the
+    CIGAR-walk path (use_cigar=True), discriminated by ``walk``.  The
+    synthetic reads carry all-M cigars, so both sides share one oracle;
+    indel/clip CIGAR semantics are pinned by tests/test_coverage.py."""
     reads = TD.reads(spark, sf_dir)
-    return coverage(reads, mode="blocks", use_cigar=False)
+    span = coverage(reads, mode="blocks", use_cigar=False).select(
+        F.lit("span").alias("walk"), "*"
+    )
+    cig = coverage(reads, mode="blocks", use_cigar=True).select(
+        F.lit("cigar").alias("walk"), "*"
+    )
+    return span.unionByName(cig)
 
 
 def _q_coverage_bases_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -484,12 +495,25 @@ def _q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_dup_pairs(_embs(spark, sf_dir), threshold=0.4)
 
 
-def _q_coverage_cigar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Coverage through the CIGAR-walk path (aligned_blocks fold).  The
-    synthetic reads carry all-M cigars, so the oracle equals plain span
-    coverage — indel/clip semantics are pinned by tests/test_coverage.py."""
-    reads = TD.reads(spark, sf_dir)
-    return coverage(reads, mode="blocks", use_cigar=True)
+def _q_bed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BED source with the full optional-column gradient + unclean_contig
+    rendering (BEDRelation.scala:18-57, DataQualityFuncs.scala:42-72):
+    the repo BED fixture — track/browser header lines, a 12-column row,
+    a 3-column row and a 4-column chrM row — parsed natively; the oracle
+    is the file transcribed BY EYE (independent of the parser).  sf_dir
+    is ignored — real data."""
+    from sequila_spark.sources.bed import read_bed
+
+    bed = read_bed(
+        spark,
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "tests", "fixtures", "test.bed",
+        ),
+    )
+    return bed.select(
+        "*", IV.unclean_contig(F.col(S.CONTIG)).alias("contig_unclean")
+    )
 
 
 # --- general analytics over the raw star schema (engine breadth: broadcast
@@ -822,7 +846,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionize": _q_events_sessionize,
     "reads_window_counts": _q_reads_window_counts,
     "dedup_embedding": _q_dedup_embedding,
-    "coverage_cigar": _q_coverage_cigar,
+    "bed_features": _q_bed_features,
     "pricing_summary": _q_pricing_summary,
     "orders_analytics": _q_orders_analytics,
     "vcf_genotypes": _q_vcf_genotypes,
@@ -1618,7 +1642,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "coverage_blocks": f"""
             {cte('reads')}, {_COVERAGE_BLOCKS_CTE}
-            SELECT contig, pos_start, pos_end, coverage FROM blocks
+            SELECT 'span' AS walk, contig, pos_start, pos_end, coverage
+            FROM blocks
+            UNION ALL
+            SELECT 'cigar' AS walk, contig, pos_start, pos_end, coverage
+            FROM blocks
         """,
         "coverage_bases_agg": f"""
             {cte('reads')}, {_COVERAGE_BLOCKS_CTE}
@@ -1835,9 +1863,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_reads
             FROM reads GROUP BY contig, CAST(FLOOR((pos_start - 1) / 10000) AS BIGINT)
         """,
-        "coverage_cigar": f"""
-            {cte('reads')}, {_COVERAGE_BLOCKS_CTE}
-            SELECT contig, pos_start, pos_end, coverage FROM blocks
+        # tests/fixtures/test.bed transcribed BY EYE (header lines skipped,
+        # 0-based starts +1, chr prefixes cleaned; contig_unclean re-renders)
+        "bed_features": """
+            SELECT * FROM (VALUES
+              ('1', 101, 200, 'feat1', 960, '+', 100, 200,
+               [255, 0, 0], 2, [10, 20], [0, 80], 'chr1'),
+              ('2', 1, 50, NULL, NULL, NULL, NULL, NULL,
+               CAST(NULL AS INT[]), NULL, CAST(NULL AS INT[]),
+               CAST(NULL AS INT[]), 'chr2'),
+              ('MT', 11, 30, 'mito', NULL, NULL, NULL, NULL,
+               CAST(NULL AS INT[]), NULL, CAST(NULL AS INT[]),
+               CAST(NULL AS INT[]), 'chrM')
+            ) AS t(contig, pos_start, pos_end, name, score, strand,
+                   thick_start, thick_end, item_rgb, block_count,
+                   block_sizes, block_starts, contig_unclean)
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
