@@ -99,6 +99,110 @@ _NULLTOK = "\x02NULL"
 _SUM_P = 1_000_000_007
 
 
+def duckdb_minhash_pairs_phased(sdf, sf_dir: str, n_slices: int = 25) -> dict:
+    """sf1-scale external oracle for dedup_minhash_pairs.  The one-shot
+    oracle's exact-Jaccard stage is an ALL-PAIRS shingle self-join, which
+    blows DuckDB's temp-disk budget at sf1 (observed 55.8 GiB) — the same
+    failure class as dedup_clusters' recursive CTE at sf0.1.  The SAME
+    arithmetic (shingle exprs, PERM_A/B mod-P minhash, band keys, 0.8
+    threshold — every constant from operators.dedup) runs here in three
+    tractable phases instead:
+
+      1. per-doc-slice signature computation (doc-independent, so slicing
+         by doc_id range is exact),
+      2. ONE global band equi-join over the collected signature table
+         (|docs| x BANDS rows — KBs),
+      3. exact Jaccard restricted to the banding's candidate pairs
+         (the whole point of LSH: candidates are few), instead of all
+         pairs.
+
+    The chain is exact, not approximate: phases 2-3 see the identical
+    signature/shingle relations the one-shot oracle would build."""
+    from sequila_spark.operators import dedup as DD
+    from tests.oracle import duck_connection, normalize
+
+    _, duck_shingles = DD.shingle_hash_exprs("text")
+    P = DD.MINHASH_P
+    con = duck_connection(sf_dir)
+    sig_cols = ", ".join(f"mh{i} BIGINT" for i in range(DD.NUM_PERM))
+    mh_cols = ", ".join(
+        f"MIN(({DD.PERM_A[i]} * (sh % {P}) + {DD.PERM_B[i]}) % {P}) AS mh{i}"
+        for i in range(DD.NUM_PERM)
+    )
+    con.execute(f"CREATE TEMP TABLE sig (doc_id BIGINT, {sig_cols})")
+    lo_hi = con.execute(
+        "SELECT MIN(doc_id), MAX(doc_id) + 1 FROM documents"
+    ).fetchone()
+    lo_all, hi_all = int(lo_hi[0]), int(lo_hi[1])
+    step = max(1, (hi_all - lo_all + n_slices - 1) // n_slices)
+    for lo in range(lo_all, hi_all, step):
+        hi = min(lo + step, hi_all)
+        con.execute(f"""
+            INSERT INTO sig
+            WITH sh AS (
+              SELECT DISTINCT doc_id, UNNEST({duck_shingles}) AS sh
+              FROM documents WHERE doc_id >= {lo} AND doc_id < {hi}
+            )
+            SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id
+        """)
+    band_selects = " UNION ALL ".join(
+        "SELECT {b} AS band, {key} AS bkey, doc_id FROM sig".format(
+            b=b,
+            key=" || ',' || ".join(
+                f"CAST(mh{b * DD.ROWS_PER_BAND + r} AS STRING)"
+                for r in range(DD.ROWS_PER_BAND)
+            ),
+        )
+        for b in range(DD.BANDS)
+    )
+    cands = con.execute(f"""
+        WITH bands AS ({band_selects})
+        SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    """).fetchall()
+    con.execute("CREATE TEMP TABLE cand (id_1 BIGINT, id_2 BIGINT)")
+    if cands:
+        con.executemany("INSERT INTO cand VALUES (?, ?)", cands)
+    cand_ids = sorted({i for p in cands for i in p})
+    id_list = ",".join(map(str, cand_ids)) or "-1"
+    duck_rows = con.execute(f"""
+        WITH sh AS (
+          SELECT DISTINCT doc_id, UNNEST({duck_shingles}) AS sh
+          FROM documents WHERE doc_id IN ({id_list})
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        shared AS (
+          SELECT cd.id_1, cd.id_2, COUNT(*) AS nshared
+          FROM cand cd
+          JOIN sh a ON a.doc_id = cd.id_1
+          JOIN sh b ON b.doc_id = cd.id_2 AND b.sh = a.sh
+          GROUP BY cd.id_1, cd.id_2
+        )
+        SELECT s.id_1, s.id_2,
+               CAST(s.nshared AS DOUBLE) / (s1.n + s2.n - s.nshared) AS jaccard
+        FROM shared s
+        JOIN sizes s1 ON s1.doc_id = s.id_1
+        JOIN sizes s2 ON s2.doc_id = s.id_2
+        WHERE CAST(s.nshared AS DOUBLE) / (s1.n + s2.n - s.nshared) >= 0.8
+    """).fetchall()
+    con.close()
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    n_s, h_s = normalize(spark_rows, spark_cols)
+    n_d, h_d = normalize(duck_rows, ["id_1", "id_2", "jaccard"])
+    return {
+        "rows_match": n_s == n_d,
+        "schema_match": sorted(spark_cols) == ["id_1", "id_2", "jaccard"],
+        "hash_match": h_s == h_d,
+        "spark_rows": n_s,
+        "oracle_rows": n_d,
+        "n_band_candidates": len(cands),
+        "err": None,
+        "method": "duckdb_phased_sig_band_candverify",
+    }
+
+
 def _spark_hash_agg(sdf, same_engine: bool = False) -> tuple | None:
     """(count, bit_xor, sum mod p) over per-row md5 of the name-sorted,
     canonicalized columns — one distributed agg, no driver materialization.
@@ -397,6 +501,14 @@ def main() -> None:
     )
     ap.add_argument("--window-bases", type=int, default=2_000_000)
     ap.add_argument(
+        "--phased-minhash",
+        action="store_true",
+        help="verify dedup_minhash_pairs against the PHASED DuckDB oracle "
+        "(per-slice signatures + global band join + candidate-only exact "
+        "Jaccard) — for scales where the one-shot all-pairs oracle blows "
+        "the temp-disk budget (sf1)",
+    )
+    ap.add_argument(
         "--master",
         default=None,
         help="Spark master override — e.g. local-cluster[4,8,6144] to run "
@@ -479,6 +591,13 @@ def main() -> None:
                 continue
             if name == "dedup_clusters":
                 results[name] = check_clusters_invariants(spark, args.sf_dir)
+                results[name]["sec"] = round(time.time() - t0, 1)
+                print(f"{name}: {results[name]}", flush=True)
+                continue
+            if name == "dedup_minhash_pairs" and args.phased_minhash:
+                results[name] = duckdb_minhash_pairs_phased(
+                    fn(spark, args.sf_dir), args.sf_dir
+                )
                 results[name]["sec"] = round(time.time() - t0, 1)
                 print(f"{name}: {results[name]}", flush=True)
                 continue
