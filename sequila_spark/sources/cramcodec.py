@@ -1791,6 +1791,34 @@ def _decode_tag_value(typ: str, raw: bytes) -> str:
     return decode_tag_bytes(typ, raw)
 
 
+def _tag_render_fn(typ: str, raw_r):
+    """Fuse one tag's raw reader with a TYPE-SPECIALIZED renderer — after
+    the C feature walk the record loop's remaining hot path is tag
+    rendering, and decode_tag_bytes' per-value type dispatch (two function
+    calls + an if-chain per tag per record) is most of it.  Binds the
+    struct unpacker once per slice; semantics identical to
+    _decode_tag_value (decode_tag_bytes stays the pinned reference —
+    test_tag_render_fn_matches_shared_renderer pins every type)."""
+    if typ == "A":
+        return lambda: chr(raw_r()[0])
+    from sequila_spark.sources.bamcodec import _TAG_SCALAR_FMT
+
+    if typ in _TAG_SCALAR_FMT:
+        u = struct.Struct(_TAG_SCALAR_FMT[typ]).unpack_from
+        return lambda: str(u(raw_r())[0])
+    if typ == "f":
+        u = struct.Struct("<f").unpack_from
+        return lambda: repr(u(raw_r())[0])
+    if typ in ("Z", "H"):
+        def _z():
+            return raw_r().split(b"\x00", 1)[0].decode("ascii", "replace")
+
+        return _z
+    from sequila_spark.sources.bamcodec import decode_tag_bytes
+
+    return lambda: decode_tag_bytes(typ, raw_r())
+
+
 def parse_rg_ids(header_text: str) -> list[str]:
     """Read-group IDs in @RG header-line order — the RG data series indexes
     this list (htslib materializes tags['RG'] from it at decode the same
@@ -2202,9 +2230,10 @@ def _decode_slice_records(
     # content stream is isolated from the record-field series — legal
     # because deferral then preserves per-stream read order exactly
     defer = _can_defer_walk(ch, ds, bulk, s_ref, qs_ext)
-    # per-TL-line tag readers (name, SAM type, specialized raw reader)
+    # per-TL-line tag readers (name, fused raw-read + type-specialized
+    # renderer — see _tag_render_fn)
     tag_rdr = [
-        [(name, typ, ch.tag_enc[(name, typ)].bytes_reader(core, ext))
+        [(name, _tag_render_fn(typ, ch.tag_enc[(name, typ)].bytes_reader(core, ext)))
          for name, typ in line]
         for line in ch.tag_lines
     ]
@@ -2246,8 +2275,8 @@ def _decode_slice_records(
         # tags
         tl = tl_r()
         tags: dict[str, str] = {}
-        for name, typ, raw_r in tag_rdr[tl]:
-            tags[name] = _decode_tag_value(typ, raw_r())
+        for name, render in tag_rdr[tl]:
+            tags[name] = render()
         if rg_names is not None and 0 <= rg < len(rg_names):
             tags.setdefault("RG", rg_names[rg])
 

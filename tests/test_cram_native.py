@@ -1979,3 +1979,33 @@ def test_cram_walk_c_vs_python_paths(monkeypatch):
 
     assert via_c == via_replay == via_inline
     assert len(via_c) == 3172
+
+
+def test_tag_render_fn_matches_shared_renderer():
+    """The fused type-specialized tag renderers (_tag_render_fn, the
+    record loop's hot path) must render byte-identically to the pinned
+    shared renderer decode_tag_bytes for every type, including the
+    generic fallback ('B' arrays)."""
+    import struct
+
+    from sequila_spark.sources.bamcodec import decode_tag_bytes
+    from sequila_spark.sources.cramcodec import _tag_render_fn
+
+    cases = [
+        ("i", struct.pack("<i", -70000)),
+        ("I", struct.pack("<I", 3_000_000_000)),
+        ("c", struct.pack("<b", -5)),
+        ("C", struct.pack("<B", 200)),
+        ("s", struct.pack("<h", -1234)),
+        ("S", struct.pack("<H", 65535)),
+        ("f", struct.pack("<f", 1.5)),
+        ("f", struct.pack("<f", -0.1)),
+        ("A", b"Q"),
+        ("Z", b"hello\x00"),
+        ("H", b"1AE3\x00"),
+        ("B", b"S" + struct.pack("<i", 3) + struct.pack("<3H", 7, 8, 65535)),
+        ("B", b"f" + struct.pack("<i", 2) + struct.pack("<2f", 0.5, -2.0)),
+    ]
+    for typ, raw in cases:
+        got = _tag_render_fn(typ, lambda r=raw: r)()
+        assert got == decode_tag_bytes(typ, raw), (typ, raw)
