@@ -1819,6 +1819,31 @@ def _tag_render_fn(typ: str, raw_r):
     return lambda: decode_tag_bytes(typ, raw_r())
 
 
+def _tag_render_series(typ: str, vals: list[bytes]) -> list[str]:
+    """Render a whole pre-split tag value series in one comprehension —
+    the per-record fused renderer (_tag_render_fn) pays a closure frame +
+    reader call per tag per record; when _bulk_bytes_series already holds
+    the raw values, rendering them all up front turns the record loop's
+    tag step into a list-iterator next().  Per-type logic is IDENTICAL to
+    _tag_render_fn / decode_tag_bytes (pinned by
+    test_tag_render_series_matches_shared_renderer)."""
+    if typ == "A":
+        return [chr(v[0]) for v in vals]
+    from sequila_spark.sources.bamcodec import _TAG_SCALAR_FMT
+
+    if typ in _TAG_SCALAR_FMT:
+        u = struct.Struct(_TAG_SCALAR_FMT[typ]).unpack_from
+        return [str(u(v)[0]) for v in vals]
+    if typ == "f":
+        u = struct.Struct("<f").unpack_from
+        return [repr(u(v)[0]) for v in vals]
+    if typ in ("Z", "H"):
+        return [v.split(b"\x00", 1)[0].decode("ascii", "replace") for v in vals]
+    from sequila_spark.sources.bamcodec import decode_tag_bytes
+
+    return [decode_tag_bytes(typ, v) for v in vals]
+
+
 def parse_rg_ids(header_text: str) -> list[str]:
     """Read-group IDs in @RG header-line order — the RG data series indexes
     this list (htslib materializes tags['RG'] from it at decode the same
@@ -1940,15 +1965,14 @@ def _bulk_feature_series(ch, ds, ext, rdr) -> dict:
     from sequila_spark.sources import _ckern as CK
 
     out: dict = {"ints": {}, "bytes": {}, "arrs": {}, "id_use": {}}
-    if not CK.available():
-        return out
-    import numpy as np
-
     id_use: dict[int, int] = {}
     for e in list(ds.values()) + list(ch.tag_enc.values()):
         for cid in _enc_content_ids(e):
             id_use[cid] = id_use.get(cid, 0) + 1
     out["id_use"] = id_use
+    if not CK.available():
+        return out
+    import numpy as np
 
     def exclusive(name: str, codec: int):
         e = ds.get(name)
@@ -2002,6 +2026,104 @@ def _bulk_feature_series(ch, ds, ext, rdr) -> dict:
         )
         rdr[name] = iter(vals).__next__
     return out
+
+
+#: kill switch for the whole-series record-field/tag pre-decode below —
+#: tests flip it to pin bulk == per-value paths record-identically.
+_BULK_RECORD_SERIES = True
+
+
+def _bulk_int_reader(e, ext, id_use):
+    """One-pass decode of an EXTERNAL itf8 int series (record fields: BF,
+    CF, RL, AP, TL, MQ, ...) whose content stream no other encoding
+    shares: the whole remaining block IS the value sequence, so the C
+    itf8 kernel scans it once and the per-record reads become list-
+    iterator ``next()`` calls — after the C feature walk and the fused
+    tag renderers, these per-record ``itf8()`` calls were the largest
+    remaining slice-decode cost (~33k calls per NA12878 slice).  Returns
+    ``None`` when the layout (shared stream, non-EXTERNAL codec, missing
+    block, truncated stream, no C kernel) requires the per-value reader,
+    which stays the pinned semantic reference."""
+    if not _BULK_RECORD_SERIES or e is None or e.codec != 1:
+        return None
+    if id_use.get(e.content_id) != 1 or e.content_id not in ext:
+        return None
+    from sequila_spark.sources import _ckern as CK
+
+    if not CK.available():
+        return None
+    st = ext[e.content_id]
+    raw = bytes(st.b[st.i :])
+    try:
+        arr = CK.itf8_scan_all(raw)
+    except ValueError:
+        return None  # truncated stream: keep the per-value reader
+    if arr is None:
+        return None
+    st.i = len(st.b)
+    return iter(arr.tolist()).__next__
+
+
+def _bulk_bytes_reader(e, ext, id_use):
+    """Zero-arg reader over :func:`_bulk_bytes_series` (``None`` when the
+    series cannot be pre-split)."""
+    vals = _bulk_bytes_series(e, ext, id_use)
+    return None if vals is None else iter(vals).__next__
+
+
+def _bulk_bytes_series(e, ext, id_use):
+    """Whole-series pre-split for byte-array series (RN, tag values) on
+    exclusive streams.  BYTE_ARRAY_STOP splits the block on the stop byte
+    once; BYTE_ARRAY_LEN with EXTERNAL values slices by the constant
+    length or by a bulk itf8-decoded length stream.  Short-read semantics
+    at a truncated tail match ByteReader.read (slices clamp).  Returns the
+    value list or ``None`` (keep the per-value reader)."""
+    if not _BULK_RECORD_SERIES or e is None:
+        return None
+    if e.codec == 5:
+        if id_use.get(e.content_id) != 1 or e.content_id not in ext:
+            return None
+        st = ext[e.content_id]
+        # drop the piece past the last stop: either the empty unread tail
+        # or an incomplete value the per-value reader would refuse too
+        vals = st.b[st.i :].split(bytes([e.stop]))[:-1]
+        st.i = len(st.b)
+        return vals
+    if e.codec == 4 and e.val_enc.codec == 1:
+        vcid = e.val_enc.content_id
+        if id_use.get(vcid) != 1 or vcid not in ext:
+            return None
+        vst = ext[vcid]
+        raw = vst.b[vst.i :]
+        le = e.len_enc
+        if le._const():
+            k = le.alphabet[0]
+            if k <= 0:
+                return None  # zero/negative length: per-value semantics
+            vals = [raw[i : i + k] for i in range(0, len(raw), k)]
+        elif le.codec == 1 and id_use.get(le.content_id) == 1 and le.content_id in ext:
+            from sequila_spark.sources import _ckern as CK
+
+            if not CK.available():
+                return None
+            lst = ext[le.content_id]
+            try:
+                lens = CK.itf8_scan_all(bytes(lst.b[lst.i :]))
+            except ValueError:
+                return None
+            if lens is None or (len(lens) and int(lens.min()) < 0):
+                return None
+            lst.i = len(lst.b)
+            vals = []
+            off = 0
+            for n in lens.tolist():
+                vals.append(raw[off : off + n])
+                off += n
+        else:
+            return None
+        vst.i = len(vst.b)
+        return vals
+    return None
 
 
 def _can_defer_walk(ch, ds, bulk, s_ref, qs_ext) -> bool:
@@ -2210,10 +2332,28 @@ def _decode_slice_records(
     def sr(name):
         return ds[name].bytes_reader(core, ext) if name in ds else _missing(name)
 
-    bf_r, cf_r, ri_r, rl_r, ap_r = ir("BF"), ir("CF"), ir("RI"), ir("RL"), ir("AP")
-    rg_r, tl_r, mq_r = ir("RG"), ir("TL"), ir("MQ")
-    rn_r = sr("RN")
-    mf_r, ns_r, np_r, ts_r, nf_r = ir("MF"), ir("NS"), ir("NP"), ir("TS"), ir("NF")
+    # id_use is series+tag content-id fan-in; streams with fan-in 1 are
+    # safe to pre-decode whole (order within an exclusive stream is the
+    # only observable the per-value readers depend on)
+    _pre_id_use: dict[int, int] = {}
+    for _e in list(ds.values()) + list(ch.tag_enc.values()):
+        for _cid in _enc_content_ids(_e):
+            _pre_id_use[_cid] = _pre_id_use.get(_cid, 0) + 1
+
+    def ir_bulk(name):
+        r = _bulk_int_reader(ds.get(name), ext, _pre_id_use)
+        return r if r is not None else ir(name)
+
+    def sr_bulk(name):
+        r = _bulk_bytes_reader(ds.get(name), ext, _pre_id_use)
+        return r if r is not None else sr(name)
+
+    bf_r, cf_r, ri_r = ir_bulk("BF"), ir_bulk("CF"), ir_bulk("RI")
+    rl_r, ap_r = ir_bulk("RL"), ir_bulk("AP")
+    rg_r, tl_r, mq_r = ir_bulk("RG"), ir_bulk("TL"), ir_bulk("MQ")
+    rn_r = sr_bulk("RN")
+    mf_r, ns_r, np_r = ir_bulk("MF"), ir_bulk("NS"), ir_bulk("NP")
+    ts_r, nf_r = ir_bulk("TS"), ir_bulk("NF")
     ba_r = br("BA")
     qs_enc = ds.get("QS")
     qs_ext = ext.get(qs_enc.content_id) if qs_enc is not None and qs_enc.codec == 1 else None
@@ -2231,10 +2371,30 @@ def _decode_slice_records(
     # because deferral then preserves per-stream read order exactly
     defer = _can_defer_walk(ch, ds, bulk, s_ref, qs_ext)
     # per-TL-line tag readers (name, fused raw-read + type-specialized
-    # renderer — see _tag_render_fn)
+    # renderer — see _tag_render_fn).  ONE raw reader per (name, typ):
+    # the same tag in several tag lines must share consumption state
+    # (stream position for per-value readers, the iterator for bulk).
+    tag_fn: dict[tuple, object] = {}
+    for line in ch.tag_lines:
+        for key in line:
+            if key in tag_fn:
+                continue
+            name, typ = key
+            enc = ch.tag_enc[key]
+            vals = _bulk_bytes_series(enc, ext, _pre_id_use)
+            if vals is not None:
+                try:
+                    # pre-render the whole series (hot path)
+                    tag_fn[key] = iter(_tag_render_series(typ, vals)).__next__
+                except Exception:
+                    # a malformed value anywhere in the series (possibly in
+                    # an unconsumed tail): per-record rendering over the
+                    # same pre-split values raises only if actually read
+                    tag_fn[key] = _tag_render_fn(typ, iter(vals).__next__)
+            else:
+                tag_fn[key] = _tag_render_fn(typ, enc.bytes_reader(core, ext))
     tag_rdr = [
-        [(name, _tag_render_fn(typ, ch.tag_enc[(name, typ)].bytes_reader(core, ext)))
-         for name, typ in line]
+        [(name, tag_fn[(name, typ)]) for name, typ in line]
         for line in ch.tag_lines
     ]
 

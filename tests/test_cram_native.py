@@ -2009,3 +2009,65 @@ def test_tag_render_fn_matches_shared_renderer():
     for typ, raw in cases:
         got = _tag_render_fn(typ, lambda r=raw: r)()
         assert got == decode_tag_bytes(typ, raw), (typ, raw)
+
+
+def test_tag_render_series_matches_shared_renderer():
+    """The whole-series tag renderer (_tag_render_series, used when the
+    tag's raw values are pre-split by _bulk_bytes_series) must render
+    byte-identically to the pinned shared renderer decode_tag_bytes for
+    every type, including the generic fallback ('B' arrays)."""
+    import struct
+
+    from sequila_spark.sources.bamcodec import decode_tag_bytes
+    from sequila_spark.sources.cramcodec import _tag_render_series
+
+    cases = [
+        ("i", [struct.pack("<i", -70000), struct.pack("<i", 7)]),
+        ("I", [struct.pack("<I", 3_000_000_000)]),
+        ("c", [struct.pack("<b", -5)]),
+        ("C", [struct.pack("<B", 200)]),
+        ("s", [struct.pack("<h", -1234)]),
+        ("S", [struct.pack("<H", 65535)]),
+        ("f", [struct.pack("<f", 1.5), struct.pack("<f", -0.1)]),
+        ("A", [b"Q", b"x"]),
+        ("Z", [b"hello\x00", b"\x00", b"a,b\x00"]),
+        ("H", [b"1AE3\x00"]),
+        ("B", [b"S" + struct.pack("<i", 3) + struct.pack("<3H", 7, 8, 65535),
+               b"f" + struct.pack("<i", 2) + struct.pack("<2f", 0.5, -2.0)]),
+    ]
+    for typ, vals in cases:
+        got = _tag_render_series(typ, vals)
+        assert got == [decode_tag_bytes(typ, v) for v in vals], typ
+
+
+def test_bulk_record_series_matches_per_value(monkeypatch):
+    """The whole-series record-field/tag pre-decode (_bulk_int_reader /
+    _bulk_bytes_series + pre-rendered tag series) must yield records
+    identical to the per-value readers on the real NA12878 slice — and
+    must actually ENGAGE on it (non-vacuous: the fixture's htslib layout
+    gives every record-field series its own external block)."""
+    from sequila_spark.sources import cramcodec as C
+
+    engaged = {"ints": 0, "bytes": 0}
+    orig_int, orig_bytes = C._bulk_int_reader, C._bulk_bytes_series
+
+    def spy_int(*a, **k):
+        r = orig_int(*a, **k)
+        if r is not None:
+            engaged["ints"] += 1
+        return r
+
+    def spy_bytes(*a, **k):
+        r = orig_bytes(*a, **k)
+        if r is not None:
+            engaged["bytes"] += 1
+        return r
+
+    monkeypatch.setattr(C, "_bulk_int_reader", spy_int)
+    monkeypatch.setattr(C, "_bulk_bytes_series", spy_bytes)
+    via_bulk = list(C.read_cram_records(CRAM, FASTA))
+    monkeypatch.setattr(C, "_BULK_RECORD_SERIES", False)
+    via_scalar = list(C.read_cram_records(CRAM, FASTA))
+    assert via_bulk == via_scalar
+    assert len(via_bulk) == 3172
+    assert engaged["ints"] > 0 and engaged["bytes"] > 0
