@@ -6,8 +6,10 @@ plumbing — schemas, batch iteration, partition-preserving projection — is
 real and tested.  Media decode dispatches through a per-worker registry:
 PNG and BMP decode NATIVELY (sources/image.py — pure Python + NumPy +
 zlib with a C unfilter kernel, registered as ``image/png``/``image/bmp``
-at import); formats that need external libraries (JPEG, audio, video
-containers) remain honestly stubbed — ``decode_media`` raises
+at import), and WAV/PCM audio decodes natively too (sources/audio.py,
+registered as ``audio/wav``); formats that need external libraries
+(JPEG, compressed audio, video containers) remain honestly stubbed —
+``decode_media`` raises
 NotImplementedError unless a decoder is registered, and
 ``byte_features`` provides the deterministic byte-level fallback
 (length, checksum, 16-bin byte histogram) used by tests and oracles.
@@ -213,8 +215,70 @@ def _bmp_decoder(b: bytes) -> dict:
     return decode_bmp(b)
 
 
+def _wav_decoder(b: bytes) -> dict:
+    from sequila_spark.sources.audio import decode_wav
+
+    return decode_wav(b)
+
+
 _DECODERS.setdefault("image/png", _png_decoder)
 _DECODERS.setdefault("image/bmp", _bmp_decoder)
+_DECODERS.setdefault("audio/wav", _wav_decoder)
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.DoubleType()),
+        T.StructField("zero_cross_rate", T.DoubleType()),
+    ]
+)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Decode + per-payload audio summary (duration, RMS, peak, zero-
+    crossing rate over the channel-mean signal) — Arrow-batched
+    mapInPandas, map-only like the rest of the family.  Decode dispatches
+    through the registry: ``audio/wav`` works natively (sources/audio.py);
+    compressed formats need a registered decoder returning the same
+    ``{"sample_rate", "channels", "n_frames", "samples"}`` contract."""
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = {k.name: [] for k in AUDIO_SCHEMA.fields}
+            for doc_id, mt, payload in zip(
+                batch["doc_id"], batch["media_type"], batch["payload"]
+            ):
+                d = _decoder_for(mt)(bytes(payload))
+                x = np.frombuffer(d["samples"], dtype=np.float32).reshape(
+                    -1, d["channels"]
+                )
+                mono = x.mean(axis=1, dtype=np.float64)
+                n = len(mono)
+                zc = (
+                    float(np.count_nonzero(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+                    / (n - 1)
+                    if n > 1
+                    else 0.0
+                )
+                rows["doc_id"].append(doc_id)
+                rows["media_type"].append(mt)
+                rows["sample_rate"].append(d["sample_rate"])
+                rows["channels"].append(d["channels"])
+                rows["n_frames"].append(d["n_frames"])
+                rows["duration_s"].append(float(d["duration_s"]))
+                rows["rms"].append(float(np.sqrt(np.mean(mono**2))) if n else 0.0)
+                rows["peak"].append(float(np.abs(x).max()) if n else 0.0)
+                rows["zero_cross_rate"].append(zc)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(op, schema=AUDIO_SCHEMA)
 
 
 def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
