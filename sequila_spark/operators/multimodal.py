@@ -221,8 +221,15 @@ def _wav_decoder(b: bytes) -> dict:
     return decode_wav(b)
 
 
+def _gif_decoder(b: bytes) -> dict:
+    from sequila_spark.sources.gif import decode_gif
+
+    return decode_gif(b)
+
+
 _DECODERS.setdefault("image/png", _png_decoder)
 _DECODERS.setdefault("image/bmp", _bmp_decoder)
+_DECODERS.setdefault("image/gif", _gif_decoder)
 _DECODERS.setdefault("audio/wav", _wav_decoder)
 
 AUDIO_SCHEMA = T.StructType(
