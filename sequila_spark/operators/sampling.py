@@ -101,3 +101,74 @@ def stratified_sample(
         else thr.otherwise(int(round(default * buckets)))
     )
     return df.where(b < thr)
+
+
+def mix_domains(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    weights: dict[str, float],
+    buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """Sample to a TARGET MIXTURE: keep the largest total T such that
+    every domain d can supply weights[d] * T rows, i.e. T = min_d
+    count_d / w_d, then keep each domain at rate w_d * T / count_d.
+    Unlike stratified_sample (caller-chosen per-domain rates) the rates
+    here are computed from the data — the standard "mix web/code/books
+    at 70/20/10" training-data op.  A domain named in ``weights`` but
+    absent from the data makes the exact mixture infeasible -> empty
+    result (count 0 -> T = 0), loud rather than silently re-weighted.
+    Domains not in ``weights`` are dropped.
+
+    Distributed shape: one tiny groupBy(strata) count, a scalar min over
+    it, and a broadcast join of the per-domain thresholds back onto the
+    fact table — the fact table itself is filtered map-side, never
+    shuffled.  Per-row keep decisions reuse the deterministic md5 bucket,
+    so output is reproducible, grow-safe, and DuckDB-checkable."""
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    bad = {k: v for k, v in weights.items() if v <= 0}
+    if bad:
+        raise ValueError(f"weights must be positive: {bad}")
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(k, float(v)) for k, v in weights.items()], "__stratum string, __w double"
+    )
+    counts = (
+        df.groupBy(F.col(strata_col).alias("__stratum"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .join(wdf, "__stratum", "right")  # absent domain -> __n null -> 0
+        .select(
+            "__stratum",
+            "__w",
+            F.coalesce(F.col("__n"), F.lit(0)).alias("__n"),
+        )
+    )
+    # T via an unpartitioned window over the ALREADY-AGGREGATED counts
+    # (<= #domains rows): one single-partition exchange of a KB-sized
+    # relation, instead of a second scan of the fact table for a separate
+    # agg (the counts subtree would otherwise be evaluated twice)
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy()
+    thresholds = counts.withColumn(
+        "__t", F.min(F.col("__n") / F.col("__w")).over(w_all)
+    ).select(
+        "__stratum",
+        # try_divide: an absent domain has __n = 0 (and forces __t = 0 for
+        # everyone); its own null threshold keeps nothing, ANSI-safely
+        F.floor(
+            F.try_divide(F.col("__w") * F.col("__t"), F.col("__n")) * buckets
+            + F.lit(0.5)
+        )
+        .cast("int")
+        .alias("__thr"),
+    )
+    out = df.join(
+        F.broadcast(thresholds),
+        df[strata_col] == thresholds["__stratum"],
+        "inner",
+    )
+    return out.where(hash_bucket(F.col(id_col), buckets) < F.col("__thr")).drop(
+        "__stratum", "__thr"
+    )

@@ -542,3 +542,74 @@ def test_resize_unregistered_type_raises(spark):
 
     with _pytest.raises(Exception, match="no decoder registered"):
         resize_images(media, 2, 2).collect()
+
+
+def test_mix_domains_matches_duckdb_oracle(spark, sf_oracle):
+    """mix_domains' max-feasible exact mixture (T = min_d count_d / w_d,
+    keep rate w_d * T / count_d via md5 buckets) replicated independently
+    in DuckDB — kept id sets must match exactly."""
+    from sequila_spark.operators.sampling import hash_bucket_sql, mix_domains
+    from tests.oracle import duck_connection
+
+    docs = spark.read.parquet(f"{sf_oracle}/documents.parquet")
+    weights = {"src0": 0.6, "src1": 0.3, "src2": 0.1}
+    got = {
+        r["doc_id"]
+        for r in mix_domains(docs, "doc_id", "source", weights).collect()
+    }
+    con = duck_connection(sf_oracle)
+    vals = ", ".join(f"('{k}', {v})" for k, v in weights.items())
+    bucket = hash_bucket_sql("d.doc_id")
+    sql = f"""
+        WITH w(stratum, wt) AS (VALUES {vals}),
+        counts AS (
+            SELECT w.stratum, w.wt, COALESCE(n.n, 0) AS n
+            FROM w LEFT JOIN (
+                SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+            ) n ON n.source = w.stratum
+        ),
+        t AS (SELECT MIN(n / wt) AS t FROM counts),
+        thr AS (
+            SELECT stratum,
+                   CAST(FLOOR(wt * t.t / n * 10000 + 0.5) AS INT) AS thr
+            FROM counts, t
+        )
+        SELECT d.doc_id FROM documents d
+        JOIN thr ON d.source = thr.stratum
+        WHERE {bucket} < thr.thr
+    """
+    want = {r[0] for r in con.execute(sql).fetchall()}
+    con.close()
+    assert got == want and len(got) > 0
+
+    # realized mixture approximates the target (md5 buckets near-uniform)
+    from collections import Counter
+
+    kept = mix_domains(docs, "doc_id", "source", weights).groupBy("source").count()
+    c = {r["source"]: r["count"] for r in kept.collect()}
+    tot = sum(c.values())
+    for k, wt in weights.items():
+        assert abs(c.get(k, 0) / tot - wt) < 0.08, (k, c)
+
+
+def test_mix_domains_edge_semantics(spark, docs):
+    from sequila_spark.operators.sampling import mix_domains
+
+    # a weighted domain absent from the data -> exact mixture infeasible
+    # -> empty (loud, not silently re-weighted)
+    assert (
+        mix_domains(docs, "doc_id", "source", {"src0": 0.5, "nope": 0.5}).count()
+        == 0
+    )
+    # domains not in weights are dropped entirely
+    only_web = mix_domains(docs, "doc_id", "source", {"src0": 1.0})
+    assert only_web.where(F.col("source") != "src0").count() == 0
+    # the binding domain (largest count/weight ratio pressure) keeps ~all rows
+    n_web = docs.where(F.col("source") == "src0").count()
+    assert only_web.count() == n_web
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="positive"):
+        mix_domains(docs, "doc_id", "source", {"src0": 0.0})
+    with _pt.raises(ValueError, match="non-empty"):
+        mix_domains(docs, "doc_id", "source", {})
