@@ -227,9 +227,16 @@ def _gif_decoder(b: bytes) -> dict:
     return decode_gif(b)
 
 
+def _jpeg_decoder(b: bytes) -> dict:
+    from sequila_spark.sources.jpeg import decode_jpeg
+
+    return decode_jpeg(b)
+
+
 _DECODERS.setdefault("image/png", _png_decoder)
 _DECODERS.setdefault("image/bmp", _bmp_decoder)
 _DECODERS.setdefault("image/gif", _gif_decoder)
+_DECODERS.setdefault("image/jpeg", _jpeg_decoder)
 _DECODERS.setdefault("audio/wav", _wav_decoder)
 
 AUDIO_SCHEMA = T.StructType(

@@ -1,0 +1,325 @@
+"""Native baseline JPEG decode for the multimodal registry — zero new
+dependencies.
+
+Closes the biggest remaining media-codec stub (PARITY gap #3): baseline
+sequential DCT JPEG (ITU-T T.81), the format virtually every scraped web
+image uses.  Supported surface:
+
+- SOI / APPn / COM / DQT (8- and 16-bit tables) / DHT / SOF0+SOF1 /
+  SOS / DRI / RSTn / EOI marker walk;
+- canonical Huffman decode of the entropy stream with 0xFF00 byte
+  stuffing and restart-interval DC-predictor resets;
+- 8x8 dequant + EXACT float IDCT (the T.81 Annex A.3.3 definition,
+  evaluated as two NumPy tensor contractions over all blocks of a
+  component at once — no fixed-point approximation error);
+- grayscale (1 component) and YCbCr (3 components) with any h/v
+  sampling factors up to 2 (4:4:4, 4:2:2, 4:4:0, 4:2:0), pixel-
+  replication chroma upsampling, JFIF/BT.601 color conversion.
+
+Progressive (SOF2), arithmetic coding, 12-bit precision and hierarchical
+modes raise NotImplementedError by name.  Returns the image contract
+``{"width", "height", "channels", "pixels"}`` (pixels = row-major uint8,
+RGB for color, 1 channel for grayscale).  Size fields are validated
+before any allocation, mirroring image.py's guard.
+
+The Huffman bit-walk is per-symbol Python (entropy decode is inherently
+serial per scan segment); everything after the symbol stream — dequant,
+zigzag, IDCT, upsample, color transform — is vectorized NumPy over all
+blocks at once.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+#: allocation guard: decoded RGB canvas must stay under 1 GiB
+_MAX_PIXEL_BYTES = 1 << 30
+
+#: zigzag order: index = scan position, value = position in the 8x8 block
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# exact separable IDCT basis: B[u, x] = c(u)/2 * cos((2x+1) u pi / 16)
+_IDCT_B = np.empty((8, 8))
+for _u in range(8):
+    _c = (0.5 / np.sqrt(2.0)) if _u == 0 else 0.5
+    for _x in range(8):
+        _IDCT_B[_u, _x] = _c * np.cos((2 * _x + 1) * _u * np.pi / 16.0)
+
+
+class _HuffTable:
+    """Canonical JPEG Huffman table -> (maxcode/valptr) decode arrays
+    (the T.81 F.2.2.3 DECODE procedure)."""
+
+    def __init__(self, counts: list[int], symbols: bytes):
+        self.symbols = symbols
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        code = 0
+        k = 0
+        for ln in range(1, 17):
+            n = counts[ln - 1]
+            self.valptr[ln] = k
+            self.mincode[ln] = code
+            self.maxcode[ln] = code + n - 1 if n else -1
+            code = (code + n) << 1
+            k += n
+
+
+class _BitReader:
+    """MSB-first entropy-stream reader: 0xFF00 unstuffs to 0xFF; any other
+    marker ends the stream (RSTn are consumed by the caller)."""
+
+    def __init__(self, b: bytes, i: int):
+        self.b = b
+        self.i = i
+        self.acc = 0
+        self.nbits = 0
+
+    def at_marker(self) -> int | None:
+        """Peek a marker at the current byte position (bit buffer empty)."""
+        if self.i + 1 < len(self.b) and self.b[self.i] == 0xFF and self.b[self.i + 1] != 0:
+            return self.b[self.i + 1]
+        return None
+
+    def align(self) -> None:
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.b
+        while self.nbits <= 24:
+            if self.i >= len(b):
+                # past the end: pad with 1s (T.81 allows the final EOB to
+                # rely on marker padding); a truly truncated stream still
+                # fails the dimension checks downstream
+                self.acc = (self.acc << 8) | 0xFF
+                self.nbits += 8
+                continue
+            byte = b[self.i]
+            if byte == 0xFF:
+                nxt = b[self.i + 1] if self.i + 1 < len(b) else 0xD9
+                if nxt == 0x00:
+                    self.i += 2
+                else:  # a real marker: stop feeding, pad with 1s
+                    self.acc = (self.acc << 8) | 0xFF
+                    self.nbits += 8
+                    continue
+            else:
+                self.i += 1
+            self.acc = (self.acc << 8) | byte
+            self.nbits += 8
+
+    def take(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def huff(self, t: _HuffTable) -> int:
+        code = self.take(1)
+        for ln in range(1, 17):
+            if t.maxcode[ln] >= code:
+                return t.symbols[t.valptr[ln] + code - t.mincode[ln]]
+            code = (code << 1) | self.take(1)
+        raise ValueError("JPEG: invalid Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
+
+
+def decode_jpeg(b: bytes) -> dict:
+    """Decode one baseline JPEG -> {width, height, channels, pixels}."""
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (bad SOI)")
+    i = 2
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, _HuffTable] = {}
+    huff_ac: dict[int, _HuffTable] = {}
+    comps: list[dict] = []
+    w = h = 0
+    restart_interval = 0
+
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            raise ValueError(f"JPEG: expected marker at {i}")
+        m = b[i + 1]
+        i += 2
+        if m == 0xD9:  # EOI before SOS
+            raise ValueError("JPEG: no scan data")
+        if m in (0x01,) or 0xD0 <= m <= 0xD7:
+            continue  # parameterless
+        (seg_len,) = struct.unpack_from(">H", b, i)
+        seg = b[i + 2 : i + seg_len]
+        if len(seg) != seg_len - 2:
+            raise ValueError("JPEG: truncated segment")
+        i += seg_len
+        if m == 0xDB:  # DQT
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 15
+                j += 1
+                if pq == 0:
+                    tab = np.frombuffer(seg[j : j + 64], dtype=np.uint8).astype(np.int32)
+                    j += 64
+                else:
+                    tab = np.frombuffer(seg[j : j + 128], dtype=">u2").astype(np.int32)
+                    j += 128
+                if len(tab) != 64:
+                    raise ValueError("JPEG: truncated DQT")
+                qt[tq] = tab
+        elif m == 0xC4:  # DHT
+            j = 0
+            while j + 17 <= len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 15
+                counts = list(seg[j + 1 : j + 17])
+                n = sum(counts)
+                symbols = seg[j + 17 : j + 17 + n]
+                if len(symbols) != n:
+                    raise ValueError("JPEG: truncated DHT")
+                (huff_dc if tc == 0 else huff_ac)[th] = _HuffTable(counts, symbols)
+                j += 17 + n
+        elif m in (0xC0, 0xC1):  # SOF0 baseline / SOF1 extended sequential
+            prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise NotImplementedError(f"JPEG precision {prec} (only 8)")
+            if nc not in (1, 3):
+                raise NotImplementedError(f"JPEG with {nc} components")
+            if w == 0 or h == 0 or w * h * 3 > _MAX_PIXEL_BYTES:
+                raise ValueError(f"implausible JPEG dimensions {w}x{h}")
+            for k in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * k)
+                hs, vs = hv >> 4, hv & 15
+                if not (1 <= hs <= 2 and 1 <= vs <= 2):
+                    raise NotImplementedError(f"JPEG sampling {hs}x{vs}")
+                comps.append({"id": cid, "h": hs, "v": vs, "tq": tq})
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(f"JPEG SOF marker 0x{m:02x} (baseline only)")
+        elif m == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif m == 0xDA:  # SOS
+            ns = seg[0]
+            scan = []
+            for k in range(ns):
+                cs, tdta = seg[1 + 2 * k], seg[2 + 2 * k]
+                comp = next(c for c in comps if c["id"] == cs)
+                comp["td"], comp["ta"] = tdta >> 4, tdta & 15
+                scan.append(comp)
+            if len(scan) != len(comps):
+                raise NotImplementedError("JPEG multi-scan (non-interleaved)")
+            return _decode_scan(b, i, w, h, comps, qt, huff_dc, huff_ac,
+                                restart_interval)
+        # APPn, COM: skipped
+    raise ValueError("JPEG: no SOS marker")
+
+
+def _decode_scan(b, i, w, h, comps, qt, huff_dc, huff_ac, restart_interval):
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    n_mcu = mcux * mcuy
+    for c in comps:
+        c["bw"] = mcux * c["h"]  # blocks per row (incl. MCU padding)
+        c["bh"] = mcuy * c["v"]
+        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int32)
+        c["pred"] = 0
+        if c["tq"] not in qt:
+            raise ValueError(f"JPEG: missing quant table {c['tq']}")
+
+    r = _BitReader(b, i)
+    zz = _ZIGZAG
+    mcu_seen = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_seen and mcu_seen % restart_interval == 0:
+                r.align()
+                mk = r.at_marker()
+                if mk is not None and 0xD0 <= mk <= 0xD7:
+                    r.i += 2
+                for c in comps:
+                    c["pred"] = 0
+            for c in comps:
+                td, ta = huff_dc.get(c["td"]), huff_ac.get(c["ta"])
+                if td is None or ta is None:
+                    raise ValueError("JPEG: missing Huffman table")
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        blk = c["coef"][
+                            (my * c["v"] + by) * c["bw"] + mx * c["h"] + bx
+                        ]
+                        s = r.huff(td)
+                        if s > 11:
+                            raise ValueError("JPEG: bad DC size")
+                        diff = _extend(r.take(s), s) if s else 0
+                        c["pred"] += diff
+                        blk[0] = c["pred"]
+                        k = 1
+                        while k < 64:
+                            rs = r.huff(ta)
+                            rr, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if rr == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += rr
+                            if k > 63:
+                                raise ValueError("JPEG: AC index overflow")
+                            blk[zz[k]] = _extend(r.take(s), s)
+                            k += 1
+            mcu_seen += 1
+
+    # dequant + IDCT, all blocks of a component at once
+    planes = []
+    for c in comps:
+        # DQT entries are in zigzag order like the coefficients; coef[] was
+        # filled at raster positions zz[k], so scatter q the same way
+        q = np.zeros(64, dtype=np.int32)
+        q[zz] = qt[c["tq"]]
+        blocks = (c["coef"] * q).astype(np.float64).reshape(-1, 8, 8)
+        # IDCT: out[x, y] = sum_u sum_v B[u, x] B[v, y] F[u, v]
+        pix = np.einsum("ux,nuv,vy->nxy", _IDCT_B, blocks, _IDCT_B)
+        pix = np.clip(np.round(pix) + 128.0, 0, 255).astype(np.uint8)
+        # stitch blocks -> plane
+        bh, bw = c["bh"], c["bw"]
+        plane = (
+            pix.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+        )
+        # upsample to full resolution by pixel replication
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            plane = plane.repeat(ry, axis=0).repeat(rx, axis=1)
+        planes.append(plane[:h, :w])
+
+    if len(planes) == 1:
+        return {"width": w, "height": h, "channels": 1,
+                "pixels": planes[0].tobytes()}
+    y = planes[0].astype(np.float64)
+    cb = planes[1].astype(np.float64) - 128.0
+    cr = planes[2].astype(np.float64) - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=-1,
+    )
+    rgb = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return {"width": w, "height": h, "channels": 3, "pixels": rgb.tobytes()}

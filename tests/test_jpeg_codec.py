@@ -1,0 +1,351 @@
+"""Native baseline JPEG decode (sources/jpeg.py) — a spec-faithful
+encoder built here (exact float FDCT, canonical Huffman, real marker
+segments, 0xFF stuffing, optional restart markers and 4:2:0 subsampling)
+generates fixtures whose roundtrip behavior is PROVABLE: with all-ones
+quant tables, blocks that are constant (per 8x8, or per 16x16 under
+4:2:0) decode back EXACTLY (DC-only spectra quantize losslessly), and
+arbitrary content is bounded by the coefficient-rounding envelope.  The
+decoder also runs end-to-end through multimodal.resize_images on Spark."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from sequila_spark.sources.jpeg import _IDCT_B, _ZIGZAG, decode_jpeg
+
+# --- encoder ------------------------------------------------------------------
+
+_DC_SYMS = bytes(range(12))
+_DC_COUNTS = [0, 0, 0, 12] + [0] * 12  # all 12 DC size symbols at 4 bits
+_AC_SYMS = bytes(
+    [0x00, 0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_AC_COUNTS = [0] * 7 + [len(_AC_SYMS)] + [0] * 8  # all AC symbols at 8 bits
+
+
+def _canon_codes(counts, symbols):
+    codes = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(counts[ln - 1]):
+            codes[symbols[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+_DC_CODES = _canon_codes(_DC_COUNTS, _DC_SYMS)
+_AC_CODES = _canon_codes(_AC_COUNTS, _AC_SYMS)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, v: int, n: int) -> None:
+        self.acc = (self.acc << n) | (v & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # stuffing
+            self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)
+
+
+def _fdct_quant(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """plane (H, W) uint8 -> (n_blocks, 64) int32 quantized coefficients,
+    raster order within the block; H, W multiples of 8."""
+    h, w = plane.shape
+    f = plane.astype(np.float64) - 128.0
+    blocks = (
+        f.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    )
+    coef = np.einsum("ux,nxy,vy->nuv", _IDCT_B, blocks, _IDCT_B)
+    qr = np.zeros(64)
+    qr[_ZIGZAG] = q  # q given in zigzag order
+    return np.round(coef.reshape(-1, 64) / qr).astype(np.int32)
+
+
+def _emit_block(wtr: _BitWriter, blk: np.ndarray, pred: int) -> int:
+    dc = int(blk[0])
+    diff = dc - pred
+    s = abs(diff).bit_length()
+    code, ln = _DC_CODES[s]
+    wtr.put(code, ln)
+    if s:
+        wtr.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    zz = blk[_ZIGZAG]
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = _AC_CODES[0xF0]
+            wtr.put(code, ln)
+            run -= 16
+        s = abs(v).bit_length()
+        code, ln = _AC_CODES[(run << 4) | s]
+        wtr.put(code, ln)
+        wtr.put(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if run:
+        code, ln = _AC_CODES[0x00]
+        wtr.put(code, ln)
+    return dc
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def encode_jpeg(
+    planes: list[np.ndarray],
+    q: np.ndarray | None = None,
+    *,
+    subsample: bool = False,
+    restart_interval: int = 0,
+    q16: bool = False,
+) -> bytes:
+    """Baseline JPEG encoder for fixtures.  ``planes`` = [gray] or
+    [Y, Cb, Cr] full-resolution uint8 planes; with ``subsample`` the
+    chroma planes are 2x2-mean downsampled (4:2:0).  ``q`` is one quant
+    table in zigzag order (all components share it; default all-ones)."""
+    if q is None:
+        q = np.ones(64, dtype=np.int32)
+    h, w = planes[0].shape
+    nc = len(planes)
+    hv = [(2, 2), (1, 1), (1, 1)] if (subsample and nc == 3) else [(1, 1)] * nc
+    hmax = max(x for x, _ in hv[:nc])
+    vmax = max(y for _, y in hv[:nc])
+
+    def pad(p, mh, mw):
+        ph = -(-p.shape[0] // mh) * mh
+        pw = -(-p.shape[1] // mw) * mw
+        out = np.empty((ph, pw), dtype=np.uint8)
+        out[: p.shape[0], : p.shape[1]] = p
+        out[p.shape[0] :, : p.shape[1]] = p[-1:, :]
+        out[:, p.shape[1] :] = out[:, p.shape[1] - 1 : p.shape[1]]
+        return out
+
+    comp_blocks = []
+    for k in range(nc):
+        p = planes[k]
+        if subsample and nc == 3 and k > 0:
+            pp = pad(p, 2, 2).astype(np.float64)
+            p = np.round(
+                (pp[0::2, 0::2] + pp[0::2, 1::2] + pp[1::2, 0::2] + pp[1::2, 1::2])
+                / 4.0
+            ).astype(np.uint8)
+        mh, mw = 8 * (vmax // hv[k][1]) * hv[k][1], 8  # pad to MCU coverage
+        # pad the plane so it covers whole MCUs at this component's scale
+        need_h = -(-h // (8 * vmax)) * 8 * hv[k][1]
+        need_w = -(-w // (8 * hmax)) * 8 * hv[k][0]
+        p = pad(p, 8, 8)
+        if p.shape[0] < need_h or p.shape[1] < need_w:
+            full = np.empty((need_h, need_w), dtype=np.uint8)
+            full[: p.shape[0], : p.shape[1]] = p
+            full[p.shape[0] :, : p.shape[1]] = p[-1:, :]
+            full[:, p.shape[1] :] = full[:, p.shape[1] - 1 : p.shape[1]]
+            p = full
+        else:
+            p = p[:need_h, :need_w]
+        comp_blocks.append((_fdct_quant(p, q), p.shape[1] // 8))
+
+    out = bytearray(b"\xff\xd8")
+    if q16:
+        body = bytes([0x10]) + np.asarray(q, dtype=">u2").tobytes()
+    else:
+        body = bytes([0x00]) + np.asarray(q, dtype=np.uint8).tobytes()
+    out += _seg(0xDB, body)
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for k in range(nc):
+        sof += bytes([k + 1, (hv[k][0] << 4) | hv[k][1], 0])
+    out += _seg(0xC0, sof)
+    out += _seg(0xC4, bytes([0x00]) + bytes(_DC_COUNTS) + _DC_SYMS)
+    out += _seg(0xC4, bytes([0x10]) + bytes(_AC_COUNTS) + _AC_SYMS)
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([nc]) + b"".join(bytes([k + 1, 0x00]) for k in range(nc)) + b"\x00\x3f\x00"
+    out += _seg(0xDA, sos)
+
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    wtr = _BitWriter()
+    preds = [0] * nc
+    rst = 0
+    mcu_seen = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_seen and mcu_seen % restart_interval == 0:
+                wtr.flush()
+                wtr.out += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+                preds = [0] * nc
+            for k in range(nc):
+                coef, bw = comp_blocks[k]
+                for by in range(hv[k][1]):
+                    for bx in range(hv[k][0]):
+                        idx = (my * hv[k][1] + by) * bw + mx * hv[k][0] + bx
+                        preds[k] = _emit_block(wtr, coef[idx], preds[k])
+            mcu_seen += 1
+    wtr.flush()
+    out += wtr.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _ycbcr_to_rgb(y, cb, cr):
+    y = y.astype(np.float64)
+    cb = cb.astype(np.float64) - 128.0
+    cr = cr.astype(np.float64) - 128.0
+    rgb = np.stack(
+        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
+        axis=-1,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# --- tests --------------------------------------------------------------------
+
+
+def _block_constant_image(rng, h, w, cell):
+    vals = rng.integers(0, 256, size=(-(-h // cell), -(-w // cell)), dtype=np.uint8)
+    return vals.repeat(cell, axis=0).repeat(cell, axis=1)[:h, :w]
+
+
+def test_grayscale_constant_blocks_exact():
+    """Per-8x8-constant content has a DC-only spectrum: with q=1 the
+    roundtrip is bit-exact — pins marker walk, Huffman, dequant, IDCT."""
+    rng = np.random.default_rng(5)
+    img = _block_constant_image(rng, 32, 48, 8)
+    d = decode_jpeg(encode_jpeg([img]))
+    assert (d["width"], d["height"], d["channels"]) == (48, 32, 1)
+    got = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(32, 48)
+    assert np.array_equal(got, img)
+
+
+def test_grayscale_arbitrary_content_bounded():
+    """Arbitrary content at q=1: error is only coefficient rounding
+    (<= 0.5/coef), whose IDCT envelope stays under ~4 + output rounding."""
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, size=(24, 24), dtype=np.uint8)
+    d = decode_jpeg(encode_jpeg([img]))
+    got = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(24, 24)
+    assert np.abs(got.astype(int) - img.astype(int)).max() <= 5
+
+
+def test_non_multiple_of_8_dimensions():
+    rng = np.random.default_rng(7)
+    img = _block_constant_image(rng, 19, 13, 8)
+    d = decode_jpeg(encode_jpeg([img]))
+    assert (d["width"], d["height"]) == (13, 19)
+    got = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(19, 13)
+    assert np.array_equal(got, img)
+
+
+def test_color_444_exact_vs_conversion_golden():
+    """YCbCr 4:4:4 with per-8x8-constant planes: coefficient path is
+    exact, so the decoded RGB must equal the BT.601 conversion computed
+    independently here."""
+    rng = np.random.default_rng(8)
+    y = _block_constant_image(rng, 16, 16, 8)
+    cb = _block_constant_image(rng, 16, 16, 8)
+    cr = _block_constant_image(rng, 16, 16, 8)
+    d = decode_jpeg(encode_jpeg([y, cb, cr]))
+    assert d["channels"] == 3
+    got = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(16, 16, 3)
+    assert np.array_equal(got, _ycbcr_to_rgb(y, cb, cr))
+
+
+def test_color_420_subsampled_exact_on_16x16_cells():
+    """4:2:0: chroma is 2x2-mean downsampled; on per-16x16-constant
+    planes the mean is exact and replication-upsampling restores it, so
+    the decode equals the conversion golden exactly — pins the sampling-
+    factor MCU interleave and the upsample path."""
+    rng = np.random.default_rng(9)
+    y = _block_constant_image(rng, 32, 32, 16)
+    cb = _block_constant_image(rng, 32, 32, 16)
+    cr = _block_constant_image(rng, 32, 32, 16)
+    d = decode_jpeg(encode_jpeg([y, cb, cr], subsample=True))
+    got = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(32, 32, 3)
+    assert np.array_equal(got, _ycbcr_to_rgb(y, cb, cr))
+
+
+def test_restart_markers():
+    rng = np.random.default_rng(10)
+    img = _block_constant_image(rng, 16, 64, 8)
+    d = decode_jpeg(encode_jpeg([img], restart_interval=3))
+    got = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(16, 64)
+    assert np.array_equal(got, img)
+
+
+def test_16bit_quant_table_and_lossy_quality():
+    """A real (Annex-K-like) quant table through the 16-bit DQT path:
+    lossy but bounded — and dimensions/channels survive."""
+    rng = np.random.default_rng(11)
+    img = _block_constant_image(rng, 24, 24, 8)
+    q = np.array(
+        [16, 11, 10, 16, 24, 40, 51, 61] + [60] * 56, dtype=np.int32
+    )
+    d = decode_jpeg(encode_jpeg([img], q=q, q16=True))
+    got = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(24, 24)
+    # constant blocks: only DC quantization error, <= q[0]/2 per block
+    assert np.abs(got.astype(int) - img.astype(int)).max() <= 8 // 2 + 1 + q[0] // 16
+
+
+def test_corrupt_and_unsupported_are_loud():
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"not a jpeg")
+    rng = np.random.default_rng(12)
+    img = _block_constant_image(rng, 8, 8, 8)
+    good = bytearray(encode_jpeg([img]))
+    # flip SOF0 -> SOF2 (progressive)
+    i = bytes(good).index(b"\xff\xc0")
+    good[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="0xc2"):
+        decode_jpeg(bytes(good))
+    with pytest.raises(ValueError):
+        decode_jpeg(encode_jpeg([img])[:30])
+
+
+def test_jpeg_through_spark_resize(spark):
+    """End-to-end: a real baseline JPEG decoded + resized through
+    multimodal.resize_images via the DEFAULT image/jpeg registry entry
+    (default entries exist in every Python worker; only custom decoders
+    need per-worker registration)."""
+    from sequila_spark.operators import multimodal as MM
+
+    rng = np.random.default_rng(13)
+    y = _block_constant_image(rng, 16, 24, 8)
+    cb = _block_constant_image(rng, 16, 24, 8)
+    cr = _block_constant_image(rng, 16, 24, 8)
+    payload = encode_jpeg([y, cb, cr])
+    media = spark.createDataFrame(
+        [(3, bytearray(payload), "image/jpeg", len(payload))],
+        "doc_id long, payload binary, media_type string, byte_len int",
+    )
+    out = MM.resize_images(media, 6, 4).collect()
+    assert (out[0]["width"], out[0]["height"], out[0]["channels"]) == (6, 4, 3)
+    full = _ycbcr_to_rgb(y, cb, cr)
+    yi = (np.arange(4) * 16) // 4
+    xi = (np.arange(6) * 24) // 6
+    golden = full[yi[:, None], xi[None, :], :]
+    got = np.frombuffer(out[0]["pixels"], dtype=np.uint8).reshape(4, 6, 3)
+    assert np.array_equal(got, golden)
