@@ -24,7 +24,19 @@ from sequila_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
-from sequila_spark.operators.sampling import hash_split, stratified_sample
+from sequila_spark.operators.sampling import (
+    hash_split,
+    mix_domains,
+    stratified_sample,
+)
+from sequila_spark.operators.multimodal import (
+    audio_features,
+    byte_features,
+    decode_media,
+    register_decoder,
+    resize_images,
+    sample_frames,
+)
 from sequila_spark.operators.similarity import (
     ann_topk_lsh,
     cosine_dup_pairs,
@@ -73,7 +85,15 @@ __all__ = [
     "ivf_index_load",
     "hash_split",
     "stratified_sample",
+    "mix_domains",
     "text_features",
     "quality_score",
     "lang_id",
+    # multimodal family (native PNG/BMP/GIF/JPEG/WAV codecs built in)
+    "byte_features",
+    "decode_media",
+    "resize_images",
+    "sample_frames",
+    "audio_features",
+    "register_decoder",
 ]
