@@ -155,37 +155,59 @@ def duckdb_minhash_pairs_phased(sdf, sf_dir: str, n_slices: int = 25) -> dict:
         )
         for b in range(DD.BANDS)
     )
-    cands = con.execute(f"""
+    # candidates stay IN DuckDB: at sf1 the banding yields ~8.4M pairs
+    # (one bucket holds 2,972 docs), and both the round-trip through
+    # Python executemany and the ONE-SQL exact-Jaccard over all pairs
+    # (shingle-join intermediate ~billions of rows) blew the temp-disk
+    # budget.  Verification runs in bounded ROW_NUMBER chunks instead —
+    # identical arithmetic, bounded spill, exactness preserved.
+    con.execute(f"""
+        CREATE TEMP TABLE cand AS
         WITH bands AS ({band_selects})
         SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-    """).fetchall()
-    con.execute("CREATE TEMP TABLE cand (id_1 BIGINT, id_2 BIGINT)")
-    if cands:
-        con.executemany("INSERT INTO cand VALUES (?, ?)", cands)
-    cand_ids = sorted({i for p in cands for i in p})
-    id_list = ",".join(map(str, cand_ids)) or "-1"
-    duck_rows = con.execute(f"""
-        WITH sh AS (
-          SELECT DISTINCT doc_id, UNNEST({duck_shingles}) AS sh
-          FROM documents WHERE doc_id IN ({id_list})
-        ),
-        sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-        shared AS (
-          SELECT cd.id_1, cd.id_2, COUNT(*) AS nshared
-          FROM cand cd
-          JOIN sh a ON a.doc_id = cd.id_1
-          JOIN sh b ON b.doc_id = cd.id_2 AND b.sh = a.sh
-          GROUP BY cd.id_1, cd.id_2
+    """)
+    n_cand = int(con.execute("SELECT COUNT(*) FROM cand").fetchone()[0])
+    con.execute(f"""
+        CREATE TEMP TABLE sh_c AS
+        SELECT DISTINCT doc_id, UNNEST({duck_shingles}) AS sh
+        FROM documents
+        WHERE doc_id IN (
+            SELECT id_1 FROM cand UNION SELECT id_2 FROM cand
         )
-        SELECT s.id_1, s.id_2,
-               CAST(s.nshared AS DOUBLE) / (s1.n + s2.n - s.nshared) AS jaccard
-        FROM shared s
-        JOIN sizes s1 ON s1.doc_id = s.id_1
-        JOIN sizes s2 ON s2.doc_id = s.id_2
-        WHERE CAST(s.nshared AS DOUBLE) / (s1.n + s2.n - s.nshared) >= 0.8
-    """).fetchall()
+    """)
+    con.execute(
+        "CREATE TEMP TABLE sizes AS "
+        "SELECT doc_id, COUNT(*) AS n FROM sh_c GROUP BY doc_id"
+    )
+    con.execute(
+        "CREATE TEMP TABLE candn AS SELECT id_1, id_2, "
+        "ROW_NUMBER() OVER (ORDER BY id_1, id_2) - 1 AS rn FROM cand"
+    )
+    duck_rows: list[tuple] = []
+    chunk = 100_000
+    for lo in range(0, max(n_cand, 1), chunk):
+        duck_rows.extend(con.execute(f"""
+            WITH cd AS (
+              SELECT id_1, id_2 FROM candn
+              WHERE rn >= {lo} AND rn < {lo + chunk}
+            ),
+            shared AS (
+              SELECT cd.id_1, cd.id_2, COUNT(*) AS nshared
+              FROM cd
+              JOIN sh_c a ON a.doc_id = cd.id_1
+              JOIN sh_c b ON b.doc_id = cd.id_2 AND b.sh = a.sh
+              GROUP BY cd.id_1, cd.id_2
+            )
+            SELECT s.id_1, s.id_2,
+                   CAST(s.nshared AS DOUBLE) / (s1.n + s2.n - s.nshared)
+                       AS jaccard
+            FROM shared s
+            JOIN sizes s1 ON s1.doc_id = s.id_1
+            JOIN sizes s2 ON s2.doc_id = s.id_2
+            WHERE CAST(s.nshared AS DOUBLE) / (s1.n + s2.n - s.nshared) >= 0.8
+        """).fetchall())
     con.close()
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
@@ -197,7 +219,7 @@ def duckdb_minhash_pairs_phased(sdf, sf_dir: str, n_slices: int = 25) -> dict:
         "hash_match": h_s == h_d,
         "spark_rows": n_s,
         "oracle_rows": n_d,
-        "n_band_candidates": len(cands),
+        "n_band_candidates": n_cand,
         "err": None,
         "method": "duckdb_phased_sig_band_candverify",
     }
