@@ -526,12 +526,21 @@ def main() -> None:
         }
         totals = [round(sum(s["queries"][n] for n in names), 3) for s in per_session]
         # consensus plan fingerprint: identical across sessions for a
-        # deterministic build; a disagreement is itself a finding
+        # deterministic build.  On disagreement record the MODAL fp (so
+        # next round's attribution can still compare) and list the
+        # dissenters under plan_fp_disagreement — "varies" alone made the
+        # instrument blind exactly when it was needed.
         fps = [s.get("plan_fp") or {} for s in per_session]
         plan_fp = {}
+        fp_disagreement: dict[str, list] = {}
         for n in names:
-            vals = {f.get(n) for f in fps if f.get(n)}
-            plan_fp[n] = vals.pop() if len(vals) == 1 else "varies"
+            vals = [f.get(n) for f in fps if f.get(n)]
+            uniq = set(vals)
+            if len(uniq) == 1:
+                plan_fp[n] = vals[0]
+            else:
+                plan_fp[n] = max(uniq, key=vals.count)
+                fp_disagreement[n] = sorted(uniq)
         summary = {
             "metric": "headline_queries_total_runtime",
             "value": round(sum(med.values()), 3),
@@ -552,6 +561,8 @@ def main() -> None:
         }
         if dropped:
             summary["dropped_queries"] = dropped
+        if fp_disagreement:
+            summary["plan_fp_disagreement"] = fp_disagreement
         pqc = _per_query_calibrated(med, calib, summary["sf"], plan_fp)
         if pqc is not None:
             summary["per_query_calibrated"] = pqc
