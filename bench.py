@@ -536,10 +536,13 @@ def main() -> None:
         for n in names:
             vals = [f.get(n) for f in fps if f.get(n)]
             uniq = set(vals)
-            if len(uniq) == 1:
+            if not vals:
+                plan_fp[n] = "unavailable"
+            elif len(uniq) == 1:
                 plan_fp[n] = vals[0]
             else:
-                plan_fp[n] = max(uniq, key=vals.count)
+                # sorted() makes the count tie-break deterministic
+                plan_fp[n] = max(sorted(uniq), key=vals.count)
                 fp_disagreement[n] = sorted(uniq)
         summary = {
             "metric": "headline_queries_total_runtime",

@@ -286,7 +286,9 @@ def audio_features(media: DataFrame) -> DataFrame:
                 rows["sample_rate"].append(d["sample_rate"])
                 rows["channels"].append(d["channels"])
                 rows["n_frames"].append(d["n_frames"])
-                rows["duration_s"].append(float(d["duration_s"]))
+                # derived, not read from the decoder: the registry contract
+                # requires only {sample_rate, channels, n_frames, samples}
+                rows["duration_s"].append(d["n_frames"] / d["sample_rate"])
                 rows["rms"].append(float(np.sqrt(np.mean(mono**2))) if n else 0.0)
                 rows["peak"].append(float(np.abs(x).max()) if n else 0.0)
                 rows["zero_cross_rate"].append(zc)

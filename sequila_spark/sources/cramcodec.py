@@ -2332,13 +2332,23 @@ def _decode_slice_records(
     def sr(name):
         return ds[name].bytes_reader(core, ext) if name in ds else _missing(name)
 
-    # id_use is series+tag content-id fan-in; streams with fan-in 1 are
-    # safe to pre-decode whole (order within an exclusive stream is the
-    # only observable the per-value readers depend on)
-    _pre_id_use: dict[int, int] = {}
-    for _e in list(ds.values()) + list(ch.tag_enc.values()):
-        for _cid in _enc_content_ids(_e):
-            _pre_id_use[_cid] = _pre_id_use.get(_cid, 0) + 1
+    ba_r = br("BA")
+    qs_enc = ds.get("QS")
+    qs_ext = ext.get(qs_enc.content_id) if qs_enc is not None and qs_enc.codec == 1 else None
+    qs_r = br("QS")
+    rdr = {
+        "FN": ir("FN"), "FC": br("FC"), "FP": ir("FP"), "BS": br("BS"),
+        "IN": sr("IN"), "SC": sr("SC"), "BA": ba_r, "DL": ir("DL"),
+        "RS": ir("RS"), "PD": ir("PD"), "HC": ir("HC"), "BB": sr("BB"),
+        "QQ": sr("QQ"), "QS": qs_r,
+    }
+    bulk = _bulk_feature_series(ch, ds, ext, rdr)
+    # content-id fan-in from the bulk pass (single source); streams with
+    # fan-in 1 are safe to pre-decode whole (order within an exclusive
+    # stream is the only observable the per-value readers depend on).
+    # _bulk_feature_series only consumed WALK-series streams — disjoint
+    # from the record-field/tag streams by the same fan-in-1 guard.
+    _pre_id_use = bulk["id_use"]
 
     def ir_bulk(name):
         r = _bulk_int_reader(ds.get(name), ext, _pre_id_use)
@@ -2354,17 +2364,6 @@ def _decode_slice_records(
     rn_r = sr_bulk("RN")
     mf_r, ns_r, np_r = ir_bulk("MF"), ir_bulk("NS"), ir_bulk("NP")
     ts_r, nf_r = ir_bulk("TS"), ir_bulk("NF")
-    ba_r = br("BA")
-    qs_enc = ds.get("QS")
-    qs_ext = ext.get(qs_enc.content_id) if qs_enc is not None and qs_enc.codec == 1 else None
-    qs_r = br("QS")
-    rdr = {
-        "FN": ir("FN"), "FC": br("FC"), "FP": ir("FP"), "BS": br("BS"),
-        "IN": sr("IN"), "SC": sr("SC"), "BA": ba_r, "DL": ir("DL"),
-        "RS": ir("RS"), "PD": ir("PD"), "HC": ir("HC"), "BB": sr("BB"),
-        "QQ": sr("QQ"), "QS": qs_r,
-    }
-    bulk = _bulk_feature_series(ch, ds, ext, rdr)
     # defer the feature walk past the record-field loop and run it as ONE
     # C call per slice (cram_walk in bamscan.c) when every walk series'
     # content stream is isolated from the record-field series — legal

@@ -168,6 +168,8 @@ def decode_gif(b: bytes) -> dict:
         if block != 0x2C:
             raise ValueError(f"unknown GIF block 0x{block:02x}")
         # image descriptor
+        if i + 9 > len(b):
+            raise ValueError("truncated GIF image descriptor")
         fl, ft, fw, fh, fp = struct.unpack_from("<HHHHB", b, i)
         i += 9
         if fw == 0 or fh == 0 or ft + fh > h or fl + fw > w:
@@ -181,6 +183,8 @@ def decode_gif(b: bytes) -> dict:
             i += 3 * n
         if ct is None:
             raise ValueError("GIF frame has no color table")
+        if i >= len(b):
+            raise ValueError("truncated GIF before LZW data")
         min_code = b[i]
         i += 1
         lzw, i = _subblocks(i)

@@ -158,8 +158,13 @@ def decode_jpeg(b: bytes) -> dict:
     while i + 4 <= len(b):
         if b[i] != 0xFF:
             raise ValueError(f"JPEG: expected marker at {i}")
-        m = b[i + 1]
-        i += 2
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while i < len(b) and b[i] == 0xFF:
+            i += 1
+        if i >= len(b):
+            raise ValueError("JPEG: truncated at fill bytes")
+        m = b[i]
+        i += 1
         if m == 0xD9:  # EOI before SOS
             raise ValueError("JPEG: no scan data")
         if m in (0x01,) or 0xD0 <= m <= 0xD7:
@@ -200,7 +205,10 @@ def decode_jpeg(b: bytes) -> dict:
                 raise NotImplementedError(f"JPEG precision {prec} (only 8)")
             if nc not in (1, 3):
                 raise NotImplementedError(f"JPEG with {nc} components")
-            if w == 0 or h == 0 or w * h * 3 > _MAX_PIXEL_BYTES:
+            # the decode path holds float64 intermediates (coef blocks,
+            # the einsum output, the stacked RGB) ~16x the final pixel
+            # buffer — the guard bounds PEAK allocation, not just output
+            if w == 0 or h == 0 or w * h * 3 * 16 > _MAX_PIXEL_BYTES:
                 raise ValueError(f"implausible JPEG dimensions {w}x{h}")
             for k in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * k)

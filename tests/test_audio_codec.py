@@ -150,3 +150,38 @@ def test_audio_features_through_spark(spark):
     zc = float(np.count_nonzero(np.signbit(mono[1:]) != np.signbit(mono[:-1]))) / (len(mono) - 1)
     assert out[1]["zero_cross_rate"] == pytest.approx(zc, rel=1e-6)
     assert out[2]["rms"] == 0.0 and out[2]["peak"] == 0.0
+
+
+def test_audio_features_contract_needs_no_duration():
+    """A registered decoder returning ONLY the documented contract
+    {sample_rate, channels, n_frames, samples} must work — duration is
+    derived, not read (code-review regression).  Runs the mapInPandas op
+    in-process (driver-side register_decoder doesn't reach Spark workers
+    by design — the Spark-path plumbing is covered by the e2e test
+    above, which uses the default audio/wav entry)."""
+    import pandas as pd
+
+    from sequila_spark.operators import multimodal as MM
+
+    def minimal_decoder(b: bytes) -> dict:
+        x = np.zeros(400, dtype=np.float32)
+        return {"sample_rate": 8000, "channels": 1, "n_frames": 400,
+                "samples": x.tobytes()}
+
+    class _CaptureOp:
+        def mapInPandas(self, op, schema):
+            self.op = op
+            return self
+
+    MM.register_decoder("x-test/pcm", minimal_decoder)
+    try:
+        cap = _CaptureOp()
+        MM.audio_features(cap)
+        batch = pd.DataFrame(
+            {"doc_id": [9], "media_type": ["x-test/pcm"], "payload": [b""]}
+        )
+        out = next(cap.op(iter([batch])))
+        assert out["duration_s"][0] == pytest.approx(0.05)
+        assert out["n_frames"][0] == 400
+    finally:
+        MM._DECODERS.pop("x-test/pcm", None)

@@ -268,3 +268,15 @@ def test_gif_through_spark_sample_frames_and_resize(spark):
     golden = pal[frames[0]][yi[:, None], xi[None, :], :]
     got = np.frombuffer(rs[0]["pixels"], dtype=np.uint8).reshape(4, 6, 3)
     assert np.array_equal(got, golden)
+
+
+def test_truncated_image_descriptor_raises_valueerror():
+    """All malformed-GIF paths raise ValueError, including a payload that
+    ends inside the image descriptor or before the LZW min-code byte
+    (previously struct.error escaped — code-review regression)."""
+    pal = np.zeros((2, 3), dtype=np.uint8)
+    img = np.zeros((2, 2), dtype=np.uint8)
+    good = encode_gif([img], pal)
+    i = good.index(b"\x2c")
+    with pytest.raises(ValueError, match="truncated GIF"):
+        decode_gif(good[: i + 3])

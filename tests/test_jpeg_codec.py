@@ -349,3 +349,29 @@ def test_jpeg_through_spark_resize(spark):
     golden = full[yi[:, None], xi[None, :], :]
     got = np.frombuffer(out[0]["pixels"], dtype=np.uint8).reshape(4, 6, 3)
     assert np.array_equal(got, golden)
+
+
+def test_fill_bytes_before_markers_accepted():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker —
+    real encoders emit such padding (code-review regression)."""
+    rng = np.random.default_rng(14)
+    img = _block_constant_image(rng, 8, 8, 8)
+    good = encode_jpeg([img])
+    # insert fill bytes before the DQT marker (right after SOI)
+    padded = good[:2] + b"\xff\xff\xff" + good[2:]
+    d = decode_jpeg(padded)
+    got = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(8, 8)
+    assert np.array_equal(got, img)
+
+
+def test_oversize_dimensions_rejected_before_allocation():
+    """The guard bounds PEAK allocation (float64 intermediates ~16x the
+    output), not just the final pixel buffer."""
+    rng = np.random.default_rng(15)
+    img = _block_constant_image(rng, 8, 8, 8)
+    good = bytearray(encode_jpeg([img]))
+    i = bytes(good).index(b"\xff\xc0")
+    # SOF0 payload: len(2) prec(1) h(2) w(2) -> patch h, w to 24000x24000
+    struct.pack_into(">HH", good, i + 5, 24000, 24000)
+    with pytest.raises(ValueError, match="implausible"):
+        decode_jpeg(bytes(good))
