@@ -981,3 +981,52 @@ def test_window_mismatches_watermark_drops_late_reads(spark, tmp_path):
         q.stop()
     w2 = (base + 500) - (base + 500) % 60
     assert final == {(w1, "1", 1): (2, 1, 1), (w2, "2", 1): (1, 1, 0)}
+
+
+def test_sampling_filters_stream_equals_batch(spark, sf_small, tmp_path):
+    """The sampling family (hash_split / sample_fraction /
+    stratified_sample) is stateless map-side filtering on md5 buckets, so
+    the SAME functions work unchanged on a streaming DataFrame — pinned
+    batch==stream here.  (mix_domains needs a global count, so its
+    streaming story is 'compute thresholds in batch, apply the filter on
+    the stream' — exercised via stratified_sample with the rates
+    mix_domains derives.)"""
+    from sequila_spark.operators.sampling import (
+        hash_split,
+        sample_fraction,
+        stratified_sample,
+    )
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    d = str(tmp_path / "docs")
+    docs.write.parquet(d)
+    stream = spark.readStream.schema(docs.schema).parquet(d)
+
+    out = sample_fraction(
+        stratified_sample(
+            hash_split(stream, "doc_id", {"train": 0.8, "test": 0.2}),
+            "doc_id",
+            "source",
+            {"src0": 1.0, "src1": 0.5},
+        ),
+        "doc_id",
+        0.9,
+    ).select("doc_id", "split", "source")
+    _run_stream(out, "sampled_stream", output_mode="append")
+    got = {
+        (r["doc_id"], r["split"], r["source"])
+        for r in spark.sql("SELECT * FROM sampled_stream").collect()
+    }
+    batch = sample_fraction(
+        stratified_sample(
+            hash_split(docs, "doc_id", {"train": 0.8, "test": 0.2}),
+            "doc_id",
+            "source",
+            {"src0": 1.0, "src1": 0.5},
+        ),
+        "doc_id",
+        0.9,
+    ).select("doc_id", "split", "source")
+    expect = {(r["doc_id"], r["split"], r["source"]) for r in batch.collect()}
+    assert got == expect
+    assert 0 < len(got) < docs.count()
