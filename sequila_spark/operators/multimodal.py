@@ -108,10 +108,12 @@ def byte_features(media: DataFrame) -> DataFrame:
 
 
 def decode_media(media: DataFrame) -> DataFrame:
-    """Dispatch to a registered decoder per media_type.  Raises
-    NotImplementedError when no decoder is registered for a type present in
-    the data — media codecs are not available in this environment; the
-    Spark-side plumbing is exercised via byte_features."""
+    """Decodability gate + byte features: verifies every media_type in the
+    batch has a registered decoder (PNG/BMP/GIF/JPEG/WAV ship as native
+    defaults; others via register_decoder) and emits the byte-level
+    feature row.  Raises NotImplementedError, per-task and loudly, when a
+    type present in the data has no decoder.  For decoded OUTPUT use the
+    typed operators: resize_images / sample_frames / audio_features."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:

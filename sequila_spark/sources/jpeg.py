@@ -16,8 +16,12 @@ image uses.  Supported surface:
   sampling factors up to 2 (4:4:4, 4:2:2, 4:4:0, 4:2:0), pixel-
   replication chroma upsampling, JFIF/BT.601 color conversion.
 
-Progressive (SOF2), arithmetic coding, 12-bit precision and hierarchical
-modes raise NotImplementedError by name.  Returns the image contract
+Progressive (SOF2) decodes too: multi-scan accumulation with spectral
+selection, successive approximation (DC first/refine, AC first/refine
+with EOB runs and correction bits, T.81 G.1.2), interleaved DC scans and
+per-component unpadded block grids for non-interleaved AC scans.
+Arithmetic coding, 12-bit precision and hierarchical modes raise
+NotImplementedError by name.  Returns the image contract
 ``{"width", "height", "channels", "pixels"}`` (pixels = row-major uint8,
 RGB for color, 1 channel for grayscale).  Size fields are validated
 before any allocation, mirroring image.py's guard.
@@ -154,6 +158,8 @@ def decode_jpeg(b: bytes) -> dict:
     comps: list[dict] = []
     w = h = 0
     restart_interval = 0
+    progressive = False
+    scanned = False
 
     while i + 4 <= len(b):
         if b[i] != 0xFF:
@@ -165,8 +171,8 @@ def decode_jpeg(b: bytes) -> dict:
             raise ValueError("JPEG: truncated at fill bytes")
         m = b[i]
         i += 1
-        if m == 0xD9:  # EOI before SOS
-            raise ValueError("JPEG: no scan data")
+        if m == 0xD9:  # EOI
+            break
         if m in (0x01,) or 0xD0 <= m <= 0xD7:
             continue  # parameterless
         (seg_len,) = struct.unpack_from(">H", b, i)
@@ -199,7 +205,8 @@ def decode_jpeg(b: bytes) -> dict:
                     raise ValueError("JPEG: truncated DHT")
                 (huff_dc if tc == 0 else huff_ac)[th] = _HuffTable(counts, symbols)
                 j += 17 + n
-        elif m in (0xC0, 0xC1):  # SOF0 baseline / SOF1 extended sequential
+        elif m in (0xC0, 0xC1, 0xC2):  # baseline / ext. sequential / progressive
+            progressive = m == 0xC2
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise NotImplementedError(f"JPEG precision {prec} (only 8)")
@@ -216,11 +223,15 @@ def decode_jpeg(b: bytes) -> dict:
                 if not (1 <= hs <= 2 and 1 <= vs <= 2):
                     raise NotImplementedError(f"JPEG sampling {hs}x{vs}")
                 comps.append({"id": cid, "h": hs, "v": vs, "tq": tq})
-        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError(f"JPEG SOF marker 0x{m:02x} (baseline only)")
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF marker 0x{m:02x} (baseline/progressive DCT only)"
+            )
         elif m == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif m == 0xDA:  # SOS
+            if not comps:
+                raise ValueError("JPEG: SOS before SOF")
             ns = seg[0]
             scan = []
             for k in range(ns):
@@ -228,70 +239,179 @@ def decode_jpeg(b: bytes) -> dict:
                 comp = next(c for c in comps if c["id"] == cs)
                 comp["td"], comp["ta"] = tdta >> 4, tdta & 15
                 scan.append(comp)
-            if len(scan) != len(comps):
-                raise NotImplementedError("JPEG multi-scan (non-interleaved)")
-            return _decode_scan(b, i, w, h, comps, qt, huff_dc, huff_ac,
-                                restart_interval)
+            ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 15
+            if not progressive:
+                if len(scan) != len(comps):
+                    raise NotImplementedError(
+                        "JPEG sequential multi-scan (non-interleaved)"
+                    )
+                ss, se, ah, al = 0, 63, 0, 0
+            elif len(scan) > 1 and ss != 0:
+                raise ValueError("JPEG: interleaved progressive AC scan")
+            if not scanned:
+                _init_coefs(comps, qt, w, h)
+                scanned = True
+            i = _entropy_scan(
+                b, i, scan, huff_dc, huff_ac, restart_interval,
+                ss, se, ah, al,
+            )
         # APPn, COM: skipped
-    raise ValueError("JPEG: no SOS marker")
+    if not scanned:
+        raise ValueError("JPEG: no SOS marker")
+    return _finish(comps, qt, w, h)
 
 
-def _decode_scan(b, i, w, h, comps, qt, huff_dc, huff_ac, restart_interval):
+def _init_coefs(comps, qt, w, h) -> None:
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
-    n_mcu = mcux * mcuy
     for c in comps:
         c["bw"] = mcux * c["h"]  # blocks per row (incl. MCU padding)
         c["bh"] = mcuy * c["v"]
+        c["mcux"], c["mcuy"] = mcux, mcuy
+        # non-interleaved scans cover the UNPADDED per-component grid
+        cw = -(-(w * c["h"]) // hmax)
+        ch = -(-(h * c["v"]) // vmax)
+        c["nw"] = -(-cw // 8)
+        c["nh"] = -(-ch // 8)
         c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int32)
-        c["pred"] = 0
         if c["tq"] not in qt:
             raise ValueError(f"JPEG: missing quant table {c['tq']}")
 
+
+def _entropy_scan(b, i, scan, huff_dc, huff_ac, restart_interval,
+                  ss, se, ah, al) -> int:
+    """Decode one scan's entropy data (sequential full-band, progressive
+    DC first/refine, AC first/refine with EOB runs — T.81 F.2 and G.1.2)
+    into the components' coefficient arrays; returns the offset of the
+    next marker."""
     r = _BitReader(b, i)
     zz = _ZIGZAG
-    mcu_seen = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_seen and mcu_seen % restart_interval == 0:
-                r.align()
-                mk = r.at_marker()
-                if mk is not None and 0xD0 <= mk <= 0xD7:
-                    r.i += 2
-                for c in comps:
-                    c["pred"] = 0
-            for c in comps:
-                td, ta = huff_dc.get(c["td"]), huff_ac.get(c["ta"])
-                if td is None or ta is None:
-                    raise ValueError("JPEG: missing Huffman table")
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        blk = c["coef"][
-                            (my * c["v"] + by) * c["bw"] + mx * c["h"] + bx
-                        ]
-                        s = r.huff(td)
-                        if s > 11:
-                            raise ValueError("JPEG: bad DC size")
-                        diff = _extend(r.take(s), s) if s else 0
-                        c["pred"] += diff
-                        blk[0] = c["pred"]
-                        k = 1
-                        while k < 64:
-                            rs = r.huff(ta)
-                            rr, s = rs >> 4, rs & 15
-                            if s == 0:
-                                if rr == 15:  # ZRL
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += rr
-                            if k > 63:
-                                raise ValueError("JPEG: AC index overflow")
-                            blk[zz[k]] = _extend(r.take(s), s)
-                            k += 1
-            mcu_seen += 1
+    state = {"eobrun": 0}
+    for c in scan:
+        c["pred"] = 0
+
+    def decode_block(c, blk):
+        if ss == 0:
+            td = huff_dc.get(c["td"])
+            if ah == 0:
+                if td is None:
+                    raise ValueError("JPEG: missing DC Huffman table")
+                s = r.huff(td)
+                if s > 11:
+                    raise ValueError("JPEG: bad DC size")
+                diff = _extend(r.take(s), s) if s else 0
+                c["pred"] += diff
+                blk[0] = c["pred"] << al
+            else:  # DC refine: one appended bit
+                if r.take(1):
+                    blk[0] |= 1 << al
+            if se == 0:
+                return
+        ta = huff_ac.get(c["ta"])
+        if ta is None:
+            raise ValueError("JPEG: missing AC Huffman table")
+        k = max(ss, 1)
+        if ah == 0:  # AC first (sequential scans land here with al=0)
+            if state["eobrun"] > 0:
+                state["eobrun"] -= 1
+                return
+            while k <= se:
+                rs = r.huff(ta)
+                rr, s = rs >> 4, rs & 15
+                if s == 0:
+                    if rr == 15:  # ZRL
+                        k += 16
+                        continue
+                    if rr:  # EOBn: run of (1<<rr)+bits - 1 FURTHER blocks
+                        state["eobrun"] = (1 << rr) - 1 + r.take(rr)
+                    break  # EOB
+                k += rr
+                if k > se:
+                    raise ValueError("JPEG: AC index overflow")
+                blk[zz[k]] = _extend(r.take(s), s) << al
+                k += 1
+            return
+        # AC refine (T.81 G.1.2.3 successive-approximation correction)
+        p1, m1 = 1 << al, -1 << al
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = r.huff(ta)
+                rr, s = rs >> 4, rs & 15
+                val = 0
+                if s == 0:
+                    if rr < 15:
+                        state["eobrun"] = (1 << rr) + (r.take(rr) if rr else 0)
+                        break
+                    # ZRL: skip 16 zero-history positions (15 + landing)
+                else:
+                    if s != 1:
+                        raise ValueError("JPEG: AC refine size != 1")
+                    val = p1 if r.take(1) else m1
+                while k <= se:
+                    z = zz[k]
+                    if blk[z] != 0:
+                        if r.take(1) and (blk[z] & p1) == 0:
+                            blk[z] += p1 if blk[z] >= 0 else m1
+                    else:
+                        if rr == 0:
+                            break
+                        rr -= 1
+                    k += 1
+                if val and k <= se:
+                    blk[zz[k]] = val
+                k += 1
+        if state["eobrun"] > 0:
+            # correction bits for the remaining nonzero history of this
+            # block; the decrement covers it as the first EOB-run member
+            while k <= se:
+                z = zz[k]
+                if blk[z] != 0:
+                    if r.take(1) and (blk[z] & p1) == 0:
+                        blk[z] += p1 if blk[z] >= 0 else m1
+                k += 1
+            state["eobrun"] -= 1
+
+    def restart(unit_idx):
+        if restart_interval and unit_idx and unit_idx % restart_interval == 0:
+            r.align()
+            mk = r.at_marker()
+            if mk is not None and 0xD0 <= mk <= 0xD7:
+                r.i += 2
+            for c in scan:
+                c["pred"] = 0
+            state["eobrun"] = 0
+
+    if len(scan) > 1:  # interleaved: MCU order over the scan's components
+        mcux, mcuy = scan[0]["mcux"], scan[0]["mcuy"]
+        unit = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                restart(unit)
+                for c in scan:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            idx = (my * c["v"] + by) * c["bw"] + mx * c["h"] + bx
+                            decode_block(c, c["coef"][idx])
+                unit += 1
+    else:  # non-interleaved: the component's own unpadded block grid
+        c = scan[0]
+        unit = 0
+        for by in range(c["nh"]):
+            for bx in range(c["nw"]):
+                restart(unit)
+                decode_block(c, c["coef"][by * c["bw"] + bx])
+                unit += 1
+    r.align()
+    return r.i
+
+
+def _finish(comps, qt, w, h) -> dict:
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    zz = _ZIGZAG
 
     # dequant + IDCT, all blocks of a component at once
     planes = []

@@ -23,6 +23,7 @@ _DC_COUNTS = [0, 0, 0, 12] + [0] * 12  # all 12 DC size symbols at 4 bits
 _AC_SYMS = bytes(
     [0x00, 0xF0]
     + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    + [n << 4 for n in range(1, 15)]  # EOBn (progressive EOB runs)
 )
 _AC_COUNTS = [0] * 7 + [len(_AC_SYMS)] + [0] * 8  # all AC symbols at 8 bits
 
@@ -115,23 +116,11 @@ def _seg(marker: int, body: bytes) -> bytes:
     return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
 
-def encode_jpeg(
-    planes: list[np.ndarray],
-    q: np.ndarray | None = None,
-    *,
-    subsample: bool = False,
-    restart_interval: int = 0,
-    q16: bool = False,
-) -> bytes:
-    """Baseline JPEG encoder for fixtures.  ``planes`` = [gray] or
-    [Y, Cb, Cr] full-resolution uint8 planes; with ``subsample`` the
-    chroma planes are 2x2-mean downsampled (4:2:0).  ``q`` is one quant
-    table in zigzag order (all components share it; default all-ones)."""
-    if q is None:
-        q = np.ones(64, dtype=np.int32)
+def _prep_components(planes, q, hv, subsample):
+    """Pad planes to MCU coverage, subsample chroma when asked, and FDCT-
+    quantize -> [(coef (n_blocks, 64) raster order, blocks_per_row), ...]."""
     h, w = planes[0].shape
     nc = len(planes)
-    hv = [(2, 2), (1, 1), (1, 1)] if (subsample and nc == 3) else [(1, 1)] * nc
     hmax = max(x for x, _ in hv[:nc])
     vmax = max(y for _, y in hv[:nc])
 
@@ -153,7 +142,6 @@ def encode_jpeg(
                 (pp[0::2, 0::2] + pp[0::2, 1::2] + pp[1::2, 0::2] + pp[1::2, 1::2])
                 / 4.0
             ).astype(np.uint8)
-        mh, mw = 8 * (vmax // hv[k][1]) * hv[k][1], 8  # pad to MCU coverage
         # pad the plane so it covers whole MCUs at this component's scale
         need_h = -(-h // (8 * vmax)) * 8 * hv[k][1]
         need_w = -(-w // (8 * hmax)) * 8 * hv[k][0]
@@ -167,6 +155,27 @@ def encode_jpeg(
         else:
             p = p[:need_h, :need_w]
         comp_blocks.append((_fdct_quant(p, q), p.shape[1] // 8))
+    return comp_blocks, hmax, vmax
+
+
+def encode_jpeg(
+    planes: list[np.ndarray],
+    q: np.ndarray | None = None,
+    *,
+    subsample: bool = False,
+    restart_interval: int = 0,
+    q16: bool = False,
+) -> bytes:
+    """Baseline JPEG encoder for fixtures.  ``planes`` = [gray] or
+    [Y, Cb, Cr] full-resolution uint8 planes; with ``subsample`` the
+    chroma planes are 2x2-mean downsampled (4:2:0).  ``q`` is one quant
+    table in zigzag order (all components share it; default all-ones)."""
+    if q is None:
+        q = np.ones(64, dtype=np.int32)
+    h, w = planes[0].shape
+    nc = len(planes)
+    hv = [(2, 2), (1, 1), (1, 1)] if (subsample and nc == 3) else [(1, 1)] * nc
+    comp_blocks, hmax, vmax = _prep_components(planes, q, hv, subsample)
 
     out = bytearray(b"\xff\xd8")
     if q16:
@@ -207,6 +216,214 @@ def encode_jpeg(
             mcu_seen += 1
     wtr.flush()
     out += wtr.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_progressive(
+    planes: list[np.ndarray],
+    q: np.ndarray | None = None,
+    *,
+    subsample: bool = False,
+    al: int = 1,
+    ac_bands: tuple = ((1, 63),),
+) -> bytes:
+    """Progressive (SOF2) encoder for fixtures, mirroring libjpeg's scan
+    discipline: DC first (interleaved, point transform ``al``), DC refine
+    scans down to 0, then per-component AC first + AC refine scans per
+    spectral band, with EOB-run accumulation and buffered correction
+    bits.  Coefficients reaching the decoder are EXACTLY the baseline
+    encoder's quantized values, so progressive-vs-baseline decode
+    equality is a full-pipeline pin."""
+    if q is None:
+        q = np.ones(64, dtype=np.int32)
+    h, w = planes[0].shape
+    nc = len(planes)
+    hv = [(2, 2), (1, 1), (1, 1)] if (subsample and nc == 3) else [(1, 1)] * nc
+    comp_blocks, hmax, vmax = _prep_components(planes, q, hv, subsample)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, bytes([0x00]) + np.asarray(q, dtype=np.uint8).tobytes())
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for k in range(nc):
+        sof += bytes([k + 1, (hv[k][0] << 4) | hv[k][1], 0])
+    out += _seg(0xC2, sof)
+    out += _seg(0xC4, bytes([0x00]) + bytes(_DC_COUNTS) + _DC_SYMS)
+    out += _seg(0xC4, bytes([0x10]) + bytes(_AC_COUNTS) + _AC_SYMS)
+
+    def sos(comp_ids, ss, se, ah, al_):
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            body += bytes([cid + 1, 0x00])
+        return _seg(0xDA, body + bytes([ss, se, (ah << 4) | al_]))
+
+    # --- DC first: interleaved, point transform al ---
+    out += sos(list(range(nc)), 0, 0, 0, al)
+    wtr = _BitWriter()
+    preds = [0] * nc
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for k in range(nc):
+                coef, bw = comp_blocks[k]
+                for by in range(hv[k][1]):
+                    for bx in range(hv[k][0]):
+                        idx = (my * hv[k][1] + by) * bw + mx * hv[k][0] + bx
+                        v = int(coef[idx][0]) >> al  # arithmetic shift
+                        diff = v - preds[k]
+                        preds[k] = v
+                        s = abs(diff).bit_length()
+                        code, ln = _DC_CODES[s]
+                        wtr.put(code, ln)
+                        if s:
+                            wtr.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    wtr.flush()
+    out += wtr.out
+
+    # --- DC refine scans: one appended bit per block per level ---
+    for level in range(al - 1, -1, -1):
+        out += sos(list(range(nc)), 0, 0, level + 1, level)
+        wtr = _BitWriter()
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for k in range(nc):
+                    coef, bw = comp_blocks[k]
+                    for by in range(hv[k][1]):
+                        for bx in range(hv[k][0]):
+                            idx = (my * hv[k][1] + by) * bw + mx * hv[k][0] + bx
+                            wtr.put((int(coef[idx][0]) >> level) & 1, 1)
+        wtr.flush()
+        out += wtr.out
+
+    # non-interleaved AC scans run over the component's UNPADDED grid
+    def ac_block_indices(k):
+        coef, bw = comp_blocks[k]
+        cw = -(-(w * hv[k][0]) // hmax)
+        ch = -(-(h * hv[k][1]) // vmax)
+        nw, nh = -(-cw // 8), -(-ch // 8)
+        return [by * bw + bx for by in range(nh) for bx in range(nw)]
+
+    # --- AC first scans: per component, per band, point transform al ---
+    for k in range(nc):
+        coef, _bw = comp_blocks[k]
+        for lo, hi in ac_bands:
+            out += sos([k], lo, hi, 0, al)
+            wtr = _BitWriter()
+            eobrun = 0
+
+            def flush_eob():
+                nonlocal eobrun
+                if eobrun:
+                    n = eobrun.bit_length() - 1
+                    code, ln = _AC_CODES[n << 4]
+                    wtr.put(code, ln)
+                    if n:
+                        wtr.put(eobrun - (1 << n), n)
+                    eobrun = 0
+
+            for idx in ac_block_indices(k):
+                zzvals = coef[idx][_ZIGZAG]
+                vals = [
+                    (int(v) >> al) if v >= 0 else -((-int(v)) >> al)
+                    for v in zzvals[lo : hi + 1]
+                ]  # AC point transform shifts the MAGNITUDE (toward zero)
+                if not any(vals):
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+                    continue
+                flush_eob()
+                run = 0
+                last_nz = max(j for j, v in enumerate(vals) if v)
+                for j, v in enumerate(vals):
+                    if j > last_nz:
+                        break
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = _AC_CODES[0xF0]
+                        wtr.put(code, ln)
+                        run -= 16
+                    s = abs(v).bit_length()
+                    code, ln = _AC_CODES[(run << 4) | s]
+                    wtr.put(code, ln)
+                    wtr.put(v if v >= 0 else v + (1 << s) - 1, s)
+                    run = 0
+                if last_nz < len(vals) - 1:
+                    eobrun += 1  # trailing zeros -> this block ends in EOB
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+            flush_eob()
+            wtr.flush()
+            out += wtr.out
+
+    # --- AC refine scans (libjpeg encode_mcu_AC_refine discipline) ---
+    for level in range(al - 1, -1, -1):
+        for k in range(nc):
+            coef, _bw = comp_blocks[k]
+            for lo, hi in ac_bands:
+                out += sos([k], lo, hi, level + 1, level)
+                wtr = _BitWriter()
+                eobrun = 0
+                pend: list[int] = []  # correction bits owed to EOB runs
+
+                def flush_eob_r():
+                    nonlocal eobrun, pend
+                    if eobrun:
+                        n = eobrun.bit_length() - 1
+                        code, ln = _AC_CODES[n << 4]
+                        wtr.put(code, ln)
+                        if n:
+                            wtr.put(eobrun - (1 << n), n)
+                        for bit in pend:
+                            wtr.put(bit, 1)
+                        eobrun = 0
+                        pend = []
+
+                for idx in ac_block_indices(k):
+                    zzvals = coef[idx][_ZIGZAG][lo : hi + 1]
+                    absv = [abs(int(v)) >> level for v in zzvals]
+                    eob_pos = -1
+                    for j, t in enumerate(absv):
+                        if t == 1:
+                            eob_pos = j
+                    run = 0
+                    br: list[int] = []
+                    for j, t in enumerate(absv):
+                        if t == 0:
+                            run += 1
+                            continue
+                        if t > 1:  # history: correction bit
+                            br.append(t & 1)
+                            continue
+                        # newly nonzero at this level
+                        while run > 15 and j <= eob_pos:
+                            flush_eob_r()
+                            code, ln = _AC_CODES[0xF0]
+                            wtr.put(code, ln)
+                            run -= 16
+                            for bit in br:
+                                wtr.put(bit, 1)
+                            br = []
+                        flush_eob_r()
+                        code, ln = _AC_CODES[(run << 4) | 1]
+                        wtr.put(code, ln)
+                        wtr.put(1 if int(zzvals[j]) > 0 else 0, 1)
+                        run = 0
+                        for bit in br:
+                            wtr.put(bit, 1)
+                        br = []
+                    if run > 0 or br:
+                        eobrun += 1
+                        pend.extend(br)
+                        if eobrun == 0x7FFF:
+                            flush_eob_r()
+                flush_eob_r()
+                wtr.flush()
+                out += wtr.out
+
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -316,10 +533,11 @@ def test_corrupt_and_unsupported_are_loud():
     rng = np.random.default_rng(12)
     img = _block_constant_image(rng, 8, 8, 8)
     good = bytearray(encode_jpeg([img]))
-    # flip SOF0 -> SOF2 (progressive)
+    # flip SOF0 -> SOF3 (lossless sequential: genuinely unsupported;
+    # SOF2 progressive is supported since the progressive-scan engine)
     i = bytes(good).index(b"\xff\xc0")
-    good[i + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="0xc2"):
+    good[i + 1] = 0xC3
+    with pytest.raises(NotImplementedError, match="0xc3"):
         decode_jpeg(bytes(good))
     with pytest.raises(ValueError):
         decode_jpeg(encode_jpeg([img])[:30])
@@ -375,3 +593,57 @@ def test_oversize_dimensions_rejected_before_allocation():
     struct.pack_into(">HH", good, i + 5, 24000, 24000)
     with pytest.raises(ValueError, match="implausible"):
         decode_jpeg(bytes(good))
+
+
+# --- progressive (SOF2) ---------------------------------------------------
+
+
+def test_progressive_equals_baseline_grayscale():
+    """Progressive and baseline encodings carry the IDENTICAL quantized
+    coefficients, so the decodes must be bit-equal — pins DC first/refine
+    and AC first/refine incl. EOB runs and correction bits, on both a
+    block-constant image (EOB-run heavy) and arbitrary content."""
+    rng = np.random.default_rng(31)
+    for img in (
+        _block_constant_image(rng, 32, 40, 8),
+        rng.integers(0, 256, size=(24, 24), dtype=np.uint8),
+    ):
+        base = decode_jpeg(encode_jpeg([img]))
+        prog = decode_jpeg(encode_jpeg_progressive([img], al=1))
+        assert prog["channels"] == 1
+        assert prog["pixels"] == base["pixels"], img.shape
+
+
+def test_progressive_equals_baseline_color_420_odd_dims():
+    """4:2:0 progressive with dims not a multiple of 16: the DC scan is
+    interleaved over padded MCUs while AC scans walk each component's
+    UNPADDED grid — the path real progressive files exercise."""
+    rng = np.random.default_rng(32)
+    planes = [rng.integers(0, 256, size=(19, 13), dtype=np.uint8) for _ in range(3)]
+    base = decode_jpeg(encode_jpeg(planes, subsample=True))
+    prog = decode_jpeg(encode_jpeg_progressive(planes, subsample=True, al=1))
+    assert prog["pixels"] == base["pixels"]
+
+
+def test_progressive_spectral_bands_and_deeper_approximation():
+    """Two spectral bands (1-5, 6-63) and a 2-level successive
+    approximation (al=2: one first + two refine scans per band)."""
+    rng = np.random.default_rng(33)
+    img = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg([img]))
+    prog = decode_jpeg(
+        encode_jpeg_progressive([img], al=2, ac_bands=((1, 5), (6, 63)))
+    )
+    assert prog["pixels"] == base["pixels"]
+
+
+def test_progressive_no_approximation_bands_only():
+    """Spectral selection without successive approximation (al=0) — the
+    simplest progressive shape some encoders emit."""
+    rng = np.random.default_rng(34)
+    planes = [rng.integers(0, 256, size=(16, 24), dtype=np.uint8) for _ in range(3)]
+    base = decode_jpeg(encode_jpeg(planes))
+    prog = decode_jpeg(
+        encode_jpeg_progressive(planes, al=0, ac_bands=((1, 63),))
+    )
+    assert prog["pixels"] == base["pixels"]
