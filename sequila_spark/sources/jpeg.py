@@ -207,7 +207,11 @@ def decode_jpeg(b: bytes) -> dict:
                 j += 17 + n
         elif m in (0xC0, 0xC1, 0xC2):  # baseline / ext. sequential / progressive
             progressive = m == 0xC2
+            if len(seg) < 6:
+                raise ValueError("JPEG: truncated SOF header")
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            if len(seg) < 6 + 3 * nc:
+                raise ValueError("JPEG: truncated SOF component list")
             if prec != 8:
                 raise NotImplementedError(f"JPEG precision {prec} (only 8)")
             if nc not in (1, 3):
@@ -228,15 +232,22 @@ def decode_jpeg(b: bytes) -> dict:
                 f"JPEG SOF marker 0x{m:02x} (baseline/progressive DCT only)"
             )
         elif m == 0xDD:  # DRI
+            if len(seg) < 2:
+                raise ValueError("JPEG: truncated DRI")
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif m == 0xDA:  # SOS
             if not comps:
                 raise ValueError("JPEG: SOS before SOF")
+            if len(seg) < 1 or len(seg) < 4 + 2 * seg[0]:
+                raise ValueError("JPEG: truncated SOS header")
             ns = seg[0]
             scan = []
             for k in range(ns):
                 cs, tdta = seg[1 + 2 * k], seg[2 + 2 * k]
-                comp = next(c for c in comps if c["id"] == cs)
+                matches = [c for c in comps if c["id"] == cs]
+                if not matches:
+                    raise ValueError(f"JPEG: scan references unknown component {cs}")
+                comp = matches[0]
                 comp["td"], comp["ta"] = tdta >> 4, tdta & 15
                 scan.append(comp)
             ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]

@@ -1,0 +1,68 @@
+"""Corrupt-input discipline for the native media codecs: at 100 TB the
+media column WILL contain truncated and bit-flipped payloads, and a
+decoder that escapes with IndexError/struct.error/StopIteration (or
+hangs, or allocates unboundedly) poisons whole tasks instead of failing
+the row loudly.  Seeded deterministic mutations of valid fixtures —
+byte flips, truncations, 8-byte garbage splices — must ALWAYS raise
+ValueError or NotImplementedError.  (This fuzz found two real escapes
+in the JPEG marker walk before it was committed: a StopIteration from a
+scan referencing an unknown component id and an IndexError from a
+truncated SOS header.)"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from sequila_spark.sources.audio import decode_wav
+from sequila_spark.sources.gif import decode_gif
+from sequila_spark.sources.image import decode_bmp, decode_png
+from sequila_spark.sources.jpeg import decode_jpeg
+
+TRIALS = 300
+
+
+def _fixtures():
+    from tests.test_audio_codec import _wav
+    from tests.test_gif_codec import encode_gif
+    from tests.test_image_codec import encode_png
+    from tests.test_jpeg_codec import encode_jpeg, encode_jpeg_progressive
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    gif_img = rng.integers(0, 16, size=(16, 16), dtype=np.uint8)
+    pcm = bytes(rng.integers(0, 256, size=400, dtype=np.uint8))
+    return {
+        "jpeg": (bytes(encode_jpeg([img])), decode_jpeg),
+        "jpeg_progressive": (
+            bytes(encode_jpeg_progressive([img])), decode_jpeg,
+        ),
+        "gif": (bytes(encode_gif([gif_img], pal)), decode_gif),
+        "png": (bytes(encode_png(img)), decode_png),
+        "wav": (bytes(_wav(1, 16, 8000, 1, pcm)), decode_wav),
+    }
+
+
+@pytest.mark.parametrize("name", ["jpeg", "jpeg_progressive", "gif", "png", "wav"])
+def test_mutated_payloads_fail_loudly_or_decode(name):
+    payload, dec = _fixtures()[name]
+    rng = np.random.default_rng(hash(name) % (2**32))
+    for trial in range(TRIALS):
+        b = bytearray(payload)
+        op = rng.integers(0, 3)
+        if op == 0:  # single byte flip
+            b[rng.integers(0, len(b))] = rng.integers(0, 256)
+        elif op == 1:  # truncate
+            b = b[: rng.integers(1, len(b))]
+        else:  # splice 8 garbage bytes
+            pos = rng.integers(0, len(b))
+            b[pos : pos + 8] = bytes(rng.integers(0, 256, size=8, dtype=np.uint8))
+        try:
+            dec(bytes(b))  # a mutation may land in a don't-care byte
+        except (ValueError, NotImplementedError):
+            pass  # the loud, per-row-catchable contract
+        except Exception as e:  # pragma: no cover - the failure being pinned
+            raise AssertionError(
+                f"{name} trial {trial}: non-loud {type(e).__name__}: {e!r}"
+            ) from e
