@@ -511,8 +511,24 @@ def _q_bed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tests", "fixtures", "test.bed",
         ),
     )
+
+    # The driver's canonicalizer sorts/hashes pandas frames, which chokes on
+    # unhashable list cells — render the int-array columns as deterministic
+    # JSON-style strings ("[255,0,0]", NULL stays NULL) on BOTH sides.
+    def _arr_str(name: str):
+        c = F.col(name)
+        return (
+            F.when(c.isNull(), F.lit(None).cast("string"))
+            .otherwise(F.concat(F.lit("["), F.concat_ws(",", c), F.lit("]")))
+            .alias(name)
+        )
+
     return bed.select(
-        "*", IV.unclean_contig(F.col(S.CONTIG)).alias("contig_unclean")
+        S.CONTIG, S.START, S.END, S.BED_NAME, S.BED_SCORE, S.BED_STRAND,
+        S.BED_THICK_START, S.BED_THICK_END,
+        _arr_str(S.BED_ITEM_RGB), S.BED_BLOCK_COUNT,
+        _arr_str(S.BED_BLOCK_SIZES), _arr_str(S.BED_BLOCK_STARTS),
+        IV.unclean_contig(F.col(S.CONTIG)).alias("contig_unclean"),
     )
 
 
@@ -1868,13 +1884,13 @@ def oracle_sql() -> dict[str, str]:
         "bed_features": """
             SELECT * FROM (VALUES
               ('1', 101, 200, 'feat1', 960, '+', 100, 200,
-               [255, 0, 0], 2, [10, 20], [0, 80], 'chr1'),
+               '[255,0,0]', 2, '[10,20]', '[0,80]', 'chr1'),
               ('2', 1, 50, NULL, NULL, NULL, NULL, NULL,
-               CAST(NULL AS INT[]), NULL, CAST(NULL AS INT[]),
-               CAST(NULL AS INT[]), 'chr2'),
+               CAST(NULL AS VARCHAR), NULL, CAST(NULL AS VARCHAR),
+               CAST(NULL AS VARCHAR), 'chr2'),
               ('MT', 11, 30, 'mito', NULL, NULL, NULL, NULL,
-               CAST(NULL AS INT[]), NULL, CAST(NULL AS INT[]),
-               CAST(NULL AS INT[]), 'chrM')
+               CAST(NULL AS VARCHAR), NULL, CAST(NULL AS VARCHAR),
+               CAST(NULL AS VARCHAR), 'chrM')
             ) AS t(contig, pos_start, pos_end, name, score, strand,
                    thick_start, thick_end, item_rgb, block_count,
                    block_sizes, block_starts, contig_unclean)

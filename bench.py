@@ -65,6 +65,36 @@ BENCH_QUERIES = [
 ]
 
 
+def _query_def_hash(fn) -> str:
+    """Hash of a bench query's DEFINITION (docstring-stripped AST of its
+    source), so the artifact pins what each headline number measured.
+    The gate slot list may rotate between rounds (r11: the CIGAR-walk
+    query was folded into ``coverage_blocks``, doubling its work) — with
+    this stamp a round-over-round ratio on a changed definition is
+    attributed ``def_changed`` instead of masquerading as a regression."""
+    import ast
+    import hashlib
+    import inspect
+    import textwrap
+
+    try:
+        src = textwrap.dedent(inspect.getsource(fn))
+        tree = ast.parse(src)
+        for node in ast.walk(tree):
+            if isinstance(
+                node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.Module)
+            ) and (
+                node.body
+                and isinstance(node.body[0], ast.Expr)
+                and isinstance(node.body[0].value, ast.Constant)
+                and isinstance(node.body[0].value.value, str)
+            ):
+                node.body = node.body[1:] or [ast.Pass()]
+        return hashlib.md5(ast.dump(tree).encode()).hexdigest()[:10]
+    except (OSError, TypeError, SyntaxError):
+        return "unavailable"
+
+
 def _plan_fp(df) -> str:
     """Stable fingerprint of a query's physical plan: the formatted
     explain string with volatile tokens (exprIds, plan ids, codegen ids,
@@ -172,11 +202,8 @@ def run_session() -> None:
         except Exception:
             pass
 
+    query_def = {n: _query_def_hash(qmap[n]) for n in names}
     for name in names:
-        try:
-            plan_fp[name] = _plan_fp(qmap[name](spark, SF_DIR))
-        except Exception:
-            plan_fp[name] = "unavailable"
         best = float("inf")
         measured = []
         # extend up to 3 extra runs while the best is still dropping >8%
@@ -216,6 +243,16 @@ def run_session() -> None:
             qmap[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         times[name] = round(best, 3)
+        # fingerprint AFTER the measured runs: by now every persist the
+        # query materializes is cached and AQE has executed, so the plan a
+        # fresh dataframe resolves to is the query's steady state — the
+        # pre-run fingerprint captured whichever caches happened to exist
+        # at that point in the session, which made the dedup/similarity
+        # family disagree across sessions (VERDICT r11 task 3)
+        try:
+            plan_fp[name] = _plan_fp(qmap[name](spark, SF_DIR))
+        except Exception:
+            plan_fp[name] = "unavailable"
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -227,6 +264,7 @@ def run_session() -> None:
                 "queries": times,
                 "cold_runs": cold,
                 "plan_fp": plan_fp,
+                "query_def": query_def,
                 "runs": runs,
                 "agg": "min",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
@@ -367,15 +405,18 @@ def _calibrate_gated(ref: dict | None, tries: int = 4, wait_s: int = 45):
 
 
 def _load_prev_round(sf) -> tuple[str, dict] | None:
-    """Latest committed BENCH_r{N}.json with per-query numbers, a gated md5
-    anchor reading, and the same sf — the baseline for the per-query
-    calibrated regression block.  Returns (filename, parsed) or None."""
+    """Latest committed BENCH_r{N}.json / BENCH_r{N}_local.json with
+    per-query numbers, a gated md5 anchor reading, and the same sf — the
+    baseline for the per-query calibrated regression block.  Within one
+    round the builder-committed ``_local`` detail artifact wins (the slim
+    driver headline no longer carries plan fingerprints or def hashes).
+    Returns (filename, parsed) or None."""
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
     best = None
     for fn in os.listdir(here):
-        m = re.fullmatch(r"BENCH_r(\d+)\.json", fn)
+        m = re.fullmatch(r"BENCH_r(\d+)(_local)?\.json", fn)
         if not m:
             continue
         try:
@@ -391,20 +432,26 @@ def _load_prev_round(sf) -> tuple[str, dict] | None:
             and d.get("cpu_calib_sec", {}).get("md5_256mb")
         ):
             rnd = int(m.group(1))
-            if best is None or rnd > best[0]:
-                best = (rnd, fn, d)
+            # rank: newer round first; within a round, richer detail first
+            rank = (rnd, 1 if d.get("plan_fp") else 0)
+            if best is None or rank > best[0]:
+                best = (rank, fn, d)
     return (best[1], best[2]) if best else None
 
 
-def _per_query_calibrated(med: dict, calib: dict, sf, plan_fp: dict) -> dict | None:
+def _per_query_calibrated(
+    med: dict, calib: dict, sf, plan_fp: dict, query_def: dict | None = None
+) -> dict | None:
     """Per-query ratio vs the previous round, NORMALIZED by the md5 host
     anchor (ratio_vs_prev / md5_ratio): >1 means the query got slower
     beyond what host drift explains.  Ratios > 1.15 are flagged — the
     calibration gate validates the WINDOW but cannot see a single-query
     plan regression; this block can.  Each flagged query is auto-
-    attributed via the plan fingerprint: fingerprint changed vs the prior
-    artifact -> 'plan_changed' (regression suspect); unchanged ->
-    'host' (banding); prior artifact has no fingerprints -> 'unknown'."""
+    attributed: definition hash changed vs the prior artifact ->
+    'def_changed' (the number measures different WORK — not comparable,
+    r11's coverage_blocks); else plan fingerprint changed ->
+    'plan_changed' (regression suspect); unchanged -> 'host' (banding);
+    prior artifact lacks fingerprints -> 'unknown'."""
     if not calib or not calib.get("md5_256mb"):
         return None
     prev = _load_prev_round(sf)
@@ -419,8 +466,21 @@ def _per_query_calibrated(med: dict, calib: dict, sf, plan_fp: dict) -> dict | N
     }
     flagged = sorted(n for n, r in ratios.items() if r > 1.15)
     prev_fp = d.get("plan_fp") or {}
+    prev_def = d.get("query_def") or {}
+    def_changed = sorted(
+        n
+        for n in ratios
+        if query_def
+        and prev_def
+        and query_def.get(n)
+        and prev_def.get(n)
+        and query_def[n] != prev_def[n]
+    )
     attribution = {}
     for n in flagged:
+        if n in def_changed:
+            attribution[n] = "def_changed"
+            continue
         cur = (plan_fp or {}).get(n)
         old = prev_fp.get(n)
         if not cur or not old or "unavailable" in (cur, old):
@@ -433,6 +493,7 @@ def _per_query_calibrated(med: dict, calib: dict, sf, plan_fp: dict) -> dict | N
         "ratios": ratios,
         "flagged_gt_1p15": flagged,
         "flag_attribution": attribution,
+        "def_changed": def_changed,
     }
 
 
@@ -544,12 +605,19 @@ def main() -> None:
                 # sorted() makes the count tie-break deterministic
                 plan_fp[n] = max(sorted(uniq), key=vals.count)
                 fp_disagreement[n] = sorted(uniq)
+        query_def = per_session[0].get("query_def") or {}
+        # The stdout headline stays SLIM: the driver tail-captures 2000
+        # chars, and the r11 line (fingerprints + per-query ratios +
+        # calib_ref inline) overflowed it — "parsed": null, a whole
+        # round's perf evidence unreadable.  Everything attribution-sized
+        # (plan_fp, query_def, ratios, disagreement detail) lives ONLY in
+        # the bench_history/ detail artifact; the headline carries the
+        # numbers plus short flag-name lists.
         summary = {
             "metric": "headline_queries_total_runtime",
             "value": round(sum(med.values()), 3),
             "unit": "sec",
             "queries": med,
-            "plan_fp": plan_fp,
             "sessions": len(per_session),
             "session_totals": totals,
             "spread_pct": round(
@@ -558,22 +626,34 @@ def main() -> None:
             "agg": "median_of_sessions__min_of_converged_runs",
             "cpu_calib_sec": calib,
             "calib_ok": calib_ok,
-            "calib_ref": calib_ref,
             "calib_worst_dev_pct": calib_dev,
             "sf": per_session[0]["sf"],
         }
         if dropped:
             summary["dropped_queries"] = dropped
-        if fp_disagreement:
-            summary["plan_fp_disagreement"] = fp_disagreement
-        pqc = _per_query_calibrated(med, calib, summary["sf"], plan_fp)
-        if pqc is not None:
-            summary["per_query_calibrated"] = pqc
         detail = {
             **summary,
+            "plan_fp": plan_fp,
+            "query_def": query_def,
+            "calib_ref": calib_ref,
             "session_queries": [s["queries"] for s in per_session],
             "session_cold_runs": [s.get("cold_runs") for s in per_session],
         }
+        if fp_disagreement:
+            detail["plan_fp_disagreement"] = fp_disagreement
+            summary["fp_disagree"] = sorted(fp_disagreement)
+        pqc = _per_query_calibrated(
+            med, calib, summary["sf"], plan_fp, query_def
+        )
+        if pqc is not None:
+            detail["per_query_calibrated"] = pqc
+            summary["pqc_vs"] = pqc["vs"]
+            # cap the inline list so a whole-window banding storm (r11:
+            # 15/19 flagged) can't overflow the 2000-char tail again
+            flg = pqc["flagged_gt_1p15"]
+            summary["pqc_flagged"] = flg if len(flg) <= 8 else len(flg)
+            if pqc["def_changed"]:
+                summary["def_changed"] = pqc["def_changed"]
         here = os.path.dirname(os.path.abspath(__file__))
         try:
             # append-only per-run detail: the per-query comparison needs it

@@ -3,16 +3,19 @@ decoded / feature-extracted through Arrow-batched pandas over mapInPandas.
 
 Extends the reference's surface (BASELINE.json north star).  The Spark-side
 plumbing — schemas, batch iteration, partition-preserving projection — is
-real and tested.  Media decode dispatches through a per-worker registry:
-PNG and BMP decode NATIVELY (sources/image.py — pure Python + NumPy +
-zlib with a C unfilter kernel, registered as ``image/png``/``image/bmp``
-at import), and WAV/PCM audio decodes natively too (sources/audio.py,
-registered as ``audio/wav``); formats that need external libraries
-(JPEG, compressed audio, video containers) remain honestly stubbed —
-``decode_media`` raises
-NotImplementedError unless a decoder is registered, and
-``byte_features`` provides the deterministic byte-level fallback
-(length, checksum, 16-bin byte histogram) used by tests and oracles.
+real and tested.  Media decode dispatches through a per-worker registry
+with NATIVE default decoders registered at import: PNG and BMP
+(sources/image.py — pure Python + NumPy + zlib with a C unfilter
+kernel, ``image/png``/``image/bmp``), baseline AND progressive JPEG
+(sources/jpeg.py, ``image/jpeg``), animated GIF with full LZW +
+disposal compositing (sources/gif.py, ``image/gif``, backing
+``sample_frames``), and WAV/PCM audio (sources/audio.py,
+``audio/wav``).  Only formats that genuinely need external libraries
+(compressed audio such as MP3/AAC, video containers) remain honestly
+stubbed — for those ``decode_media`` raises NotImplementedError unless
+a decoder is registered, and ``byte_features`` provides the
+deterministic byte-level fallback (length, checksum, 16-bin byte
+histogram) used by tests and oracles.
 
 At scale this is a map-only pipeline: no shuffle, Arrow batches end-to-end,
 and binary payloads stay off the driver.

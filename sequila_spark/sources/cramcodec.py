@@ -1992,7 +1992,7 @@ def _bulk_feature_series(ch, ds, ext, rdr) -> dict:
         raw = bytes(st.b[st.i :])
         st.i = len(st.b)
         out["bytes"][name] = np.frombuffer(raw, dtype=np.uint8)
-        rdr[name] = iter(raw).__next__
+        rdr[name] = _series_reader(raw)
 
     for name in ("FN", "FP", "DL", "RS", "PD", "HC"):
         _e, st = exclusive(name, 1)
@@ -2007,7 +2007,7 @@ def _bulk_feature_series(ch, ds, ext, rdr) -> dict:
             continue
         st.i = len(st.b)
         out["ints"][name] = arr
-        rdr[name] = iter(arr.tolist()).__next__
+        rdr[name] = _series_reader(arr.tolist())
 
     for name in ("SC", "IN", "BB"):
         e, st = exclusive(name, 5)
@@ -2024,13 +2024,33 @@ def _bulk_feature_series(ch, ds, ext, rdr) -> dict:
         out["arrs"][name] = (
             np.frombuffer(b"".join(vals), dtype=np.uint8), offs
         )
-        rdr[name] = iter(vals).__next__
+        rdr[name] = _series_reader(vals)
     return out
 
 
 #: kill switch for the whole-series record-field/tag pre-decode below —
 #: tests flip it to pin bulk == per-value paths record-identically.
 _BULK_RECORD_SERIES = True
+
+
+def _series_reader(vals):
+    """Zero-arg reader over a pre-decoded value series.  Exhaustion raises
+    ValueError — the same error type the per-value readers raise on a
+    truncated stream — instead of StopIteration, which PEP 479 would
+    surface as ``RuntimeError('generator raised StopIteration')`` from
+    the record-decode generator (an error-contract drift the fuzz tests
+    pin against)."""
+    it = iter(vals)
+
+    def read():
+        try:
+            return next(it)
+        except StopIteration:
+            raise ValueError(
+                "CRAM: pre-decoded series exhausted (truncated stream)"
+            ) from None
+
+    return read
 
 
 def _bulk_int_reader(e, ext, id_use):
@@ -2061,14 +2081,14 @@ def _bulk_int_reader(e, ext, id_use):
     if arr is None:
         return None
     st.i = len(st.b)
-    return iter(arr.tolist()).__next__
+    return _series_reader(arr.tolist())
 
 
 def _bulk_bytes_reader(e, ext, id_use):
     """Zero-arg reader over :func:`_bulk_bytes_series` (``None`` when the
     series cannot be pre-split)."""
     vals = _bulk_bytes_series(e, ext, id_use)
-    return None if vals is None else iter(vals).__next__
+    return None if vals is None else _series_reader(vals)
 
 
 def _bulk_bytes_series(e, ext, id_use):
@@ -2384,12 +2404,12 @@ def _decode_slice_records(
             if vals is not None:
                 try:
                     # pre-render the whole series (hot path)
-                    tag_fn[key] = iter(_tag_render_series(typ, vals)).__next__
+                    tag_fn[key] = _series_reader(_tag_render_series(typ, vals))
                 except Exception:
                     # a malformed value anywhere in the series (possibly in
                     # an unconsumed tail): per-record rendering over the
                     # same pre-split values raises only if actually read
-                    tag_fn[key] = _tag_render_fn(typ, iter(vals).__next__)
+                    tag_fn[key] = _tag_render_fn(typ, _series_reader(vals))
             else:
                 tag_fn[key] = _tag_render_fn(typ, enc.bytes_reader(core, ext))
     tag_rdr = [

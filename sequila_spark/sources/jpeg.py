@@ -175,6 +175,8 @@ def decode_jpeg(b: bytes) -> dict:
             break
         if m in (0x01,) or 0xD0 <= m <= 0xD7:
             continue  # parameterless
+        if i + 2 > len(b):
+            raise ValueError("JPEG: truncated segment header")
         (seg_len,) = struct.unpack_from(">H", b, i)
         seg = b[i + 2 : i + seg_len]
         if len(seg) != seg_len - 2:
@@ -252,6 +254,13 @@ def decode_jpeg(b: bytes) -> dict:
                 scan.append(comp)
             ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
             ah, al = ahal >> 4, ahal & 15
+            # T.81 B.2.3: Ss/Se index the 64-entry zig-zag; Ah/Al are bit
+            # positions (<=13 for 8-bit precision).  Unvalidated they escape
+            # as IndexError deep in the AC-refine loop.
+            if not (0 <= ss <= se <= 63) or ah > 13 or al > 13:
+                raise ValueError(
+                    f"JPEG: invalid scan progression Ss={ss} Se={se} Ah={ah} Al={al}"
+                )
             if not progressive:
                 if len(scan) != len(comps):
                     raise NotImplementedError(

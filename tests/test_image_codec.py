@@ -121,10 +121,16 @@ def test_png_corrupt_and_unsupported():
     bad_crc[-5] ^= 0xFF  # flip a byte inside IEND's CRC
     with pytest.raises(ValueError, match="CRC"):
         decode_png(bytes(bad_crc))
-    # 16-bit depth: raise by name, not garbage
+    # 16-bit depth is now supported — a header-only stream fails loudly
+    # on the missing IDAT instead
     ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 0, 0, 0, 0)
     p = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
-    with pytest.raises(NotImplementedError, match="bit depth"):
+    with pytest.raises(ValueError, match="IDAT"):
+        decode_png(p)
+    # illegal depth/color-type combination (16-bit palette)
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 3, 0, 0, 0)
+    p = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+    with pytest.raises(ValueError, match="illegal"):
         decode_png(p)
     # implausible dimensions rejected BEFORE allocation
     ihdr = struct.pack(">IIBBBBB", 1 << 24, 1 << 24, 8, 6, 0, 0, 0)
@@ -203,3 +209,191 @@ def test_resize_real_png_through_spark(spark):
     golden = img[yi[:, None], xi[None, :], :]
     got = np.frombuffer(r["pixels"], dtype=np.uint8).reshape(4, 6, 3)
     assert (got == golden).all()
+
+
+# ---- palette / sub-byte / 16-bit / Adam7 (VERDICT r11 task 6) -------------
+
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _pack_row(row: np.ndarray, depth: int) -> bytes:
+    """Pack one scanline of samples at ``depth`` bits (MSB-first)."""
+    if depth == 16:
+        return row.astype(">u2").tobytes()
+    if depth == 8:
+        return row.astype(np.uint8).tobytes()
+    out = bytearray()
+    acc = nb = 0
+    for v in row:
+        acc = (acc << depth) | int(v)
+        nb += depth
+        if nb == 8:
+            out.append(acc)
+            acc = nb = 0
+    if nb:
+        out.append(acc << (8 - nb))
+    return bytes(out)
+
+
+def encode_png_ex(
+    samples: np.ndarray,
+    depth: int,
+    ctype: int,
+    plte: np.ndarray | None = None,
+    trns: bytes | None = None,
+    interlace: int = 0,
+    filters: list[int] | None = None,
+) -> bytes:
+    """Spec-faithful encoder over the full IHDR space: ``samples`` is
+    (h, w, spp) of sample values at source depth; palette rows are
+    (n, 3) uint8; interlace=1 emits real Adam7 per-pass streams."""
+    h, w, spp = samples.shape
+    bpp = max(1, spp * depth // 8)
+
+    def sub_stream(sub: np.ndarray) -> bytes:
+        ph = sub.shape[0]
+        prev = np.zeros((sub.shape[1] * spp * depth + 7) // 8, dtype=np.uint8)
+        lines = []
+        for y in range(ph):
+            packed = np.frombuffer(
+                _pack_row(sub[y].reshape(-1), depth), dtype=np.uint8
+            )
+            f = filters[y % len(filters)] if filters else (y % 5)
+            lines.append(bytes([f]) + _filt(packed, f, prev, bpp))
+            prev = packed
+        return b"".join(lines)
+
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = samples[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                parts.append(sub_stream(sub))
+        stream = b"".join(parts)
+    else:
+        stream = sub_stream(samples)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+    out = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _chunk(b"PLTE", np.ascontiguousarray(plte, dtype=np.uint8).tobytes())
+    if trns is not None:
+        out += _chunk(b"tRNS", trns)
+    out += _chunk(b"IDAT", zlib.compress(stream)) + _chunk(b"IEND", b"")
+    return out
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4, 8])
+@pytest.mark.parametrize("interlace", [0, 1])
+def test_png_palette_depths(depth, interlace):
+    rng = np.random.default_rng(60 + depth + interlace)
+    n_pal = 1 << depth
+    plte = rng.integers(0, 256, size=(n_pal, 3), dtype=np.uint8)
+    idx = rng.integers(0, n_pal, size=(13, 17, 1), dtype=np.uint8)
+    d = decode_png(encode_png_ex(idx, depth, 3, plte=plte, interlace=interlace))
+    assert (d["width"], d["height"], d["channels"]) == (17, 13, 3)
+    got = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(13, 17, 3)
+    assert (got == plte[idx[:, :, 0]]).all()
+
+
+def test_png_palette_trns_alpha():
+    rng = np.random.default_rng(71)
+    plte = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    trns = bytes(rng.integers(0, 256, size=7, dtype=np.uint8))  # partial
+    idx = rng.integers(0, 16, size=(9, 11, 1), dtype=np.uint8)
+    d = decode_png(encode_png_ex(idx, 4, 3, plte=plte, trns=trns))
+    assert d["channels"] == 4
+    got = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(9, 11, 4)
+    alpha = np.full(16, 255, dtype=np.uint8)
+    alpha[:7] = np.frombuffer(trns, dtype=np.uint8)
+    assert (got[:, :, :3] == plte[idx[:, :, 0]]).all()
+    assert (got[:, :, 3] == alpha[idx[:, :, 0]]).all()
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_png_subbyte_gray_bit_replication(depth):
+    rng = np.random.default_rng(80 + depth)
+    maxv = (1 << depth) - 1
+    img = rng.integers(0, maxv + 1, size=(7, 19, 1), dtype=np.uint8)
+    d = decode_png(encode_png_ex(img, depth, 0))
+    got = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(7, 19)
+    assert (got == img[:, :, 0] * (255 // maxv)).all()
+
+
+@pytest.mark.parametrize("ctype,spp", [(0, 1), (2, 3), (4, 2), (6, 4)])
+@pytest.mark.parametrize("interlace", [0, 1])
+def test_png_16bit_downscale(ctype, spp, interlace):
+    rng = np.random.default_rng(90 + ctype + interlace)
+    img = rng.integers(0, 1 << 16, size=(12, 15, spp), dtype=np.uint16)
+    d = decode_png(encode_png_ex(img, 16, ctype, interlace=interlace))
+    assert d["channels"] == spp
+    got = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(12, 15, spp)
+    assert (got == (img >> 8).astype(np.uint8)).all()
+
+
+@pytest.mark.parametrize("c", [1, 2, 3, 4])
+def test_png_adam7_equals_sequential(c):
+    """Interlaced and sequential encodings of the same image decode
+    identically — sizes chosen so several passes are non-trivial and one
+    dimension is not a multiple of 8."""
+    rng = np.random.default_rng(100 + c)
+    img = rng.integers(0, 256, size=(21, 13, c), dtype=np.uint8)
+    seq = decode_png(encode_png_ex(img, 8, _CT[c]))
+    inter = decode_png(encode_png_ex(img, 8, _CT[c], interlace=1))
+    assert seq == inter
+    got = np.frombuffer(inter["pixels"], dtype=np.uint8).reshape(21, 13, c)
+    assert (got == img).all()
+
+
+def test_png_adam7_tiny_images_skip_empty_passes():
+    rng = np.random.default_rng(110)
+    for h, w in [(1, 1), (1, 5), (3, 2), (7, 7), (8, 8), (9, 1)]:
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        d = decode_png(encode_png_ex(img, 8, 2, interlace=1))
+        got = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(h, w, 3)
+        assert (got == img).all(), (h, w)
+
+
+def test_png_colorkey_trns():
+    rng = np.random.default_rng(120)
+    img = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    key = img[0, 0]  # guarantee at least one transparent pixel
+    trns = struct.pack(">HHH", *[int(v) for v in key])
+    d = decode_png(encode_png_ex(img, 8, 2, trns=trns))
+    assert d["channels"] == 4
+    got = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(8, 8, 4)
+    assert (got[:, :, :3] == img).all()
+    expect_a = np.where((img == key).all(axis=2), 0, 255)
+    assert (got[:, :, 3] == expect_a).all()
+    # 16-bit gray color key compares at SOURCE depth
+    img16 = rng.integers(0, 1 << 16, size=(6, 6, 1), dtype=np.uint16)
+    key16 = int(img16[1, 1, 0])
+    d16 = decode_png(encode_png_ex(img16, 16, 0, trns=struct.pack(">H", key16)))
+    assert d16["channels"] == 2
+    got16 = np.frombuffer(d16["pixels"], dtype=np.uint8).reshape(6, 6, 2)
+    expect_a16 = np.where(img16[:, :, 0] == key16, 0, 255)
+    assert (got16[:, :, 1] == expect_a16).all()
+
+
+def test_png_palette_corruption_loud():
+    rng = np.random.default_rng(130)
+    plte = rng.integers(0, 256, size=(4, 3), dtype=np.uint8)
+    idx = rng.integers(0, 4, size=(4, 4, 1), dtype=np.uint8)
+    # palette index past PLTE end
+    idx_bad = idx.copy()
+    idx_bad[0, 0, 0] = 9
+    with pytest.raises(ValueError, match="palette index"):
+        decode_png(encode_png_ex(idx_bad, 4, 3, plte=plte))
+    # tRNS longer than the palette
+    with pytest.raises(ValueError, match="tRNS"):
+        decode_png(encode_png_ex(idx, 4, 3, plte=plte, trns=b"\x00" * 9))
+    # palette image with no PLTE chunk at all
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png(encode_png_ex(idx, 4, 3, plte=None))
+    # tRNS is illegal alongside a real alpha channel
+    rgba = rng.integers(0, 256, size=(4, 4, 4), dtype=np.uint8)
+    with pytest.raises(ValueError, match="alpha"):
+        decode_png(encode_png_ex(rgba, 8, 6, trns=b"\x00\x01"))

@@ -647,3 +647,37 @@ def test_progressive_no_approximation_bands_only():
         encode_jpeg_progressive(planes, al=0, ac_bands=((1, 63),))
     )
     assert prog["pixels"] == base["pixels"]
+
+
+def test_truncated_segment_header_raises_valueerror():
+    """ADVICE r11: a payload whose fill-byte run ends within 2 bytes of
+    EOF used to escape with struct.error from the length read; the codec
+    contract is ValueError on any malformed input."""
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xff\xff\xdb")
+
+
+def test_invalid_sos_progression_raises_valueerror():
+    """ADVICE r11: corrupt progressive Ss/Se/Ah/Al (e.g. Se > 63) used to
+    escape with IndexError from the AC-refine loop; the SOS parser must
+    bound-check the progression fields (T.81 B.2.3)."""
+    rng = np.random.default_rng(35)
+    img = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    payload = bytearray(encode_jpeg_progressive([img]))
+    # find each SOS (FFDA) and corrupt its Se byte to 255
+    i = 0
+    hit = False
+    while True:
+        j = payload.find(b"\xff\xda", i)
+        if j < 0:
+            break
+        ns = payload[j + 4]
+        se_pos = j + 4 + 1 + 2 * ns + 1
+        if payload[se_pos] > 0:  # an AC scan: Se in 1..63
+            payload[se_pos] = 255
+            hit = True
+            break
+        i = j + 2
+    assert hit, "no AC scan found in progressive fixture"
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(payload))
