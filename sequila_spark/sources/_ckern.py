@@ -159,6 +159,10 @@ def _build() -> object | None:
     ]
     lib.png_unfilter.restype = i64
     lib.png_unfilter.argtypes = [p_u8, p_u8, i64, i64, i64]
+    lib.rans_tables_fill.restype = i64
+    lib.rans_tables_fill.argtypes = [
+        ctypes.POINTER(ctypes.c_uint64), p_u8, p_i64, i64, p_u8, p_i64,
+    ]
     return lib
 
 
@@ -403,6 +407,36 @@ def cram_walk(
     if rc != 0:
         raise CramWalkAbort(int(rc), int(err.value))
     return seq_out, seq_off, cig_out, cig_off, reflen, nm, qual_off
+
+
+def rans_tables_fill(
+    tables: np.ndarray,
+    ctx_ids: np.ndarray,
+    ctx_off: np.ndarray,
+    syms: np.ndarray,
+    freqs: np.ndarray,
+) -> bool:
+    """Fill rANS 4x8 packed decode tables for all contexts in one C call
+    (same per-slot word layout as cramcodec._rans_pack_table_np, which
+    stays the pinned fallback).  ``tables`` is a zeroed uint64 array with
+    4096 slots per context row; context k's (symbol, freq) pairs are
+    syms/freqs[ctx_off[k]:ctx_off[k+1]], written to row ctx_ids[k].
+    Returns True when the kernel ran, False when absent; ValueError when
+    frequencies overflow a row."""
+    lib = _lib()
+    if lib is None:
+        return False
+    rc = lib.rans_tables_fill(
+        tables.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        _p_u8(ctx_ids),
+        _p_i64(ctx_off),
+        len(ctx_ids),
+        _p_u8(syms),
+        _p_i64(freqs),
+    )
+    if rc != 0:
+        raise ValueError("corrupt rANS frequency table (slot overflow)")
+    return True
 
 
 def png_unfilter(data: np.ndarray, filters: np.ndarray, bpp: int) -> bool:

@@ -631,3 +631,39 @@ int64_t png_unfilter(uint8_t *data, const uint8_t *filters, int64_t h,
     }
     return 0;
 }
+
+/* rANS 4x8 decode-table fill: for each context k, entries
+ * [ctx_off[k], ctx_off[k+1]) are (symbol, freq) pairs in PARSE order
+ * (later duplicates overwrite, matching htscodecs); the packed per-slot
+ * word layout matches cramcodec._rans_pack_table_np:
+ * (1<<48 filled-marker) | (freq<<24) | (bias<<12) | symbol.
+ * Rows for contexts not listed stay zero (the rans4x8 kernel treats a
+ * zero word as an unfilled slot and aborts loudly).
+ * Returns -1 when a context's frequencies overflow the 4096 slots. */
+int64_t rans_tables_fill(uint64_t *tables, const uint8_t *ctx_ids,
+                         const int64_t *ctx_off, int64_t n_ctx,
+                         const uint8_t *syms, const int64_t *freqs) {
+    for (int64_t k = 0; k < n_ctx; k++) {
+        uint64_t *row = tables + (int64_t)ctx_ids[k] * 4096;
+        int64_t freq[256];
+        int64_t e, c = 0;
+        int s;
+        /* full-row replace: a duplicate context id in a (corrupt) RLE
+         * parse must not leave stale slots from the earlier fill */
+        for (e = 0; e < 4096; e++) row[e] = 0;
+        for (s = 0; s < 256; s++) freq[s] = 0;
+        for (e = ctx_off[k]; e < ctx_off[k + 1]; e++)
+            freq[syms[e]] = freqs[e];
+        for (s = 0; s < 256; s++) {
+            int64_t f = freq[s], slot;
+            uint64_t base;
+            if (!f) continue;
+            if (f < 0 || c + f > 4096) return -1;
+            base = ((uint64_t)f << 24) | (uint64_t)s | (1ULL << 48);
+            for (slot = 0; slot < f; slot++)
+                row[c + slot] = base | ((uint64_t)slot << 12);
+            c += f;
+        }
+    }
+    return 0;
+}

@@ -332,13 +332,14 @@ def rans_decode(data: bytes) -> bytes:
         import numpy as np
 
         if order == 0:
-            tables = _rans_pack_table_np(_rans_read_freq_pairs(r))
+            ctx_pairs = [(0, _rans_read_freq_pairs(r))]
+            tables = np.zeros(4096, dtype=np.uint64)
         else:
-            tables = np.zeros((256, 4096), dtype=np.uint64)
+            ctx_pairs = []
             sym = r.u8()
             rle = 0
             while True:
-                tables[sym] = _rans_pack_table_np(_rans_read_freq_pairs(r))
+                ctx_pairs.append((sym, _rans_read_freq_pairs(r)))
                 if rle > 0:
                     rle -= 1
                     sym += 1
@@ -350,6 +351,27 @@ def rans_decode(data: bytes) -> bytes:
                     sym = nxt
                 if sym == 0:
                     break
+            tables = np.zeros((256, 4096), dtype=np.uint64)
+        # all contexts' tables in ONE C pass (pinned fallback: the
+        # per-context NumPy builder)
+        ctx_ids = np.fromiter(
+            (c for c, _ in ctx_pairs), dtype=np.uint8, count=len(ctx_pairs)
+        )
+        ctx_off = np.zeros(len(ctx_pairs) + 1, dtype=np.int64)
+        np.cumsum([len(p) for _, p in ctx_pairs], out=ctx_off[1:])
+        flat = [sf for _, p in ctx_pairs for sf in p]
+        syms_a = np.fromiter(
+            (s for s, _ in flat), dtype=np.uint8, count=len(flat)
+        )
+        freqs_a = np.fromiter(
+            (f for _, f in flat), dtype=np.int64, count=len(flat)
+        )
+        if not CK.rans_tables_fill(tables, ctx_ids, ctx_off, syms_a, freqs_a):
+            if order == 0:
+                tables = _rans_pack_table_np(ctx_pairs[0][1])
+            else:
+                for c, p in ctx_pairs:
+                    tables[c] = _rans_pack_table_np(p)
         sbytes = r.read(16)
         if len(sbytes) != 16:
             raise ValueError("corrupt rANS 4x8 block: truncated state vector")
@@ -1907,10 +1929,17 @@ def decode_container(
                 core = BitReader(bpayload)
             elif btype == 4:
                 ext[bid] = ByteReader(bpayload)
-        yield from _decode_slice_records(
+        cols = _decode_slice_columns(
             ch, core, ext, s_ref, s_start, s_nrec, ref_names, ref_seqs,
             synthesize_nm, rg_names,
         )
+        if cols is not None:
+            yield from zip(*(cols[c] for c in _REC_COLS))
+        else:
+            yield from _decode_slice_records(
+                ch, core, ext, s_ref, s_start, s_nrec, ref_names, ref_seqs,
+                synthesize_nm, rg_names,
+            )
 
 
 def _enc_content_ids(e: "Encoding") -> list[int]:
@@ -2053,18 +2082,20 @@ def _series_reader(vals):
     return read
 
 
-def _bulk_int_reader(e, ext, id_use):
-    """One-pass decode of an EXTERNAL itf8 int series (record fields: BF,
-    CF, RL, AP, TL, MQ, ...) whose content stream no other encoding
-    shares: the whole remaining block IS the value sequence, so the C
-    itf8 kernel scans it once and the per-record reads become list-
-    iterator ``next()`` calls — after the C feature walk and the fused
-    tag renderers, these per-record ``itf8()`` calls were the largest
-    remaining slice-decode cost (~33k calls per NA12878 slice).  Returns
-    ``None`` when the layout (shared stream, non-EXTERNAL codec, missing
-    block, truncated stream, no C kernel) requires the per-value reader,
-    which stays the pinned semantic reference."""
-    if not _BULK_RECORD_SERIES or e is None or e.codec != 1:
+def _bulk_int_array(e, ext, id_use, n: int | None = None):
+    """Whole-series int array for an EXTERNAL itf8 series whose content
+    stream no other encoding shares (C itf8 kernel scans the remaining
+    block once, consuming it), or a constant Huffman series broadcast to
+    ``n``.  Returns an int64 ndarray or ``None`` when the layout (shared
+    stream, other codec, missing block, truncated stream, no C kernel)
+    requires the per-value reader."""
+    if not _BULK_RECORD_SERIES or e is None:
+        return None
+    import numpy as np
+
+    if n is not None and e._const():
+        return np.full(n, e.alphabet[0], dtype=np.int64)
+    if e.codec != 1:
         return None
     if id_use.get(e.content_id) != 1 or e.content_id not in ext:
         return None
@@ -2081,7 +2112,22 @@ def _bulk_int_reader(e, ext, id_use):
     if arr is None:
         return None
     st.i = len(st.b)
-    return _series_reader(arr.tolist())
+    return arr
+
+
+def _bulk_int_reader(e, ext, id_use):
+    """One-pass decode of an EXTERNAL itf8 int series (record fields: BF,
+    CF, RL, AP, TL, MQ, ...) whose content stream no other encoding
+    shares: the whole remaining block IS the value sequence, so the C
+    itf8 kernel scans it once and the per-record reads become list-
+    iterator ``next()`` calls — after the C feature walk and the fused
+    tag renderers, these per-record ``itf8()`` calls were the largest
+    remaining slice-decode cost (~33k calls per NA12878 slice).  Returns
+    ``None`` when the layout (shared stream, non-EXTERNAL codec, missing
+    block, truncated stream, no C kernel) requires the per-value reader,
+    which stays the pinned semantic reference."""
+    arr = _bulk_int_array(e, ext, id_use)
+    return None if arr is None else _series_reader(arr.tolist())
 
 
 def _bulk_bytes_reader(e, ext, id_use):
@@ -2318,6 +2364,326 @@ def _finish_deferred_walk(
             qraw = qs_b[qbase + q : qbase + q + rl]
             if qraw != b"\xff" * rl:
                 rec["qual"] = qraw.translate(_QUAL33).decode("latin-1")
+
+
+#: kill switch for the fully-columnar slice decode below — tests flip it
+#: to pin columnar == per-record paths record-identically.
+_COLUMNAR_SLICE = True
+
+#: yield-tuple field order (matches _decode_slice_records' yield)
+_REC_COLS = (
+    "qname", "flag", "contig", "pos_start", "pos_end", "mapq", "cigar",
+    "rnext", "pnext", "tlen", "seq", "qual", "tags",
+)
+
+
+def _walk_columns(ch, bulk, qs_ext, s_ref, ref_names, ref_seqs,
+                  rl_a, ap_a, mp_a, cf_a):
+    """Columnar analog of _finish_deferred_walk: ONE cram_walk C call over
+    the already-held arrays (no dict round-trip, no np.fromiter).
+    Returns (seqs, cigars, reflen ndarray, quals, nm ndarray) or ``None``
+    on any abort — the caller then restores stream state and replays the
+    slice through the pinned per-record path."""
+    from sequila_spark.sources import _ckern as CK
+    from sequila_spark.sources.bamcodec import _QUAL33
+
+    n = len(rl_a)
+    contig = ref_names[s_ref] if 0 <= s_ref < len(ref_names) else None
+    have_ref = ref_seqs is not None and contig in ref_seqs
+    if (not have_ref) and ch.rr and bool(mp_a.any()):
+        return None  # the per-record path raises the reference-required error
+    refseq = ref_seqs[contig] if have_ref else ""
+    ref_b = _ref_bytes(refseq)
+    if ref_b is None:
+        return None
+    qs_total = (len(qs_ext.b) - qs_ext.i) if qs_ext is not None else 0
+    try:
+        seq_out, seq_off, cig_out, cig_off, reflen, nm_a, qual_off = (
+            CK.cram_walk(
+                ref_b, _subtab_c(ch), bulk["ints"], bulk["bytes"],
+                bulk["arrs"], qs_total, rl_a, ap_a, mp_a, cf_a,
+            )
+        )
+    except CK.CramWalkAbort:
+        return None
+    total = int(seq_off[-1])
+    if total and int(seq_out[:total].max()) > 127:
+        return None  # >0x7F byte: strict-vs-replace decode semantics differ
+    big = seq_out[:total].tobytes().decode("ascii")
+    cig_s = cig_out[: int(cig_off[-1])].tobytes().decode("ascii")
+    so = seq_off.tolist()
+    co = cig_off.tolist()
+    qo = qual_off.tolist()
+    seqs = [big[so[i] : so[i + 1]] or None for i in range(n)]
+    cigars = [cig_s[co[i] : co[i + 1]] for i in range(n)]
+    qs_b = qs_ext.b if qs_ext is not None else b""
+    qbase = qs_ext.i if qs_ext is not None else 0
+    rl_l = rl_a.tolist()
+    quals: list = [None] * n
+    for i in range(n):
+        q = qo[i]
+        if q >= 0:
+            rl = rl_l[i]
+            qraw = qs_b[qbase + q : qbase + q + rl]
+            if qraw != b"\xff" * rl:
+                quals[i] = qraw.translate(_QUAL33).decode("latin-1")
+    return seqs, cigars, reflen, quals, nm_a
+
+
+def _resolve_mates_arrays(nf_full, bf, ap, end, unmapped,
+                          next_rid, next_pos, tlen, rid: int) -> None:
+    """Array port of _resolve_mates (same chain semantics, pinned by the
+    columnar==per-record tests): NF chains within the slice, mate fields
+    from the mate record, flag bits 0x20/0x8 mirrored, template-span TLEN
+    with the +span-on-leftmost convention."""
+    n = len(nf_full)
+    in_chain: set[int] = set()
+    for i in range(n):
+        if nf_full[i] < 0 or i in in_chain:
+            continue
+        chain = [i]
+        j = i
+        while nf_full[j] >= 0:
+            nxt = j + int(nf_full[j]) + 1
+            if nxt <= j or nxt >= n or nxt in in_chain:
+                break  # malformed link (backward/out-of-range): stop here
+            j = nxt
+            chain.append(j)
+            in_chain.add(j)
+        in_chain.update(chain)
+        m = len(chain)
+        if m < 2:  # malformed out-of-range link: leave the record unmated
+            continue
+        for k, idx in enumerate(chain):
+            b_idx = chain[(k + 1) % m]
+            next_rid[idx] = rid
+            next_pos[idx] = ap[b_idx]
+            if bf[b_idx] & 0x10:
+                bf[idx] |= 0x20
+            if bf[b_idx] & 0x4:
+                bf[idx] |= 0x8
+        if all(
+            (not unmapped[idx]) and end[idx] > 0 for idx in chain
+        ):
+            left_start = min(ap[idx] for idx in chain)
+            right_end = max(end[idx] for idx in chain)
+            t = right_end - left_start + 1
+            leftmost = min(range(m), key=lambda k: (ap[chain[k]], k))
+            for k, idx in enumerate(chain):
+                tlen[idx] = t if k == leftmost else -t
+
+
+def _decode_slice_columns(
+    ch: CompressionHeader,
+    core: BitReader,
+    ext: dict[int, ByteReader],
+    s_ref: int,
+    s_start: int,
+    s_nrec: int,
+    ref_names: list[str],
+    ref_seqs: dict[str, str] | None,
+    synthesize_nm: bool = False,
+    rg_names: list[str] | None = None,
+):
+    """Fully-columnar slice decode: every record-field series is decoded
+    whole into arrays (C itf8 kernel / byte splits), the feature walk runs
+    as one C call, and per-record work shrinks to tag-dict assembly plus
+    string slicing — no per-record dicts, no per-record reader calls.
+
+    Returns ``{col: list}`` (keys _REC_COLS, value lists of length
+    s_nrec) or ``None`` when any precondition fails — core-bit series,
+    shared streams, non-EXTERNAL codecs, walk aborts — in which case ALL
+    stream positions are restored and the caller replays the slice
+    through _decode_slice_records, the pinned semantic reference."""
+    from sequila_spark.sources import _ckern as CK
+
+    if not (_COLUMNAR_SLICE and _BULK_RECORD_SERIES and CK.available()):
+        return None
+    import numpy as np
+
+    n = s_nrec
+    if n == 0:
+        return {c: [] for c in _REC_COLS}
+
+    snap = {cid: st.i for cid, st in ext.items()}
+    core_snap = (core.pos, core.bit)
+
+    def bail():
+        for cid, pos in snap.items():
+            ext[cid].i = pos
+        core.pos, core.bit = core_snap
+        return None
+
+    ds = ch.ds
+    rdr_dummy: dict = {}
+    bulk = _bulk_feature_series(ch, ds, ext, rdr_dummy)
+    qs_enc = ds.get("QS")
+    qs_ext = (
+        ext.get(qs_enc.content_id)
+        if qs_enc is not None and qs_enc.codec == 1
+        else None
+    )
+    if not _can_defer_walk(ch, ds, bulk, s_ref, qs_ext):
+        return bail()
+    id_use = bulk["id_use"]
+
+    def ints(name):
+        a = _bulk_int_array(ds.get(name), ext, id_use, n)
+        return None if a is None else a
+
+    bf = ints("BF")
+    cf = ints("CF")
+    rl = ints("RL")
+    ap = ints("AP")
+    tl = ints("TL")
+    rg = ints("RG")
+    if any(
+        a is None or len(a) < n for a in (bf, cf, rl, ap, tl, rg)
+    ):
+        return bail()
+    bf = bf[:n].copy()
+    cf = cf[:n]
+    rl = rl[:n]
+    tl = tl[:n]
+    rg = rg[:n]
+    ap = (s_start + np.cumsum(ap[:n])) if ch.ap_delta else ap[:n].copy()
+
+    detached = (cf & 2) != 0
+    samemate = ((cf & 4) != 0) & ~detached
+    unmapped = (bf & 4) != 0
+    d_idx = np.flatnonzero(detached)
+    nd = len(d_idx)
+
+    next_rid = np.full(n, -1, dtype=np.int64)
+    next_pos = np.zeros(n, dtype=np.int64)
+    tlen = np.zeros(n, dtype=np.int64)
+    if nd:
+        mf = ints("MF")
+        ns = ints("NS")
+        np_a = ints("NP")
+        ts = ints("TS")
+        if any(a is None or len(a) < nd for a in (mf, ns, np_a, ts)):
+            return bail()
+        mf = mf[:nd]
+        next_rid[d_idx] = ns[:nd]
+        next_pos[d_idx] = np_a[:nd]
+        tlen[d_idx] = ts[:nd]
+        bf[d_idx] |= np.where((mf & 1) != 0, 0x20, 0) | np.where(
+            (mf & 2) != 0, 0x8, 0
+        )
+    m_idx = np.flatnonzero(samemate)
+    nf_full = np.full(n, -1, dtype=np.int64)
+    if len(m_idx):
+        nf = ints("NF")
+        if nf is None or len(nf) < len(m_idx):
+            return bail()
+        nf_full[m_idx] = nf[: len(m_idx)]
+
+    # qnames: whole RN series (BYTE_ARRAY_STOP split) — every record when
+    # names are preserved, detached records otherwise
+    qnames: list = [None] * n
+    need_rn = n if ch.rn_preserved else nd
+    if need_rn:
+        rn_vals = _bulk_bytes_series(ds.get("RN"), ext, id_use)
+        if rn_vals is None or len(rn_vals) < need_rn:
+            return bail()
+        decoded = [v.decode("ascii", "replace") for v in rn_vals[:need_rn]]
+        if ch.rn_preserved:
+            qnames = decoded
+        else:
+            for k, i in enumerate(d_idx.tolist()):
+                qnames[i] = decoded[k]
+
+    # MQ: read by mapped records only, in record order
+    mapped_idx = np.flatnonzero(~unmapped)
+    mapq = np.zeros(n, dtype=np.int64)
+    if len(mapped_idx):
+        mq = ints("MQ")
+        if mq is None or len(mq) < len(mapped_idx):
+            return bail()
+        mapq[mapped_idx] = mq[: len(mapped_idx)]
+
+    # tags: whole-series pre-render per (name, typ) key, consumed in
+    # record order by the records whose tag line carries the key
+    n_lines = len(ch.tag_lines)
+    if int(tl.min(initial=0)) < 0 or int(tl.max(initial=0)) >= n_lines:
+        return bail()  # per-record path raises the pinned IndexError
+    rendered: dict[tuple, list] = {}
+    if ch.tag_enc:
+        line_counts = np.bincount(tl, minlength=n_lines)
+        need_by_key: dict[tuple, int] = {}
+        for li, line in enumerate(ch.tag_lines):
+            for key in line:
+                need_by_key[key] = need_by_key.get(key, 0) + int(line_counts[li])
+        for key, need in need_by_key.items():
+            if need == 0:
+                rendered[key] = []
+                continue
+            vals = _bulk_bytes_series(ch.tag_enc[key], ext, id_use)
+            if vals is None or len(vals) < need:
+                return bail()
+            try:
+                rendered[key] = _tag_render_series(key[1], vals)
+            except Exception:
+                return bail()  # malformed value: pinned per-record error
+
+    # feature walk: seq / cigar / ref_len / qual for every record
+    walk = _walk_columns(
+        ch, bulk, qs_ext, s_ref, ref_names, ref_seqs,
+        rl, ap, (~unmapped).astype(np.uint8), cf,
+    )
+    if walk is None:
+        return bail()
+    seqs, cigars, reflen, quals, nm_a = walk
+    end = np.where((~unmapped) & (reflen > 0), ap + reflen - 1, 0)
+
+    _resolve_mates_arrays(
+        nf_full, bf, ap, end, unmapped, next_rid, next_pos, tlen, s_ref
+    )
+
+    # tag dict assembly, scattered PER KEY: for each (name, typ) the j-th
+    # record whose line carries it takes rendered[j] — a flatnonzero +
+    # direct assignments instead of per-record cursor-dict bookkeeping
+    tags: list = [dict() for _ in range(n)]
+    if rendered:
+        line_has = {key: np.zeros(n_lines, dtype=bool) for key in rendered}
+        for li, line in enumerate(ch.tag_lines):
+            for key in line:
+                line_has[key][li] = True
+        for key, vals in rendered.items():
+            name = key[0]
+            idxs = np.flatnonzero(line_has[key][tl]).tolist()
+            for j, i in enumerate(idxs):
+                tags[i][name] = vals[j]
+    if synthesize_nm:
+        nm_l = nm_a.tolist()
+        for i in mapped_idx.tolist():
+            tags[i].setdefault("NM", str(nm_l[i]))
+    if rg_names is not None:
+        n_rg = len(rg_names)
+        for i in np.flatnonzero((rg >= 0) & (rg < n_rg)).tolist():
+            tags[i].setdefault("RG", rg_names[rg[i]])
+
+    contig = ref_names[s_ref] if 0 <= s_ref < len(ref_names) else None
+    rid_next = next_rid.tolist()
+    return {
+        "qname": qnames,
+        "flag": bf.tolist(),
+        "contig": [contig] * n,
+        "pos_start": np.maximum(ap, 0).tolist(),
+        "pos_end": end.tolist(),
+        "mapq": mapq.tolist(),
+        "cigar": cigars,
+        "rnext": [
+            ref_names[r] if 0 <= r < len(ref_names) else None
+            for r in rid_next
+        ],
+        "pnext": np.maximum(next_pos, 0).tolist(),
+        "tlen": tlen.tolist(),
+        "seq": seqs,
+        "qual": quals,
+        "tags": tags,
+    }
 
 
 def _decode_slice_records(

@@ -2065,9 +2065,37 @@ def test_bulk_record_series_matches_per_value(monkeypatch):
 
     monkeypatch.setattr(C, "_bulk_int_reader", spy_int)
     monkeypatch.setattr(C, "_bulk_bytes_series", spy_bytes)
+    # columnar off: this test pins the BULK PER-RECORD path (which the
+    # columnar decode bypasses entirely) against the per-value readers
+    monkeypatch.setattr(C, "_COLUMNAR_SLICE", False)
     via_bulk = list(C.read_cram_records(CRAM, FASTA))
     monkeypatch.setattr(C, "_BULK_RECORD_SERIES", False)
     via_scalar = list(C.read_cram_records(CRAM, FASTA))
     assert via_bulk == via_scalar
     assert len(via_bulk) == 3172
     assert engaged["ints"] > 0 and engaged["bytes"] > 0
+
+
+def test_columnar_slice_matches_per_record(monkeypatch):
+    """The fully-columnar slice decode (_decode_slice_columns) must yield
+    records identical to the per-record loop on the real NA12878 slice —
+    and must actually ENGAGE (non-vacuous: a failed precondition would
+    silently fall back and compare the per-record path to itself)."""
+    from sequila_spark.sources import cramcodec as C
+
+    engaged = {"n": 0}
+    orig = C._decode_slice_columns
+
+    def spy(*a, **k):
+        r = orig(*a, **k)
+        if r is not None:
+            engaged["n"] += 1
+        return r
+
+    monkeypatch.setattr(C, "_decode_slice_columns", spy)
+    via_cols = list(C.read_cram_records(CRAM, FASTA))
+    monkeypatch.setattr(C, "_COLUMNAR_SLICE", False)
+    via_recs = list(C.read_cram_records(CRAM, FASTA))
+    assert via_cols == via_recs
+    assert len(via_cols) == 3172
+    assert engaged["n"] > 0
