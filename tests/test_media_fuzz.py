@@ -25,7 +25,7 @@ TRIALS = 300
 def _fixtures():
     from tests.test_audio_codec import _wav
     from tests.test_gif_codec import encode_gif
-    from tests.test_image_codec import encode_png
+    from tests.test_image_codec import encode_png, encode_png_ex
     from tests.test_jpeg_codec import encode_jpeg, encode_jpeg_progressive
 
     rng = np.random.default_rng(7)
@@ -33,6 +33,8 @@ def _fixtures():
     pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
     gif_img = rng.integers(0, 16, size=(16, 16), dtype=np.uint8)
     pcm = bytes(rng.integers(0, 256, size=400, dtype=np.uint8))
+    idx4 = rng.integers(0, 16, size=(16, 16, 1), dtype=np.uint8)
+    img16 = rng.integers(0, 1 << 16, size=(16, 16, 3), dtype=np.uint16)
     return {
         "jpeg": (bytes(encode_jpeg([img])), decode_jpeg),
         "jpeg_progressive": (
@@ -40,11 +42,28 @@ def _fixtures():
         ),
         "gif": (bytes(encode_gif([gif_img], pal)), decode_gif),
         "png": (bytes(encode_png(img)), decode_png),
+        "png_palette": (
+            bytes(
+                encode_png_ex(idx4, 4, 3, plte=pal, trns=b"\x80" * 7)
+            ),
+            decode_png,
+        ),
+        "png_interlaced": (
+            bytes(encode_png_ex(img[:, :, None], 8, 0, interlace=1)),
+            decode_png,
+        ),
+        "png_16bit": (bytes(encode_png_ex(img16, 16, 2)), decode_png),
         "wav": (bytes(_wav(1, 16, 8000, 1, pcm)), decode_wav),
     }
 
 
-@pytest.mark.parametrize("name", ["jpeg", "jpeg_progressive", "gif", "png", "wav"])
+@pytest.mark.parametrize(
+    "name",
+    [
+        "jpeg", "jpeg_progressive", "gif", "png", "png_palette",
+        "png_interlaced", "png_16bit", "wav",
+    ],
+)
 def test_mutated_payloads_fail_loudly_or_decode(name):
     payload, dec = _fixtures()[name]
     # str hash() is PYTHONHASHSEED-salted; sha256 keeps the mutation stream
