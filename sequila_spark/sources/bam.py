@@ -794,7 +794,13 @@ def read_cram_native(
     O(file size)); each task seeks to its container's byte range and reads
     just that; the reference FASTA is loaded once on the driver and
     broadcast.  Records carry tags['RG'] materialized from the RG data
-    series against the header's @RG lines (htslib parity)."""
+    series against the header's @RG lines (htslib parity).
+
+    Emission is COLUMNAR: each task decodes its container through
+    decode_container_columns (whole-series arrays + one C feature walk
+    per slice) and yields Arrow RecordBatches via mapInArrow — the same
+    transfer model as the vectorized BAM reader, with no per-row pickle
+    between Python and the JVM."""
     import glob as _glob
 
     from sequila_spark.sources import cramcodec as C
@@ -826,28 +832,72 @@ def read_cram_native(
         spark.sparkContext.broadcast(C.load_fasta(ref_path)) if ref_path else None
     )
 
-    def gen(task):
-        from sequila_spark.sources import cramcodec as CC
-
-        p, sample, h = task
-        ref_names, rg_names = meta_by_path[p]
-        with open(p, "rb") as f:
-            f.seek(h["abs_data_offset"])
-            blob = f.read(h["length"])
-        hh = dict(h, data_offset=0)
-        refs = bref.value if bref is not None else None
-        for rec in CC.decode_container(
-            blob, hh, ref_names, refs, rg_names=rg_names
-        ):
-            yield (sample, *(rec[:12])) + ((rec[12],) if with_tags else ({},))
-
-    rdd = spark.sparkContext.parallelize(tasks, max(len(tasks), 1)).flatMap(gen)
-    df = rdd.toDF(
+    schema_str = (
         f"{S.SAMPLE} string, {S.QNAME} string, {S.FLAG} int, {S.CONTIG} string, "
         f"{S.START} int, {S.END} int, {S.MAPQ} int, {S.CIGAR} string, "
         f"{S.RNEXT} string, {S.PNEXT} int, {S.TLEN} int, {S.SEQUENCE} string, "
         f"{S.BASEQ} string, tags map<string,string>"
     )
+    names = [
+        S.SAMPLE, S.QNAME, S.FLAG, S.CONTIG, S.START, S.END, S.MAPQ,
+        S.CIGAR, S.RNEXT, S.PNEXT, S.TLEN, S.SEQUENCE, S.BASEQ, "tags",
+    ]
+
+    def gen_batches(batches):
+        """mapInArrow task body: one container per task id, columnar
+        decode straight into Arrow RecordBatches (no per-row pickle —
+        the same transfer model as the vectorized BAM reader)."""
+        import pyarrow as pa
+
+        from sequila_spark.sources import cramcodec as CC
+
+        s = pa.string()
+        i32 = pa.int32()
+        mtype = pa.map_(pa.string(), pa.string())
+        for b in batches:
+            for tid in b.column(0).to_pylist():
+                p, sample, h = tasks[tid]
+                ref_names, rg_names = meta_by_path[p]
+                with open(p, "rb") as f:
+                    f.seek(h["abs_data_offset"])
+                    blob = f.read(h["length"])
+                hh = dict(h, data_offset=0)
+                refs = bref.value if bref is not None else None
+                for cols in CC.decode_container_columns(
+                    blob, hh, ref_names, refs, rg_names=rg_names
+                ):
+                    n = len(cols["flag"])
+                    tag_items = (
+                        [list(d.items()) for d in cols["tags"]]
+                        if with_tags
+                        else [[]] * n
+                    )
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            pa.array([sample] * n, s),
+                            pa.array(cols["qname"], s),
+                            pa.array(cols["flag"], i32),
+                            pa.array(cols["contig"], s),
+                            pa.array(cols["pos_start"], i32),
+                            pa.array(cols["pos_end"], i32),
+                            pa.array(cols["mapq"], i32),
+                            pa.array(cols["cigar"], s),
+                            pa.array(cols["rnext"], s),
+                            pa.array(cols["pnext"], i32),
+                            pa.array(cols["tlen"], i32),
+                            pa.array(cols["seq"], s),
+                            pa.array(cols["qual"], s),
+                            pa.array(tag_items, mtype),
+                        ],
+                        names=names,
+                    )
+
+    if not tasks:
+        df = spark.createDataFrame([], schema_str)
+    else:
+        df = spark.range(0, len(tasks), 1, len(tasks)).mapInArrow(
+            gen_batches, schema_str
+        )
     df = df.withColumn(S.CONTIG, clean_contig(F.col(S.CONTIG)))
     if contig is not None:
         cond = F.col(S.CONTIG) == clean_contig(F.lit(contig))

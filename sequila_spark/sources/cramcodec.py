@@ -1899,6 +1899,58 @@ def decode_container(
     ``tags['RG']`` — matching htslib's decode, which reconstructs the RG
     tag from the series rather than the tag dictionary.
     """
+    for ch, core, ext, s_ref, s_start, s_nrec in _iter_container_slices(
+        data, header
+    ):
+        cols = _decode_slice_columns(
+            ch, core, ext, s_ref, s_start, s_nrec, ref_names, ref_seqs,
+            synthesize_nm, rg_names,
+        )
+        if cols is not None:
+            yield from zip(*(cols[c] for c in _REC_COLS))
+        else:
+            yield from _decode_slice_records(
+                ch, core, ext, s_ref, s_start, s_nrec, ref_names, ref_seqs,
+                synthesize_nm, rg_names,
+            )
+
+
+def decode_container_columns(
+    data: bytes,
+    header: dict,
+    ref_names: list[str],
+    ref_seqs: dict[str, str] | None,
+    synthesize_nm: bool = False,
+    rg_names: list[str] | None = None,
+):
+    """Columnar analog of :func:`decode_container`: yields one
+    ``{col: list}`` dict per slice (keys :data:`_REC_COLS`) — the shape
+    an Arrow RecordBatch builder consumes without a row round-trip.
+    Slices whose layout defeats the columnar preconditions are decoded by
+    the pinned per-record path and transposed."""
+    for ch, core, ext, s_ref, s_start, s_nrec in _iter_container_slices(
+        data, header
+    ):
+        cols = _decode_slice_columns(
+            ch, core, ext, s_ref, s_start, s_nrec, ref_names, ref_seqs,
+            synthesize_nm, rg_names,
+        )
+        if cols is None:
+            recs = list(
+                _decode_slice_records(
+                    ch, core, ext, s_ref, s_start, s_nrec, ref_names,
+                    ref_seqs, synthesize_nm, rg_names,
+                )
+            )
+            cols = {
+                c: [r[k] for r in recs] for k, c in enumerate(_REC_COLS)
+            }
+        yield cols
+
+
+def _iter_container_slices(data: bytes, header: dict):
+    """Shared container walk: compression header + per-slice (ch, core,
+    ext, s_ref, s_start, s_nrec)."""
     r = ByteReader(data, header["data_offset"])
     ctype, _cid, payload = _read_block(r)
     if ctype != 1:
@@ -1929,17 +1981,7 @@ def decode_container(
                 core = BitReader(bpayload)
             elif btype == 4:
                 ext[bid] = ByteReader(bpayload)
-        cols = _decode_slice_columns(
-            ch, core, ext, s_ref, s_start, s_nrec, ref_names, ref_seqs,
-            synthesize_nm, rg_names,
-        )
-        if cols is not None:
-            yield from zip(*(cols[c] for c in _REC_COLS))
-        else:
-            yield from _decode_slice_records(
-                ch, core, ext, s_ref, s_start, s_nrec, ref_names, ref_seqs,
-                synthesize_nm, rg_names,
-            )
+        yield ch, core, ext, s_ref, s_start, s_nrec
 
 
 def _enc_content_ids(e: "Encoding") -> list[int]:
