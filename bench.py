@@ -96,14 +96,25 @@ def _query_def_hash(fn) -> str:
 
 
 def _plan_fp(df) -> str:
-    """Stable fingerprint of a query's physical plan: the formatted
-    explain string with volatile tokens (exprIds, plan ids, codegen ids,
-    AQE finality, input paths/sizes) normalized, md5-hashed.  A flagged
-    per_query_calibrated ratio with an UNCHANGED fingerprint is host
-    banding; a CHANGED fingerprint is a plan regression suspect — the
-    distinction the r10 similarity_ivf question needed (VERDICT r10
-    'What's wrong' #2)."""
+    """Stable fingerprint of a query's physical plan: md5 of
+    :func:`_plan_text`.  A flagged per_query_calibrated ratio with an
+    UNCHANGED fingerprint is host banding; a CHANGED fingerprint is a
+    plan regression suspect — the distinction the r10 similarity_ivf
+    question needed (VERDICT r10 'What's wrong' #2)."""
     import hashlib
+
+    s = _plan_text(df)
+    if s is None:
+        return "unavailable"
+    return hashlib.md5(s.encode()).hexdigest()[:10]
+
+
+def _plan_text(df) -> str | None:
+    """Normalized formatted-explain text (volatile tokens — exprIds, plan
+    ids, codegen ids, AQE finality, input paths/sizes — scrubbed).  Kept
+    as TEXT alongside the hash so a cross-session fingerprint
+    disagreement can record its differing lines as the cause instead of
+    an opaque hash pair (VERDICT r11 task 3)."""
     import re
 
     try:
@@ -114,7 +125,7 @@ def _plan_fp(df) -> str:
             )
         )
     except Exception:
-        return "unavailable"
+        return None
     s = re.sub(r"#\d+L?", "#x", s)
     s = re.sub(r"\[plan_id=\d+\]", "", s)
     s = re.sub(r"\(\d+\)", "(n)", s)  # formatted-mode operator numbering
@@ -123,7 +134,13 @@ def _plan_fp(df) -> str:
     s = re.sub(r"Location: \S+", "Location: _", s)
     s = re.sub(r"size=\S+", "size=_", s)
     s = re.sub(r"rowCount=\S+", "rowCount=_", s)
-    return hashlib.md5(s.encode()).hexdigest()[:10]
+    # lambda-variable names carry a SESSION-GLOBAL counter (lambda x_120
+    # vs x_126 for the identical plan, depending on how many lambdas the
+    # session created before this query) — the r11/r12 cross-session
+    # "disagreement" was exactly this, diagnosed by the recorded causes
+    s = re.sub(r"lambda [A-Za-z]+_\d+", "lambda v", s)
+    s = re.sub(r"_common_expr_\d+", "_common_expr_n", s)
+    return s
 
 
 def run_session() -> None:
@@ -193,6 +210,7 @@ def run_session() -> None:
     times: dict[str, float] = {}
     cold: dict[str, float] = {}
     plan_fp: dict[str, str] = {}
+    plan_txt: dict[str, str] = {}
     def _gc():
         # settle the JVM between queries: garbage from the previous
         # query's shuffles otherwise triggers GC storms mid-measurement
@@ -250,9 +268,26 @@ def run_session() -> None:
         # at that point in the session, which made the dedup/similarity
         # family disagree across sessions (VERDICT r11 task 3)
         try:
-            plan_fp[name] = _plan_fp(qmap[name](spark, SF_DIR))
+            txt = _plan_text(qmap[name](spark, SF_DIR))
         except Exception:
+            txt = None
+        if txt is None:
             plan_fp[name] = "unavailable"
+        else:
+            import hashlib
+
+            plan_fp[name] = hashlib.md5(txt.encode()).hexdigest()[:10]
+            plan_txt[name] = txt
+
+    plans_out = os.environ.get("SPARK_GRAFT_PLANS_OUT")
+    if plans_out:
+        # normalized explain TEXTS for the parent's disagreement diff —
+        # never in the stdout JSON (several KB per query)
+        try:
+            with open(plans_out, "w") as fh:
+                json.dump(plan_txt, fh)
+        except OSError:
+            pass
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -508,12 +543,21 @@ def main() -> None:
         run_session()
         return
 
+    import tempfile
+
     calib_ref = _load_calib_ref()
     calib, calib_ok, calib_dev = _calibrate_gated(calib_ref)
     calibs = [calib]
     per_session: list[dict] = []
-    env = dict(os.environ, SPARK_GRAFT_BENCH_CHILD="1")
+    session_plans: list[dict] = []
+    plans_dir = tempfile.mkdtemp(prefix="bench_plans_")
     for i in range(sessions):
+        plans_path = os.path.join(plans_dir, f"plans_{i}.json")
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_BENCH_CHILD="1",
+            SPARK_GRAFT_PLANS_OUT=plans_path,
+        )
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
@@ -533,6 +577,11 @@ def main() -> None:
             )
             continue
         per_session.append(json.loads(line))
+        try:
+            with open(plans_path) as fh:
+                session_plans.append(json.load(fh))
+        except (OSError, ValueError):
+            session_plans.append({})
         print(
             f"# session {i}: total {per_session[-1]['value']} s",
             file=sys.stderr,
@@ -642,6 +691,30 @@ def main() -> None:
         if fp_disagreement:
             detail["plan_fp_disagreement"] = fp_disagreement
             summary["fp_disagree"] = sorted(fp_disagreement)
+            # self-diagnosis: record the actual differing explain lines
+            # per disagreeing query (VERDICT r11 task 3 — "each entry
+            # carries an explicit recorded cause")
+            import difflib
+
+            causes: dict[str, list[str]] = {}
+            for qn in fp_disagreement:
+                texts = [p.get(qn) for p in session_plans]
+                texts = [t for t in texts if t]
+                base = texts[0] if texts else None
+                other = next((t for t in texts[1:] if t != base), None)
+                if base is None or other is None:
+                    causes[qn] = ["explain text unavailable"]
+                    continue
+                diff = [
+                    ln
+                    for ln in difflib.unified_diff(
+                        base.splitlines(), other.splitlines(), lineterm="", n=0
+                    )
+                    if ln.startswith(("+", "-"))
+                    and not ln.startswith(("+++", "---"))
+                ]
+                causes[qn] = diff[:12]
+            detail["plan_fp_disagreement_cause"] = causes
         pqc = _per_query_calibrated(
             med, calib, summary["sf"], plan_fp, query_def
         )

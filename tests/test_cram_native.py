@@ -2099,3 +2099,19 @@ def test_columnar_slice_matches_per_record(monkeypatch):
     assert via_cols == via_recs
     assert len(via_cols) == 3172
     assert engaged["n"] > 0
+
+
+def test_cram_arrow_reader_with_tags_false(spark):
+    """The Arrow emission path (mapInArrow RecordBatches) with tags
+    suppressed: same rows as the tagged read minus the map column, and
+    the map column is empty rather than absent (schema stability)."""
+    from sequila_spark.sources.bam import read_cram_native
+
+    tagged = read_cram_native(spark, CRAM, ref_path=FASTA)
+    untagged = read_cram_native(spark, CRAM, ref_path=FASTA, with_tags=False)
+    assert tagged.columns == untagged.columns
+    rows_t = tagged.drop("tags").collect()
+    rows_u = untagged.drop("tags").collect()
+    assert rows_t == rows_u
+    assert len(rows_u) == 3172
+    assert all(len(r["tags"]) == 0 for r in untagged.select("tags").collect())
