@@ -843,10 +843,32 @@ def read_cram_native(
         S.CIGAR, S.RNEXT, S.PNEXT, S.TLEN, S.SEQUENCE, S.BASEQ, "tags",
     ]
 
+    # Partition = a contiguous GROUP of containers packed to a byte
+    # target, not one container: real containers are ~1 MB and a Python
+    # runner costs ~0.2-0.3 s per task (worker spin-up + imports), so
+    # one-task-per-container is ~10x overhead at any scale (and 100M
+    # tasks at 100 TB).  The target adapts downward so small inputs
+    # still fill the cluster (2 waves per core when possible).
+    par = spark.sparkContext.defaultParallelism or 1
+    total_bytes = sum(t[2]["length"] for t in tasks)
+    target = max(1, min(32 << 20, total_bytes // max(1, 2 * par)))
+    groups: list[list[int]] = []
+    cur: list[int] = []
+    cur_bytes = 0
+    for ti, t in enumerate(tasks):
+        cur.append(ti)
+        cur_bytes += t[2]["length"]
+        if cur_bytes >= target:
+            groups.append(cur)
+            cur, cur_bytes = [], 0
+    if cur:
+        groups.append(cur)
+
     def gen_batches(batches):
-        """mapInArrow task body: one container per task id, columnar
-        decode straight into Arrow RecordBatches (no per-row pickle —
-        the same transfer model as the vectorized BAM reader)."""
+        """mapInArrow task body: one contiguous container GROUP per task
+        id, columnar decode straight into Arrow RecordBatches (no
+        per-row pickle — the same transfer model as the vectorized BAM
+        reader)."""
         import pyarrow as pa
 
         from sequila_spark.sources import cramcodec as CC
@@ -855,47 +877,48 @@ def read_cram_native(
         i32 = pa.int32()
         mtype = pa.map_(pa.string(), pa.string())
         for b in batches:
-            for tid in b.column(0).to_pylist():
-                p, sample, h = tasks[tid]
-                ref_names, rg_names = meta_by_path[p]
-                with open(p, "rb") as f:
-                    f.seek(h["abs_data_offset"])
-                    blob = f.read(h["length"])
-                hh = dict(h, data_offset=0)
-                refs = bref.value if bref is not None else None
-                for cols in CC.decode_container_columns(
-                    blob, hh, ref_names, refs, rg_names=rg_names
-                ):
-                    n = len(cols["flag"])
-                    tag_items = (
-                        [list(d.items()) for d in cols["tags"]]
-                        if with_tags
-                        else [[]] * n
-                    )
-                    yield pa.RecordBatch.from_arrays(
-                        [
-                            pa.array([sample] * n, s),
-                            pa.array(cols["qname"], s),
-                            pa.array(cols["flag"], i32),
-                            pa.array(cols["contig"], s),
-                            pa.array(cols["pos_start"], i32),
-                            pa.array(cols["pos_end"], i32),
-                            pa.array(cols["mapq"], i32),
-                            pa.array(cols["cigar"], s),
-                            pa.array(cols["rnext"], s),
-                            pa.array(cols["pnext"], i32),
-                            pa.array(cols["tlen"], i32),
-                            pa.array(cols["seq"], s),
-                            pa.array(cols["qual"], s),
-                            pa.array(tag_items, mtype),
-                        ],
-                        names=names,
-                    )
+            for gid in b.column(0).to_pylist():
+                for tid in groups[gid]:
+                    p, sample, h = tasks[tid]
+                    ref_names, rg_names = meta_by_path[p]
+                    with open(p, "rb") as f:
+                        f.seek(h["abs_data_offset"])
+                        blob = f.read(h["length"])
+                    hh = dict(h, data_offset=0)
+                    refs = bref.value if bref is not None else None
+                    for cols in CC.decode_container_columns(
+                        blob, hh, ref_names, refs, rg_names=rg_names
+                    ):
+                        n = len(cols["flag"])
+                        tag_items = (
+                            [list(d.items()) for d in cols["tags"]]
+                            if with_tags
+                            else [[]] * n
+                        )
+                        yield pa.RecordBatch.from_arrays(
+                            [
+                                pa.array([sample] * n, s),
+                                pa.array(cols["qname"], s),
+                                pa.array(cols["flag"], i32),
+                                pa.array(cols["contig"], s),
+                                pa.array(cols["pos_start"], i32),
+                                pa.array(cols["pos_end"], i32),
+                                pa.array(cols["mapq"], i32),
+                                pa.array(cols["cigar"], s),
+                                pa.array(cols["rnext"], s),
+                                pa.array(cols["pnext"], i32),
+                                pa.array(cols["tlen"], i32),
+                                pa.array(cols["seq"], s),
+                                pa.array(cols["qual"], s),
+                                pa.array(tag_items, mtype),
+                            ],
+                            names=names,
+                        )
 
     if not tasks:
         df = spark.createDataFrame([], schema_str)
     else:
-        df = spark.range(0, len(tasks), 1, len(tasks)).mapInArrow(
+        df = spark.range(0, len(groups), 1, len(groups)).mapInArrow(
             gen_batches, schema_str
         )
     df = df.withColumn(S.CONTIG, clean_contig(F.col(S.CONTIG)))

@@ -388,10 +388,11 @@ def rans_decode(data: bytes) -> bytes:
 #
 # hts-specs CRAMcodecs §"rANS Nx16": 16-bit renormalization (vs 4x8's
 # 8-bit), 12-bit frequencies summing to 4096, uint7 lengths, and a flags
-# byte composing bit-transforms.  Implemented: order-0 core (4- and 32-way
-# interleaving), CAT (stored raw) and NoSize.  Order-1, STRIPE, RLE and
-# PACK raise by name so read_bam's fallback (or the user) sees exactly
-# which codec is missing.
+# byte composing bit-transforms.  Implemented in FULL: orders 0 and 1
+# (4- and 32-way interleaving, reduced-precision order-1 tables), plus
+# every bit-transform — CAT, NoSize, STRIPE, RLE (verbatim or nested
+# order-0 metadata) and PACK — composed in spec order
+# (entropy -> unRLE -> unPACK); see rans_nx16_decode.
 
 _NX16_ORDER1 = 0x01
 _NX16_X32 = 0x04
