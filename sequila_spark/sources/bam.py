@@ -764,6 +764,7 @@ def read_cram_native(
     contig: str | None = None,
     start: int | None = None,
     end: int | None = None,
+    columns: list[str] | None = None,
 ) -> DataFrame:
     """Decode CRAM 3.0 with the pure-Python codec (sources/cramcodec — no
     htslib/pysam), one task per container: the driver scans container
@@ -800,7 +801,14 @@ def read_cram_native(
     decode_container_columns (whole-series arrays + one C feature walk
     per slice) and yields Arrow RecordBatches via mapInArrow — the same
     transfer model as the vectorized BAM reader, with no per-row pickle
-    between Python and the JVM."""
+    between Python and the JVM.
+
+    ``columns`` prunes the DECODE itself (mirroring read_bam_native):
+    the expensive per-record rendering — qname decode, tag rendering,
+    seq/cigar string slicing, qual phred translation — is skipped for
+    columns not requested, and only the requested Arrow arrays ship to
+    the JVM.  sample_id is always included; an interval filter requires
+    contig/pos_start/pos_end to be present."""
     import glob as _glob
 
     from sequila_spark.sources import cramcodec as C
@@ -832,16 +840,33 @@ def read_cram_native(
         spark.sparkContext.broadcast(C.load_fasta(ref_path)) if ref_path else None
     )
 
-    schema_str = (
-        f"{S.SAMPLE} string, {S.QNAME} string, {S.FLAG} int, {S.CONTIG} string, "
-        f"{S.START} int, {S.END} int, {S.MAPQ} int, {S.CIGAR} string, "
-        f"{S.RNEXT} string, {S.PNEXT} int, {S.TLEN} int, {S.SEQUENCE} string, "
-        f"{S.BASEQ} string, tags map<string,string>"
-    )
-    names = [
-        S.SAMPLE, S.QNAME, S.FLAG, S.CONTIG, S.START, S.END, S.MAPQ,
-        S.CIGAR, S.RNEXT, S.PNEXT, S.TLEN, S.SEQUENCE, S.BASEQ, "tags",
+    # output column catalog (schema names == decode column keys)
+    _ALL = [
+        S.QNAME, S.FLAG, S.CONTIG, S.START, S.END, S.MAPQ,
+        S.CIGAR, S.RNEXT, S.PNEXT, S.TLEN, S.SEQUENCE, S.BASEQ,
     ]
+    _INT = {S.FLAG, S.START, S.END, S.MAPQ, S.PNEXT, S.TLEN}
+    if columns is None:
+        keep = list(_ALL)
+        keep_tags = True
+    else:
+        want = set(columns)
+        unknown = want - set(_ALL) - {"tags", S.SAMPLE}
+        if unknown:
+            raise ValueError(f"unknown CRAM columns: {sorted(unknown)}")
+        keep = [c for c in _ALL if c in want]
+        keep_tags = "tags" in want
+        if contig is not None and not {S.CONTIG, S.START, S.END} <= set(keep):
+            raise ValueError(
+                "an interval filter needs contig/pos_start/pos_end in columns"
+            )
+    decode_cols = set(keep) | ({"tags"} if keep_tags and with_tags else set())
+    schema_str = ", ".join(
+        [f"{S.SAMPLE} string"]
+        + [f"{c} {'int' if c in _INT else 'string'}" for c in keep]
+        + ([f"tags map<string,string>"] if keep_tags else [])
+    )
+    names = [S.SAMPLE] + keep + (["tags"] if keep_tags else [])
 
     # Partition = a contiguous GROUP of containers packed to a byte
     # target, not one container: real containers are ~1 MB and a Python
@@ -887,33 +912,22 @@ def read_cram_native(
                     hh = dict(h, data_offset=0)
                     refs = bref.value if bref is not None else None
                     for cols in CC.decode_container_columns(
-                        blob, hh, ref_names, refs, rg_names=rg_names
+                        blob, hh, ref_names, refs, rg_names=rg_names,
+                        columns=decode_cols,
                     ):
                         n = len(cols["flag"])
-                        tag_items = (
-                            [list(d.items()) for d in cols["tags"]]
-                            if with_tags
-                            else [[]] * n
-                        )
-                        yield pa.RecordBatch.from_arrays(
-                            [
-                                pa.array([sample] * n, s),
-                                pa.array(cols["qname"], s),
-                                pa.array(cols["flag"], i32),
-                                pa.array(cols["contig"], s),
-                                pa.array(cols["pos_start"], i32),
-                                pa.array(cols["pos_end"], i32),
-                                pa.array(cols["mapq"], i32),
-                                pa.array(cols["cigar"], s),
-                                pa.array(cols["rnext"], s),
-                                pa.array(cols["pnext"], i32),
-                                pa.array(cols["tlen"], i32),
-                                pa.array(cols["seq"], s),
-                                pa.array(cols["qual"], s),
-                                pa.array(tag_items, mtype),
-                            ],
-                            names=names,
-                        )
+                        arrays = [pa.array([sample] * n, s)] + [
+                            pa.array(cols[c], i32 if c in _INT else s)
+                            for c in keep
+                        ]
+                        if keep_tags:
+                            tag_items = (
+                                [list(d.items()) for d in cols["tags"]]
+                                if with_tags
+                                else [[]] * n
+                            )
+                            arrays.append(pa.array(tag_items, mtype))
+                        yield pa.RecordBatch.from_arrays(arrays, names=names)
 
     if not tasks:
         df = spark.createDataFrame([], schema_str)
@@ -921,7 +935,8 @@ def read_cram_native(
         df = spark.range(0, len(groups), 1, len(groups)).mapInArrow(
             gen_batches, schema_str
         )
-    df = df.withColumn(S.CONTIG, clean_contig(F.col(S.CONTIG)))
+    if S.CONTIG in keep:
+        df = df.withColumn(S.CONTIG, clean_contig(F.col(S.CONTIG)))
     if contig is not None:
         cond = F.col(S.CONTIG) == clean_contig(F.lit(contig))
         if end is not None:
@@ -953,10 +968,10 @@ def read_bam(
         return read_bam_native(
             spark, path, chunk=chunk, columns=columns, with_blocks=with_blocks
         )
-    if columns is not None or with_blocks:
-        raise ValueError("columns/with_blocks pruning is BAM-only for now")
+    if with_blocks:
+        raise ValueError("with_blocks extraction is BAM-only for now")
     try:
-        return read_cram_native(spark, path, ref_path=ref_path)
+        return read_cram_native(spark, path, ref_path=ref_path, columns=columns)
     except NotImplementedError:
         pass  # codec outside the native set — try pysam
     try:

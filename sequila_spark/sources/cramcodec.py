@@ -1923,18 +1923,23 @@ def decode_container_columns(
     ref_seqs: dict[str, str] | None,
     synthesize_nm: bool = False,
     rg_names: list[str] | None = None,
+    columns: set | None = None,
 ):
     """Columnar analog of :func:`decode_container`: yields one
     ``{col: list}`` dict per slice (keys :data:`_REC_COLS`) — the shape
     an Arrow RecordBatch builder consumes without a row round-trip.
     Slices whose layout defeats the columnar preconditions are decoded by
-    the pinned per-record path and transposed."""
+    the pinned per-record path and transposed.
+
+    ``columns`` prunes the expensive per-record rendering at the decode
+    (see _decode_slice_columns); unrequested keys come back all-None
+    (the fallback path decodes fully — a correct superset)."""
     for ch, core, ext, s_ref, s_start, s_nrec in _iter_container_slices(
         data, header
     ):
         cols = _decode_slice_columns(
             ch, core, ext, s_ref, s_start, s_nrec, ref_names, ref_seqs,
-            synthesize_nm, rg_names,
+            synthesize_nm, rg_names, columns=columns,
         )
         if cols is None:
             recs = list(
@@ -2421,7 +2426,8 @@ _REC_COLS = (
 
 
 def _walk_columns(ch, bulk, qs_ext, s_ref, ref_names, ref_seqs,
-                  rl_a, ap_a, mp_a, cf_a):
+                  rl_a, ap_a, mp_a, cf_a,
+                  want_seq=True, want_cigar=True, want_qual=True):
     """Columnar analog of _finish_deferred_walk: ONE cram_walk C call over
     the already-held arrays (no dict round-trip, no np.fromiter).
     Returns (seqs, cigars, reflen ndarray, quals, nm ndarray) or ``None``
@@ -2452,24 +2458,31 @@ def _walk_columns(ch, bulk, qs_ext, s_ref, ref_names, ref_seqs,
     total = int(seq_off[-1])
     if total and int(seq_out[:total].max()) > 127:
         return None  # >0x7F byte: strict-vs-replace decode semantics differ
-    big = seq_out[:total].tobytes().decode("ascii")
-    cig_s = cig_out[: int(cig_off[-1])].tobytes().decode("ascii")
-    so = seq_off.tolist()
-    co = cig_off.tolist()
-    qo = qual_off.tolist()
-    seqs = [big[so[i] : so[i + 1]] or None for i in range(n)]
-    cigars = [cig_s[co[i] : co[i + 1]] for i in range(n)]
-    qs_b = qs_ext.b if qs_ext is not None else b""
-    qbase = qs_ext.i if qs_ext is not None else 0
-    rl_l = rl_a.tolist()
+    if want_seq:
+        big = seq_out[:total].tobytes().decode("ascii")
+        so = seq_off.tolist()
+        seqs = [big[so[i] : so[i + 1]] or None for i in range(n)]
+    else:
+        seqs = [None] * n
+    if want_cigar:
+        cig_s = cig_out[: int(cig_off[-1])].tobytes().decode("ascii")
+        co = cig_off.tolist()
+        cigars = [cig_s[co[i] : co[i + 1]] for i in range(n)]
+    else:
+        cigars = [None] * n
     quals: list = [None] * n
-    for i in range(n):
-        q = qo[i]
-        if q >= 0:
-            rl = rl_l[i]
-            qraw = qs_b[qbase + q : qbase + q + rl]
-            if qraw != b"\xff" * rl:
-                quals[i] = qraw.translate(_QUAL33).decode("latin-1")
+    if want_qual:
+        qo = qual_off.tolist()
+        qs_b = qs_ext.b if qs_ext is not None else b""
+        qbase = qs_ext.i if qs_ext is not None else 0
+        rl_l = rl_a.tolist()
+        for i in range(n):
+            q = qo[i]
+            if q >= 0:
+                rl = rl_l[i]
+                qraw = qs_b[qbase + q : qbase + q + rl]
+                if qraw != b"\xff" * rl:
+                    quals[i] = qraw.translate(_QUAL33).decode("latin-1")
     return seqs, cigars, reflen, quals, nm_a
 
 
@@ -2527,6 +2540,7 @@ def _decode_slice_columns(
     ref_seqs: dict[str, str] | None,
     synthesize_nm: bool = False,
     rg_names: list[str] | None = None,
+    columns: set | None = None,
 ):
     """Fully-columnar slice decode: every record-field series is decoded
     whole into arrays (C itf8 kernel / byte splits), the feature walk runs
@@ -2537,11 +2551,19 @@ def _decode_slice_columns(
     s_nrec) or ``None`` when any precondition fails — core-bit series,
     shared streams, non-EXTERNAL codecs, walk aborts — in which case ALL
     stream positions are restored and the caller replays the slice
-    through _decode_slice_records, the pinned semantic reference."""
+    through _decode_slice_records, the pinned semantic reference.
+
+    ``columns`` (subset of _REC_COLS) prunes the EXPENSIVE per-record
+    rendering — qname decode, tag rendering, seq/cigar string slicing,
+    qual phred translation — at the decode itself; unrequested keys come
+    back as all-None lists.  Stream consumption, mate resolution and the
+    C walk are unchanged (series must be read in order regardless), so a
+    pruned decode is positionally identical to the full one."""
     from sequila_spark.sources import _ckern as CK
 
     if not (_COLUMNAR_SLICE and _BULK_RECORD_SERIES and CK.available()):
         return None
+    want = set(_REC_COLS) if columns is None else set(columns)
     import numpy as np
 
     n = s_nrec
@@ -2623,9 +2645,10 @@ def _decode_slice_columns(
         nf_full[m_idx] = nf[: len(m_idx)]
 
     # qnames: whole RN series (BYTE_ARRAY_STOP split) — every record when
-    # names are preserved, detached records otherwise
+    # names are preserved, detached records otherwise.  RN's stream is
+    # exclusive (fan-in-1 guard), so a pruned decode may skip it whole.
     qnames: list = [None] * n
-    need_rn = n if ch.rn_preserved else nd
+    need_rn = (n if ch.rn_preserved else nd) if "qname" in want else 0
     if need_rn:
         rn_vals = _bulk_bytes_series(ds.get("RN"), ext, id_use)
         if rn_vals is None or len(rn_vals) < need_rn:
@@ -2652,7 +2675,7 @@ def _decode_slice_columns(
     if int(tl.min(initial=0)) < 0 or int(tl.max(initial=0)) >= n_lines:
         return bail()  # per-record path raises the pinned IndexError
     rendered: dict[tuple, list] = {}
-    if ch.tag_enc:
+    if ch.tag_enc and "tags" in want:
         line_counts = np.bincount(tl, minlength=n_lines)
         need_by_key: dict[tuple, int] = {}
         for li, line in enumerate(ch.tag_lines):
@@ -2670,10 +2693,15 @@ def _decode_slice_columns(
             except Exception:
                 return bail()  # malformed value: pinned per-record error
 
-    # feature walk: seq / cigar / ref_len / qual for every record
+    # feature walk: seq / cigar / ref_len / qual for every record (the C
+    # walk always runs — ref_len feeds pos_end and template TLEN — but
+    # the per-record STRING rendering is pruned)
     walk = _walk_columns(
         ch, bulk, qs_ext, s_ref, ref_names, ref_seqs,
         rl, ap, (~unmapped).astype(np.uint8), cf,
+        want_seq="seq" in want,
+        want_cigar="cigar" in want,
+        want_qual="qual" in want,
     )
     if walk is None:
         return bail()
@@ -2687,7 +2715,7 @@ def _decode_slice_columns(
     # tag dict assembly, scattered PER KEY: for each (name, typ) the j-th
     # record whose line carries it takes rendered[j] — a flatnonzero +
     # direct assignments instead of per-record cursor-dict bookkeeping
-    tags: list = [dict() for _ in range(n)]
+    tags: list = [dict() for _ in range(n)] if "tags" in want else [None] * n
     if rendered:
         line_has = {key: np.zeros(n_lines, dtype=bool) for key in rendered}
         for li, line in enumerate(ch.tag_lines):
@@ -2698,11 +2726,11 @@ def _decode_slice_columns(
             idxs = np.flatnonzero(line_has[key][tl]).tolist()
             for j, i in enumerate(idxs):
                 tags[i][name] = vals[j]
-    if synthesize_nm:
+    if synthesize_nm and "tags" in want:
         nm_l = nm_a.tolist()
         for i in mapped_idx.tolist():
             tags[i].setdefault("NM", str(nm_l[i]))
-    if rg_names is not None:
+    if rg_names is not None and "tags" in want:
         n_rg = len(rg_names)
         for i in np.flatnonzero((rg >= 0) & (rg < n_rg)).tolist():
             tags[i].setdefault("RG", rg_names[rg[i]])

@@ -2115,3 +2115,39 @@ def test_cram_arrow_reader_with_tags_false(spark):
     assert rows_t == rows_u
     assert len(rows_u) == 3172
     assert all(len(r["tags"]) == 0 for r in untagged.select("tags").collect())
+
+
+def test_cram_column_pruning(spark):
+    """Decode-level column pruning (mirrors read_bam_native columns=):
+    every pruned projection equals the full read's projection, the
+    schema carries exactly the requested columns (+sample_id), and an
+    interval filter without its needed columns raises."""
+    from sequila_spark.sources.bam import read_cram_native
+
+    full = read_cram_native(spark, CRAM, ref_path=FASTA)
+    # requested sets come back in CANONICAL order (read_bam_native's
+    # convention), sample_id first, tags last
+    cases = [
+        ["flag", "contig", "pos_start", "pos_end", "mapq", "cigar"],
+        ["flag", "pos_start"],
+        ["qname", "seq", "qual"],
+        ["contig", "pos_start", "pos_end", "tags"],
+    ]
+    for cols in cases:
+        pruned = read_cram_native(spark, CRAM, ref_path=FASTA, columns=cols)
+        assert pruned.columns == ["sample_id"] + cols, cols
+        a = sorted(map(tuple, full.select("sample_id", *[c for c in cols if c != "tags"]).collect()))
+        b = sorted(map(tuple, pruned.drop("tags").collect())) if "tags" in cols else sorted(map(tuple, pruned.collect()))
+        assert a == b, cols
+    # tags content identical under pruning
+    pr = read_cram_native(spark, CRAM, ref_path=FASTA, columns=["qname", "tags"])
+    want = {r["qname"]: r["tags"] for r in full.select("qname", "tags").collect()}
+    got = {r["qname"]: r["tags"] for r in pr.collect()}
+    assert got == want
+    import pytest as _pt
+    with _pt.raises(ValueError, match="interval"):
+        read_cram_native(
+            spark, CRAM, ref_path=FASTA, columns=["flag"], contig="1", start=1, end=10
+        )
+    with _pt.raises(ValueError, match="unknown"):
+        read_cram_native(spark, CRAM, ref_path=FASTA, columns=["nope"])
