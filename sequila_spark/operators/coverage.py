@@ -248,6 +248,29 @@ def coverage(
     if mode == "windows" and not window_size:
         raise ValueError("mode='windows' requires window_size")
 
+    csrc = getattr(reads, "_sequila_cram_source", None)
+    if csrc is not None and fuse is not False and csrc["columns"] is None:
+        # CRAM analog of the BAM fusion below, one notch lighter: the
+        # declarative plan is unchanged but the INPUT is re-planned as a
+        # column-pruned re-read — qname/tag/seq/qual rendering and Arrow
+        # transfer never happen (decode-level pruning, read_cram_native
+        # columns=).  Positional identity is pinned by
+        # tests/test_cram_native.py::test_cram_coverage_prunes_decode.
+        from sequila_spark.sources.bam import read_cram_native
+
+        need = [S.FLAG, S.CONTIG, S.START, S.END, S.MAPQ]
+        if use_cigar is not False:
+            need.append(S.CIGAR)
+        reads = read_cram_native(
+            reads.sparkSession,
+            csrc["path"],
+            ref_path=csrc["ref_path"],
+            contig=csrc["contig"],
+            start=csrc["start"],
+            end=csrc["end"],
+            columns=need,
+        )
+
     src = getattr(reads, "_sequila_bam_source", None)
     fusable = (
         src is not None

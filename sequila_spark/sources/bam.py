@@ -944,6 +944,19 @@ def read_cram_native(
         if start is not None:
             cond = cond & (F.col(S.END) >= F.lit(start))
         df = df.where(cond)
+    # reader provenance (same contract as _attach_bam_provenance: the
+    # attribute lives on THIS object only) — operators.coverage re-plans
+    # a full-column coverage(read_cram_native(...)) composition as a
+    # column-PRUNED re-read, skipping qname/tags/seq/qual rendering and
+    # transfer entirely
+    df._sequila_cram_source = {
+        "path": path,
+        "ref_path": ref_path,
+        "columns": columns,
+        "contig": contig,
+        "start": start,
+        "end": end,
+    }
     return df
 
 

@@ -2151,3 +2151,30 @@ def test_cram_column_pruning(spark):
         )
     with _pt.raises(ValueError, match="unknown"):
         read_cram_native(spark, CRAM, ref_path=FASTA, columns=["nope"])
+
+
+def test_cram_coverage_prunes_decode(spark, monkeypatch):
+    """coverage(read_cram_native(...)) auto-re-plans as a column-pruned
+    re-read on reader provenance: identical blocks to the unpruned
+    declarative plan AND to coverage over the independently-decoded BAM
+    twin; the pruned re-read must actually ENGAGE."""
+    from sequila_spark.operators.coverage import coverage
+    from sequila_spark.sources import bam as B
+
+    calls = {"pruned": 0}
+    orig = B.read_cram_native
+
+    def spy(spark_, path, **kw):
+        if kw.get("columns") is not None:
+            calls["pruned"] += 1
+        return orig(spark_, path, **kw)
+
+    monkeypatch.setattr(B, "read_cram_native", spy)
+    reads = orig(spark, CRAM, ref_path=FASTA)
+    got = sorted(map(tuple, coverage(reads).collect()))
+    assert calls["pruned"] == 1
+    unpruned = sorted(map(tuple, coverage(reads, fuse=False).collect()))
+    assert got == unpruned
+    bam_reads = B.read_bam_native(spark, BAM)
+    via_bam = sorted(map(tuple, coverage(bam_reads, fuse=False).collect()))
+    assert got == via_bam
