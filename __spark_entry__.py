@@ -812,7 +812,13 @@ def _q_cram_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     fasta = "/root/reference/src/test/resources/NA12878.slice.fasta"
     if not os.path.exists(cram):  # fixture-less environments: empty result
         return spark.read.parquet(f"{_SLICEBAM_FIX}/reads.parquet").limit(0)
-    return read_cram_native(spark, cram, ref_path=fasta).drop("tags")
+    # columns= pushes the tag prune into the DECODE (r12): the gate never
+    # reads tags, so their rendering + transfer are skipped, not dropped
+    cols = [
+        S.QNAME, S.FLAG, S.CONTIG, S.START, S.END, S.MAPQ, S.CIGAR,
+        S.RNEXT, S.PNEXT, S.TLEN, S.SEQUENCE, S.BASEQ,
+    ]
+    return read_cram_native(spark, cram, ref_path=fasta, columns=cols)
 
 
 _SLICEBAM_FIX = os.path.join(
