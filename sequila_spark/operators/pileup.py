@@ -493,6 +493,30 @@ def pileup(
 
     if strategy not in ("auto", "sparse", "dense"):
         raise ValueError(f"unknown pileup strategy: {strategy!r}")
+
+    csrc = getattr(reads, "_sequila_cram_source", None)
+    if csrc is not None and csrc["columns"] is None:
+        # reader-provenance decode pruning (same contract as coverage):
+        # pileup never reads tags, and qname/mate fields only under
+        # mate_overlap; qual only when quals/baq ask for it — skip their
+        # rendering and transfer at the CRAM decode itself
+        from sequila_spark.sources.bam import read_cram_native
+
+        need = [S.FLAG, S.CONTIG, S.START, S.END, S.MAPQ, S.CIGAR,
+                S.SEQUENCE]
+        if quals or baq:
+            need.append(S.BASEQ)
+        if mate_overlap:
+            need += [S.QNAME, S.RNEXT, S.PNEXT, S.TLEN]
+        reads = read_cram_native(
+            reads.sparkSession,
+            csrc["path"],
+            ref_path=csrc["ref_path"],
+            contig=csrc["contig"],
+            start=csrc["start"],
+            end=csrc["end"],
+            columns=need,
+        )
     if flag_mask or min_mapq:
         reads = filter_reads(reads, flag_mask=flag_mask, min_mapq=min_mapq)
 

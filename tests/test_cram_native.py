@@ -2178,3 +2178,34 @@ def test_cram_coverage_prunes_decode(spark, monkeypatch):
     bam_reads = B.read_bam_native(spark, BAM)
     via_bam = sorted(map(tuple, coverage(bam_reads, fuse=False).collect()))
     assert got == via_bam
+
+
+def test_cram_pileup_prunes_decode(spark, monkeypatch):
+    """pileup(read_cram_native(...)) re-plans as a pruned re-read too:
+    alts-only (no qual decode) and quals (qual included) both pinned
+    identical to the unpruned relation's pileup."""
+    from sequila_spark.operators.pileup import pileup
+    from sequila_spark.sources import bam as B
+
+    calls = []
+    orig = B.read_cram_native
+
+    def spy(spark_, path, **kw):
+        if kw.get("columns") is not None:
+            calls.append(sorted(kw["columns"]))
+        return orig(spark_, path, **kw)
+
+    monkeypatch.setattr(B, "read_cram_native", spy)
+    reads = orig(spark, CRAM, ref_path=FASTA)
+    got = sorted(map(tuple, pileup(reads).collect()))
+    assert len(calls) == 1 and "qual" not in calls[0] and "tags" not in calls[0]
+    unpruned = sorted(
+        map(tuple, pileup(reads.select(reads.columns)).collect())
+    )  # .select() drops provenance -> no pruning
+    assert got == unpruned
+    got_q = sorted(map(tuple, pileup(reads, quals=True).collect()))
+    assert "qual" in calls[-1]
+    unpruned_q = sorted(
+        map(tuple, pileup(reads.select(reads.columns), quals=True).collect())
+    )
+    assert got_q == unpruned_q
