@@ -397,3 +397,38 @@ def test_png_palette_corruption_loud():
     rgba = rng.integers(0, 256, size=(4, 4, 4), dtype=np.uint8)
     with pytest.raises(ValueError, match="alpha"):
         decode_png(encode_png_ex(rgba, 8, 6, trns=b"\x00\x01"))
+
+
+def test_resize_palette_and_interlaced_png_through_spark(spark):
+    """The new PNG shapes through the REAL Spark pipeline: a palette
+    image (expands to RGB) and an Adam7-interlaced 16-bit gray image,
+    decoded + resized by multimodal.resize_images via the image/png
+    registry entry, pixel-exact vs NumPy goldens."""
+    from sequila_spark.operators.multimodal import resize_images
+
+    rng = np.random.default_rng(140)
+    plte = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(12, 20, 1), dtype=np.uint8)
+    pal_payload = encode_png_ex(idx, 4, 3, plte=plte)
+    img16 = rng.integers(0, 1 << 16, size=(12, 20, 1), dtype=np.uint16)
+    i16_payload = encode_png_ex(img16, 16, 0, interlace=1)
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(pal_payload), "image/png", len(pal_payload)),
+            (2, bytearray(i16_payload), "image/png", len(i16_payload)),
+        ],
+        "doc_id long, payload binary, media_type string, byte_len int",
+    )
+    out = {r["doc_id"]: r for r in resize_images(media, 5, 4).collect()}
+    yi = (np.arange(4) * 12) // 4
+    xi = (np.arange(5) * 20) // 5
+    golden_pal = plte[idx[:, :, 0]][np.ix_(yi, xi)]
+    r1 = out[1]
+    assert (r1["width"], r1["height"], r1["channels"]) == (5, 4, 3)
+    got1 = np.frombuffer(bytes(r1["pixels"]), dtype=np.uint8).reshape(4, 5, 3)
+    assert (got1 == golden_pal).all()
+    golden_16 = (img16[:, :, 0] >> 8).astype(np.uint8)[np.ix_(yi, xi)]
+    r2 = out[2]
+    assert (r2["width"], r2["height"], r2["channels"]) == (5, 4, 1)
+    got2 = np.frombuffer(bytes(r2["pixels"]), dtype=np.uint8).reshape(4, 5)
+    assert (got2 == golden_16).all()
