@@ -109,14 +109,36 @@ def _plan_fp(df) -> str:
     return hashlib.md5(s.encode()).hexdigest()[:10]
 
 
-def _plan_text(df) -> str | None:
-    """Normalized formatted-explain text (volatile tokens — exprIds, plan
-    ids, codegen ids, AQE finality, input paths/sizes — scrubbed).  Kept
-    as TEXT alongside the hash so a cross-session fingerprint
-    disagreement can record its differing lines as the cause instead of
-    an opaque hash pair (VERDICT r11 task 3)."""
+def _normalize_plan_text(s: str) -> str:
+    """Scrub every session-volatile token from a formatted-explain string:
+    exprIds, plan ids, formatted-mode operator numbering, codegen ids,
+    AQE finality, input paths/sizes/row counts, lambda-variable counters
+    and common-expr ids (both SESSION-GLOBAL in Spark — ``lambda x_120``
+    vs ``x_126`` for the identical plan was the r11/r12 cross-session
+    fingerprint "disagreement").  Pinned by tests/test_bench_fp.py so
+    the next Spark-internal counter leak fails in pytest, not in a
+    cross-session flag storm (this is the third such patch in three
+    rounds)."""
     import re
 
+    s = re.sub(r"#\d+L?", "#x", s)
+    s = re.sub(r"\[plan_id=\d+\]", "", s)
+    s = re.sub(r"\(\d+\)", "(n)", s)  # formatted-mode operator numbering
+    s = re.sub(r"codegen id : \d+", "codegen id : n", s)
+    s = re.sub(r"isFinalPlan=\w+", "", s)
+    s = re.sub(r"Location: .*", "Location: _", s)
+    s = re.sub(r"size=\S+", "size=_", s)
+    s = re.sub(r"rowCount=\S+", "rowCount=_", s)
+    s = re.sub(r"lambda [A-Za-z]+_\d+", "lambda v", s)
+    s = re.sub(r"_common_expr_\d+", "_common_expr_n", s)
+    return s
+
+
+def _plan_text(df) -> str | None:
+    """Normalized formatted-explain text (see :func:`_normalize_plan_text`).
+    Kept as TEXT alongside the hash so a cross-session fingerprint
+    disagreement can record its differing lines as the cause instead of
+    an opaque hash pair (VERDICT r11 task 3)."""
     try:
         jvm = df.sparkSession._jvm
         s = df._jdf.queryExecution().explainString(
@@ -126,21 +148,7 @@ def _plan_text(df) -> str | None:
         )
     except Exception:
         return None
-    s = re.sub(r"#\d+L?", "#x", s)
-    s = re.sub(r"\[plan_id=\d+\]", "", s)
-    s = re.sub(r"\(\d+\)", "(n)", s)  # formatted-mode operator numbering
-    s = re.sub(r"codegen id : \d+", "codegen id : n", s)
-    s = re.sub(r"isFinalPlan=\w+", "", s)
-    s = re.sub(r"Location: \S+", "Location: _", s)
-    s = re.sub(r"size=\S+", "size=_", s)
-    s = re.sub(r"rowCount=\S+", "rowCount=_", s)
-    # lambda-variable names carry a SESSION-GLOBAL counter (lambda x_120
-    # vs x_126 for the identical plan, depending on how many lambdas the
-    # session created before this query) — the r11/r12 cross-session
-    # "disagreement" was exactly this, diagnosed by the recorded causes
-    s = re.sub(r"lambda [A-Za-z]+_\d+", "lambda v", s)
-    s = re.sub(r"_common_expr_\d+", "_common_expr_n", s)
-    return s
+    return _normalize_plan_text(s)
 
 
 def run_session() -> None:
@@ -721,10 +729,13 @@ def main() -> None:
         if pqc is not None:
             detail["per_query_calibrated"] = pqc
             summary["pqc_vs"] = pqc["vs"]
-            # cap the inline list so a whole-window banding storm (r11:
-            # 15/19 flagged) can't overflow the 2000-char tail again
+            # stable shape: always a list (capped at 8 so a whole-window
+            # banding storm — r11: 15/19 flagged — can't overflow the
+            # 2000-char tail) plus an exact count; consumers never branch
+            # on type
             flg = pqc["flagged_gt_1p15"]
-            summary["pqc_flagged"] = flg if len(flg) <= 8 else len(flg)
+            summary["pqc_flagged"] = flg[:8]
+            summary["pqc_flagged_count"] = len(flg)
             if pqc["def_changed"]:
                 summary["def_changed"] = pqc["def_changed"]
         here = os.path.dirname(os.path.abspath(__file__))

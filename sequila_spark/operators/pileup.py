@@ -445,6 +445,7 @@ def pileup(
     mate_overlap: bool = False,
     baq: str | None = None,
     baq_extended: bool = True,
+    fuse: bool | None = None,
 ) -> DataFrame:
     """Per-position pileup rows (pos_start == pos_end == pos), matching the
     pileup TVF's 4 overloads: coverage-only, +alts, +quals, +binSize.
@@ -488,6 +489,12 @@ def pileup(
     isn't recomputed per overlap branch; a module registry keeps at most
     ONE such cache per session — the next baq+mate_overlap call
     unpersists the previous one.
+
+    ``fuse`` mirrors coverage(): default auto applies the reader-provenance
+    CRAM decode prune below when ``reads`` is an untransformed
+    read_cram_native relation; ``fuse=False`` keeps the full decode (a
+    plain ``.select()`` over the relation also strips the provenance);
+    ``fuse=True`` raises when there is no provenance to prune on.
     """
     from sequila_spark.operators.coverage import filter_reads
 
@@ -495,6 +502,13 @@ def pileup(
         raise ValueError(f"unknown pileup strategy: {strategy!r}")
 
     csrc = getattr(reads, "_sequila_cram_source", None)
+    if fuse is True and (csrc is None or csrc["columns"] is not None):
+        raise ValueError(
+            "fuse=True requires an untransformed read_cram_native relation "
+            "(reader provenance carries the decode-prune contract)"
+        )
+    if fuse is False:
+        csrc = None
     if csrc is not None and csrc["columns"] is None:
         # reader-provenance decode pruning (same contract as coverage):
         # pileup never reads tags, and qname/mate fields only under

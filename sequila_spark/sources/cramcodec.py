@@ -139,6 +139,18 @@ def _rans_read_freq_pairs(r: ByteReader) -> list[tuple[int, int]]:
             sym = nxt
         if sym == 0:
             break
+    # corrupt-input contract, host-independent: a symbol run past 255 or a
+    # total frequency over the 4096-slot normalization raises the SAME
+    # ValueError whether the C kernel, the NumPy builder, or the pure-
+    # Python packer consumes these pairs (without this, each path failed
+    # with a different error type for the same corrupt stream)
+    total = 0
+    for s, f in pairs:
+        if not 0 <= s <= 255 or f < 0:
+            raise ValueError("corrupt rANS frequency table")
+        total += f
+    if total > 4096:
+        raise ValueError("corrupt rANS frequency table")
     return pairs
 
 
@@ -247,6 +259,8 @@ def _rans_decode1(r: ByteReader, out_size: int) -> bytes:
     sym = r.u8()
     rle = 0
     while True:
+        if not 0 <= sym <= 255:  # same contract as the C path's ctx check
+            raise ValueError("corrupt rANS frequency table")
         tables[sym] = _rans_read_freqs0(r)
         if rle > 0:
             rle -= 1
@@ -352,6 +366,11 @@ def rans_decode(data: bytes) -> bytes:
                 if sym == 0:
                     break
             tables = np.zeros((256, 4096), dtype=np.uint64)
+        # context ids share the corrupt-input contract of
+        # _rans_read_freq_pairs (which already validates each table's
+        # symbols and total): a context RLE run past 255 is corrupt
+        if any(not 0 <= c <= 255 for c, _ in ctx_pairs):
+            raise ValueError("corrupt rANS frequency table")
         # all contexts' tables in ONE C pass (pinned fallback: the
         # per-context NumPy builder)
         ctx_ids = np.fromiter(

@@ -305,6 +305,41 @@ def test_rans_freq_rle_run_adjacent_symbol():
     assert r.i == len(stream)  # every byte consumed, no desync
 
 
+def test_rans4x8_corrupt_freq_table_is_loud():
+    """Corrupt 4x8 frequency tables raise ONE host-independent
+    ValueError — a symbol RLE run past 255 and a total frequency over
+    the 4096-slot normalization both previously failed differently per
+    host (uint8-fromiter OverflowError on the C path, NumPy broadcast
+    ValueError on the C-absent fallback) for the same corrupt input
+    (ADVICE r12)."""
+    import struct
+
+    from sequila_spark.sources.cramcodec import (
+        ByteReader,
+        _rans_read_freq_pairs,
+        rans_decode,
+    )
+
+    def stream(table: bytes) -> bytes:
+        return bytes([0]) + struct.pack("<II", len(table), 100) + table
+
+    # total frequency 5000 > 4096: sym 65 with a two-byte itf8 freq,
+    # terminator symbol 0
+    over_total = bytes([65, 0x80 | (5000 >> 8), 5000 & 0xFF, 0])
+    with pytest.raises(ValueError, match="corrupt rANS frequency table"):
+        rans_decode(stream(over_total))
+
+    # symbol RLE run past 255: start at 254, explicit 255 == 254+1 opens
+    # a 2-run that advances the symbol to 256 then 257 before the
+    # terminator
+    over_sym = bytes([254, 10, 255, 2, 10, 10, 10, 0])
+    with pytest.raises(ValueError, match="corrupt rANS frequency table"):
+        rans_decode(stream(over_sym))
+    # the shared parser raises identically with no C kernel in the path
+    with pytest.raises(ValueError, match="corrupt rANS frequency table"):
+        _rans_read_freq_pairs(ByteReader(over_sym))
+
+
 def test_resolve_mates_three_segment_template_tlen():
     """3+ segment templates linked in-slice get TLEN = leftmost-start to
     rightmost-end span across ALL mapped same-reference members (+ on the
@@ -2209,3 +2244,32 @@ def test_cram_pileup_prunes_decode(spark, monkeypatch):
         map(tuple, pileup(reads.select(reads.columns), quals=True).collect())
     )
     assert got_q == unpruned_q
+
+
+def test_pileup_fuse_flag(spark, monkeypatch):
+    """pileup(fuse=...) mirrors coverage() (ADVICE r12): fuse=False is a
+    documented opt-out of the provenance-based decode prune (identical
+    rows, pruned re-read must NOT engage); fuse=True without reader
+    provenance raises."""
+    from sequila_spark.operators.pileup import pileup
+    from sequila_spark.sources import bam as B
+
+    calls = {"pruned": 0}
+    orig = B.read_cram_native
+
+    def spy(spark_, path, **kw):
+        if kw.get("columns") is not None:
+            calls["pruned"] += 1
+        return orig(spark_, path, **kw)
+
+    monkeypatch.setattr(B, "read_cram_native", spy)
+    reads = orig(spark, CRAM, ref_path=FASTA)
+    fused = sorted(map(tuple, pileup(reads, fuse=True).collect()))
+    assert calls["pruned"] == 1
+    unfused = sorted(map(tuple, pileup(reads, fuse=False).collect()))
+    assert calls["pruned"] == 1  # opt-out: no pruned re-read
+    assert fused == unfused
+    with pytest.raises(ValueError, match="fuse=True requires"):
+        pileup(reads.select(reads.columns), fuse=True)
+    with pytest.raises(ValueError, match="fuse=True requires"):
+        pileup(B.read_bam_native(spark, BAM), fuse=True)

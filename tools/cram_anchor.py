@@ -56,14 +56,18 @@ def main() -> None:
     recs = run()
     n = len(recs)
     t_col = best()
-    C._COLUMNAR_SLICE = False
-    recs_bulk = run()
-    t_bulk = best()
-    C._BULK_RECORD_SERIES = False
-    recs_pv = run()
-    t_pv = best()
-    C._COLUMNAR_SLICE = True
-    C._BULK_RECORD_SERIES = True
+    # try/finally: a decode error mid-measurement must not leave the
+    # codec pinned to its slow fallback for the rest of the process
+    try:
+        C._COLUMNAR_SLICE = False
+        recs_bulk = run()
+        t_bulk = best()
+        C._BULK_RECORD_SERIES = False
+        recs_pv = run()
+        t_pv = best()
+    finally:
+        C._COLUMNAR_SLICE = True
+        C._BULK_RECORD_SERIES = True
     assert recs == recs_bulk == recs_pv, "decode paths diverge"
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
