@@ -9,9 +9,10 @@ with NATIVE default decoders registered at import: PNG and BMP
 kernel, ``image/png``/``image/bmp``), baseline AND progressive JPEG
 (sources/jpeg.py, ``image/jpeg``), animated GIF with full LZW +
 disposal compositing (sources/gif.py, ``image/gif``, backing
-``sample_frames``), and WAV/PCM audio (sources/audio.py,
-``audio/wav``).  Only formats that genuinely need external libraries
-(compressed audio such as MP3/AAC, video containers) remain honestly
+``sample_frames``), WAV/PCM audio (sources/audio.py, ``audio/wav``),
+and FLAC (sources/flac.py — integer LPC + Rice per RFC 9639, CRC/MD5
+verified, ``audio/flac``).  Only formats that genuinely need external
+libraries (lossy audio such as MP3/AAC, video containers) remain honestly
 stubbed — for those ``decode_media`` raises NotImplementedError unless
 a decoder is registered, and ``byte_features`` provides the
 deterministic byte-level fallback (length, checksum, 16-bin byte
@@ -112,7 +113,7 @@ def byte_features(media: DataFrame) -> DataFrame:
 
 def decode_media(media: DataFrame) -> DataFrame:
     """Decodability gate + byte features: verifies every media_type in the
-    batch has a registered decoder (PNG/BMP/GIF/JPEG/WAV ship as native
+    batch has a registered decoder (PNG/BMP/GIF/JPEG/WAV/FLAC ship as native
     defaults; others via register_decoder) and emits the byte-level
     feature row.  Raises NotImplementedError, per-task and loudly, when a
     type present in the data has no decoder.  For decoded OUTPUT use the
@@ -226,6 +227,12 @@ def _wav_decoder(b: bytes) -> dict:
     return decode_wav(b)
 
 
+def _flac_decoder(b: bytes) -> dict:
+    from sequila_spark.sources.flac import decode_flac
+
+    return decode_flac(b)
+
+
 def _gif_decoder(b: bytes) -> dict:
     from sequila_spark.sources.gif import decode_gif
 
@@ -243,6 +250,7 @@ _DECODERS.setdefault("image/bmp", _bmp_decoder)
 _DECODERS.setdefault("image/gif", _gif_decoder)
 _DECODERS.setdefault("image/jpeg", _jpeg_decoder)
 _DECODERS.setdefault("audio/wav", _wav_decoder)
+_DECODERS.setdefault("audio/flac", _flac_decoder)
 
 AUDIO_SCHEMA = T.StructType(
     [

@@ -15,6 +15,7 @@ import numpy as np
 import pytest
 
 from sequila_spark.sources.audio import decode_wav
+from sequila_spark.sources.flac import decode_flac
 from sequila_spark.sources.gif import decode_gif
 from sequila_spark.sources.image import decode_bmp, decode_png
 from sequila_spark.sources.jpeg import decode_jpeg
@@ -24,6 +25,7 @@ TRIALS = 300
 
 def _fixtures():
     from tests.test_audio_codec import _wav
+    from tests.test_flac_codec import encode_flac as encode_flac_fixture
     from tests.test_gif_codec import encode_gif
     from tests.test_image_codec import encode_png, encode_png_ex
     from tests.test_jpeg_codec import encode_jpeg, encode_jpeg_progressive
@@ -54,6 +56,17 @@ def _fixtures():
         ),
         "png_16bit": (bytes(encode_png_ex(img16, 16, 2)), decode_png),
         "wav": (bytes(_wav(1, 16, 8000, 1, pcm)), decode_wav),
+        "flac": (
+            bytes(
+                encode_flac_fixture(
+                    np.frombuffer(pcm, dtype="<i2").astype(np.int64)[:, None],
+                    8000,
+                    16,
+                    blocksize=64,
+                )
+            ),
+            decode_flac,
+        ),
     }
 
 
@@ -61,7 +74,7 @@ def _fixtures():
     "name",
     [
         "jpeg", "jpeg_progressive", "gif", "png", "png_palette",
-        "png_interlaced", "png_16bit", "wav",
+        "png_interlaced", "png_16bit", "wav", "flac",
     ],
 )
 def test_mutated_payloads_fail_loudly_or_decode(name):
