@@ -250,17 +250,38 @@ def coverage(
 
     csrc = getattr(reads, "_sequila_cram_source", None)
     if csrc is not None and fuse is not False and csrc["columns"] is None:
-        # CRAM analog of the BAM fusion below, one notch lighter: the
-        # declarative plan is unchanged but the INPUT is re-planned as a
-        # column-pruned re-read — qname/tag/seq/qual rendering and Arrow
-        # transfer never happen (decode-level pruning, read_cram_native
-        # columns=).  Positional identity is pinned by
-        # tests/test_cram_native.py::test_cram_coverage_prunes_decode.
+        if use_cigar is not False:
+            # FULL CRAM fusion (r13): decode -> clipped coverage events
+            # inside the container task — zero per-record strings, the
+            # same plan shape as the BAM fusion below.  Events identity
+            # vs the declarative plan is pinned by
+            # tests/test_cram_native.py::test_cram_coverage_fused_events.
+            from sequila_spark.sources.bam import read_cram_coverage_events
+
+            events = read_cram_coverage_events(
+                reads.sparkSession,
+                csrc["path"],
+                ref_path=csrc["ref_path"],
+                chunk_size=chunk_size,
+                flag_mask=flag_mask,
+                min_mapq=min_mapq,
+                contig=csrc["contig"],
+                start=csrc["start"],
+                end=csrc["end"],
+            )
+            return coverage_from_events(
+                events,
+                chunk_size=chunk_size,
+                mode=mode,
+                window_size=window_size,
+                ref_bases=ref_bases,
+            )
+        # use_cigar=False (gapless spans): the declarative plan needs
+        # pos_end, not blocks — keep the column-pruned re-read
+        # (qname/tag/seq/qual rendering and Arrow transfer still never
+        # happen; pinned by test_cram_coverage_prunes_decode)
         from sequila_spark.sources.bam import read_cram_native
 
-        need = [S.FLAG, S.CONTIG, S.START, S.END, S.MAPQ]
-        if use_cigar is not False:
-            need.append(S.CIGAR)
         reads = read_cram_native(
             reads.sparkSession,
             csrc["path"],
@@ -268,7 +289,7 @@ def coverage(
             contig=csrc["contig"],
             start=csrc["start"],
             end=csrc["end"],
-            columns=need,
+            columns=[S.FLAG, S.CONTIG, S.START, S.END, S.MAPQ],
         )
 
     src = getattr(reads, "_sequila_bam_source", None)

@@ -707,6 +707,50 @@ def read_bam_coverage_events(
     return df.withColumn(S.CONTIG, clean_contig(F.col(S.CONTIG)))
 
 
+#: (path, size, mtime_ns) -> (ref_names, rg_names, containers, validated)
+#: — the CRAM planning scan + per-container codec validation are pure
+#: functions of the file bytes, and a GB-scale file costs ~1 s of
+#: driver-side work per query without this (0.08 s header scan + 0.85 s
+#: validation at 4096 containers).  Spark caches parquet FileIndexes the
+#: same way.  Keyed on stat() so an overwritten file re-plans; bounded.
+_CRAM_SCAN_CACHE: dict[tuple, tuple] = {}
+_CRAM_SCAN_CACHE_MAX = 16
+
+
+def _cram_scan_cached(path: str) -> tuple[list[str], list[str], list[dict]]:
+    from sequila_spark.sources import cramcodec as C
+
+    st = os.stat(path)
+    key = (os.path.abspath(path), st.st_size, st.st_mtime_ns)
+    hit = _CRAM_SCAN_CACHE.get(key)
+    if hit is None:
+        ref_names, text, containers = C.scan_containers_file(path)
+        hit = (ref_names, C.parse_rg_ids(text), containers, set())
+        _CRAM_SCAN_CACHE[key] = hit
+        while len(_CRAM_SCAN_CACHE) > _CRAM_SCAN_CACHE_MAX:
+            _CRAM_SCAN_CACHE.pop(next(iter(_CRAM_SCAN_CACHE)))
+    return hit[0], hit[1], hit[2]
+
+
+def _validate_containers_cached(path: str, containers: list[dict]) -> None:
+    """validate_container_file over ``containers``, memoized per file —
+    validation decompresses only header blocks but is O(containers) of
+    seeks, which dominates re-planning on large files."""
+    from sequila_spark.sources import cramcodec as C
+
+    st = os.stat(path)
+    key = (os.path.abspath(path), st.st_size, st.st_mtime_ns)
+    hit = _CRAM_SCAN_CACHE.get(key)
+    done: set = hit[3] if hit is not None else set()
+    todo = [h for h in containers if h["abs_offset"] not in done]
+    if not todo:
+        return
+    with open(path, "rb") as vf:
+        for h in todo:
+            C.validate_container_file(vf, h)  # raises NotImplementedError
+            done.add(h["abs_offset"])
+
+
 def plan_cram_containers(
     path: str,
     contig: str | None = None,
@@ -733,8 +777,7 @@ def plan_cram_containers(
     from sequila_spark.functions.intervals import clean_contig_py
     from sequila_spark.sources import cramcodec as C
 
-    ref_names, text, containers = C.scan_containers_file(path)
-    rg_names = C.parse_rg_ids(text)
+    ref_names, rg_names, containers = _cram_scan_cached(path)
     if contig is not None:
         want = clean_contig_py(contig)
         rids = {
@@ -832,10 +875,10 @@ def read_cram_native(
         )
         meta_by_path[p] = (ref_names, rg_names)
         sample = os.path.basename(p).split(".")[0]
-        with open(p, "rb") as vf:
-            for h in containers:
-                C.validate_container_file(vf, h)  # NotImplementedError -> pysam
-                tasks.append((p, sample, h))
+        # NotImplementedError -> pysam fallback; memoized per file stat
+        _validate_containers_cached(p, containers)
+        for h in containers:
+            tasks.append((p, sample, h))
     bref = (
         spark.sparkContext.broadcast(C.load_fasta(ref_path)) if ref_path else None
     )
@@ -958,6 +1001,209 @@ def read_cram_native(
         "end": end,
     }
     return df
+
+
+def read_cram_coverage_events(
+    spark: SparkSession,
+    path: str | list[str],
+    ref_path: str | None = None,
+    *,
+    chunk_size: int = 16_384,
+    flag_mask: int = 0,
+    min_mapq: int = 0,
+    contig: str | None = None,
+    start: int | None = None,
+    end: int | None = None,
+) -> DataFrame:
+    """Fused CRAM decode->coverage-events reader — the CRAM analog of
+    :func:`read_bam_coverage_events`: (contig, chunk, pos, delta) rows
+    clipped at ``chunk_size`` boundaries and pre-aggregated per container
+    group, feeding ``operators.coverage.coverage_from_events`` (same
+    chunk_size).  Together they compute exactly
+    ``coverage(read_cram_native(...), chunk_size=...)`` while rendering
+    ZERO strings per record: the columnar decode hands back the C feature
+    walk's cigar TEXT buffer + offsets (cramcodec ``__cig_raw``), a
+    vectorized parse converts it to BAM-encoded ops
+    (bamvec.cigar_text_to_ops), and the clipped-event aggregation is the
+    shared bamvec.events_from_blocks.  Slices the columnar decode cannot
+    take (multi-ref, exotic codecs) fall through to the per-record path
+    and are parsed from their cigar strings — identical events either way.
+
+    Planning (container-header scan, interval pruning, byte-targeted
+    container groups) is identical to read_cram_native; an interval also
+    applies the htslib-fetch overlap row filter.  ``flag_mask`` /
+    ``min_mapq`` apply filter_reads' predicates at decode time."""
+    import glob as _glob
+
+    from sequila_spark.functions.intervals import clean_contig_py
+    from sequila_spark.sources import cramcodec as C
+
+    if isinstance(path, (list, tuple)):
+        paths = list(path)
+    elif os.path.isdir(path):
+        paths = sorted(_glob.glob(os.path.join(path, "*.cram")))
+    elif any(ch in path for ch in "*?["):
+        paths = sorted(_glob.glob(path))
+    else:
+        paths = [path]
+    if not paths:
+        raise FileNotFoundError(f"no CRAM files match {path!r}")
+
+    meta_by_path: dict[str, list[str]] = {}
+    tasks: list[tuple[str, dict]] = []
+    for p in paths:
+        ref_names, _rg, containers = plan_cram_containers(
+            p, contig=contig, start=start, end=end
+        )
+        meta_by_path[p] = ref_names
+        _validate_containers_cached(p, containers)
+        for h in containers:
+            tasks.append((p, h))
+    bref = (
+        spark.sparkContext.broadcast(C.load_fasta(ref_path)) if ref_path else None
+    )
+
+    schema_str = "contig string, chunk long, pos int, delta int"
+    if not tasks:
+        return spark.createDataFrame([], schema_str)
+
+    par = spark.sparkContext.defaultParallelism or 1
+    total_bytes = sum(t[1]["length"] for t in tasks)
+    target = max(1, min(32 << 20, total_bytes // max(1, 2 * par)))
+    groups: list[list[int]] = []
+    cur: list[int] = []
+    cur_bytes = 0
+    for ti, t in enumerate(tasks):
+        cur.append(ti)
+        cur_bytes += t[1]["length"]
+        if cur_bytes >= target:
+            groups.append(cur)
+            cur, cur_bytes = [], 0
+    if cur:
+        groups.append(cur)
+
+    want_contig = clean_contig_py(contig) if contig is not None else None
+    q_start = start if start is not None else 1
+    q_end = end if end is not None else 2**62
+
+    def gen_batches(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from sequila_spark.functions.intervals import clean_contig_py as ccp
+        from sequila_spark.sources import bamvec as BV
+        from sequila_spark.sources import cramcodec as CC
+
+        k2 = chunk_size + 2
+        k1 = ((1 << 31) // chunk_size + 2) * k2
+        decode_cols = {"flag", "contig", "pos_start", "mapq", "__cig_raw"}
+        ref_take_by_path: dict[str, pa.Array] = {}
+        for b in batches:
+            for gid in b.column(0).to_pylist():
+                for tid in groups[gid]:
+                    p, h = tasks[tid]
+                    ref_names = meta_by_path[p]
+                    take = ref_take_by_path.get(p)
+                    if take is None:
+                        take = pa.array(
+                            [ccp(nm) for nm in ref_names], type=pa.string()
+                        )
+                        ref_take_by_path[p] = take
+                    with open(p, "rb") as f:
+                        f.seek(h["abs_data_offset"])
+                        blob = f.read(h["length"])
+                    hh = dict(h, data_offset=0)
+                    refs = bref.value if bref is not None else None
+                    for cols in CC.decode_container_columns(
+                        blob, hh, ref_names, refs, columns=decode_cols,
+                    ):
+                        raw = cols.get("__cig_raw")
+                        if raw is not None:
+                            buf, co = raw
+                            co = np.asarray(co, dtype=np.int64)
+                            ap = np.asarray(cols["__ap"], dtype=np.int64)
+                            bf = np.asarray(cols["__bf"], dtype=np.int64)
+                            mq = np.asarray(cols["__mapq"], dtype=np.int64)
+                            rid = np.full(
+                                len(ap), int(cols["__s_ref"]), dtype=np.int64
+                            )
+                        else:
+                            # per-record fallback slice (multi-ref, exotic
+                            # layouts): rebuild the text buffer from the
+                            # rendered cigar strings
+                            cigs = [c or "*" for c in cols["cigar"]]
+                            buf = np.frombuffer(
+                                "".join(cigs).encode("ascii"), dtype=np.uint8
+                            )
+                            co = np.zeros(len(cigs) + 1, dtype=np.int64)
+                            np.cumsum(
+                                [len(c) for c in cigs], out=co[1:]
+                            )
+                            ap = np.asarray(cols["pos_start"], dtype=np.int64)
+                            bf = np.asarray(cols["flag"], dtype=np.int64)
+                            mq = np.asarray(
+                                [m if m is not None else 0 for m in cols["mapq"]],
+                                dtype=np.int64,
+                            )
+                            name_to_rid = {
+                                nm: i for i, nm in enumerate(ref_names)
+                            }
+                            rid = np.asarray(
+                                [
+                                    name_to_rid.get(cg, -1)
+                                    if cg is not None
+                                    else -1
+                                    for cg in cols["contig"]
+                                ],
+                                dtype=np.int64,
+                            )
+                        cig_u32, op_cum = BV.cigar_text_to_ops(buf, co)
+                        keep = rid >= 0
+                        if flag_mask:
+                            keep &= (bf & flag_mask) == 0
+                        if min_mapq:
+                            keep &= mq >= min_mapq
+                        if want_contig is not None:
+                            names_ok = np.asarray(
+                                [
+                                    ccp(nm) == want_contig
+                                    for nm in ref_names
+                                ]
+                            )
+                            keep &= np.where(rid >= 0, names_ok[np.maximum(rid, 0)], False)
+                            # per-record ref-consumed length via the
+                            # cumulative-difference trick (robust to
+                            # zero-op records, unlike reduceat)
+                            ref_adv = (
+                                (cig_u32 >> 4).astype(np.int64)
+                                * BV._REF_CONSUME[cig_u32 & 0xF]
+                            )
+                            cum = np.zeros(len(ref_adv) + 1, dtype=np.int64)
+                            np.cumsum(ref_adv, out=cum[1:])
+                            rec_len = cum[op_cum[1:]] - cum[op_cum[:-1]]
+                            rec_end = ap + np.maximum(rec_len - 1, 0)
+                            keep &= (ap <= q_end) & (rec_end >= q_start)
+                        # _blocks_raw expects BAM's 0-based pos; CRAM's
+                        # pos_start is 1-based
+                        bs, be, rec_of, _ = BV._blocks_raw(
+                            cig_u32, op_cum, ap - 1
+                        )
+                        if not len(bs):
+                            continue
+                        bmask = keep[rec_of]
+                        if not bmask.all():
+                            bs, be, rec_of = bs[bmask], be[bmask], rec_of[bmask]
+                        if not len(bs):
+                            continue
+                        batch = BV.events_from_blocks(
+                            bs, be, rid[rec_of], take, chunk_size, k1, k2
+                        )
+                        if batch is not None:
+                            yield batch
+
+    return spark.range(0, len(groups), 1, len(groups)).mapInArrow(
+        gen_batches, schema_str
+    )
 
 
 def read_bam(

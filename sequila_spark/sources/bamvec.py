@@ -224,6 +224,52 @@ def _blocks_raw(
     return bs, be, rec_of_op[emit], per_rec
 
 
+_CIGAR_TEXT_CODE = np.full(256, -1, dtype=np.int64)
+for _c, _v in zip(b"MIDNSHP=X", range(9)):
+    _CIGAR_TEXT_CODE[_c] = _v
+
+
+def cigar_text_to_ops(
+    buf: np.ndarray, co: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized TEXT-cigar parse: (concatenated cigar text as uint8,
+    per-record offsets len n+1) -> (cig_u32 in the BAM op encoding
+    ``len<<4|code``, op_cum) ready for :func:`_blocks_raw`.  Used by the
+    fused CRAM coverage reader, whose C feature walk renders cigars as
+    one text buffer + offsets.  '*' (unmapped) records contribute zero
+    ops; an unknown op letter raises ValueError."""
+    n = len(co) - 1
+    if buf.size == 0:
+        return np.zeros(0, dtype="<u4"), np.zeros(n + 1, dtype=np.int64)
+    is_op = (buf < 48) | (buf > 57)
+    op_pos = np.flatnonzero(is_op)
+    rec_of_op = np.searchsorted(co, op_pos, side="right") - 1
+    prev = np.empty(len(op_pos), dtype=np.int64)
+    if len(op_pos):
+        prev[0] = -1
+        prev[1:] = op_pos[:-1]
+    num_start = np.maximum(prev + 1, co[rec_of_op])
+    num_len = op_pos - num_start
+    valid = num_len > 0  # '*' has an op char but no count
+    op_pos = op_pos[valid]
+    rec_of_op = rec_of_op[valid]
+    num_start = num_start[valid]
+    num_len = num_len[valid]
+    code = _CIGAR_TEXT_CODE[buf[op_pos]]
+    if len(code) and int(code.min()) < 0:
+        raise ValueError("invalid CIGAR op letter in decoded text")
+    val = np.zeros(len(op_pos), dtype=np.int64)
+    for d in range(int(num_len.max()) if len(num_len) else 0):
+        have = num_len > d
+        val[have] = val[have] * 10 + (
+            buf[num_start[have] + d].astype(np.int64) - 48
+        )
+    cig_u32 = ((val << 4) | code).astype("<u4")
+    op_cum = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(np.bincount(rec_of_op, minlength=n), out=op_cum[1:])
+    return cig_u32, op_cum
+
+
 def _blocks_column(
     cig_u32: np.ndarray, op_cum: np.ndarray, pos0: np.ndarray
 ) -> pa.Array:
@@ -718,7 +764,20 @@ def _cov_event_batch(
     bs, be, rec_of, _ = _blocks_raw(cig_u32, cg_cum // 4, pos0)
     if not len(bs):
         return None
-    rid_b = rid[rec_of]
+    return events_from_blocks(
+        bs, be, rid[rec_of], ref_take, chunk_size, k1, k2
+    )
+
+
+def events_from_blocks(
+    bs, be, rid_b, ref_take, chunk_size, k1, k2
+) -> pa.RecordBatch | None:
+    """Aggregated clipped coverage events from aligned M/=/X blocks —
+    shared by the BAM (_cov_event_batch) and CRAM
+    (bam.read_cram_coverage_events) fused readers.  ``bs``/``be`` are
+    1-based inclusive block spans, ``rid_b`` the per-block reference id
+    into ``ref_take``; k1/k2 are iter_span_cov_events' composite-key
+    strides for the sparse-sort path."""
     # clip blocks at chunk boundaries (same arithmetic as coverage())
     c_lo = (bs - 1) // chunk_size
     c_hi = (be - 1) // chunk_size

@@ -2188,11 +2188,66 @@ def test_cram_column_pruning(spark):
         read_cram_native(spark, CRAM, ref_path=FASTA, columns=["nope"])
 
 
-def test_cram_coverage_prunes_decode(spark, monkeypatch):
-    """coverage(read_cram_native(...)) auto-re-plans as a column-pruned
-    re-read on reader provenance: identical blocks to the unpruned
-    declarative plan AND to coverage over the independently-decoded BAM
-    twin; the pruned re-read must actually ENGAGE."""
+def test_cram_coverage_fused_events(spark, monkeypatch):
+    """coverage(read_cram_native(...)) auto-fuses to the decode->events
+    reader on provenance (r13, the BAM-fusion analog): identical blocks
+    to the declarative plan AND to coverage over the independently-
+    decoded BAM twin; the fused reader must actually ENGAGE (the
+    declarative read_cram_native path must NOT run)."""
+    from sequila_spark.operators.coverage import coverage
+    from sequila_spark.sources import bam as B
+
+    calls = {"fused": 0, "native": 0}
+    orig_ev = B.read_cram_coverage_events
+    orig = B.read_cram_native
+
+    def spy_ev(spark_, path, **kw):
+        calls["fused"] += 1
+        return orig_ev(spark_, path, **kw)
+
+    def spy_native(spark_, path, **kw):
+        calls["native"] += 1
+        return orig(spark_, path, **kw)
+
+    reads = orig(spark, CRAM, ref_path=FASTA)
+    monkeypatch.setattr(B, "read_cram_coverage_events", spy_ev)
+    monkeypatch.setattr(B, "read_cram_native", spy_native)
+    got = sorted(map(tuple, coverage(reads).collect()))
+    assert calls == {"fused": 1, "native": 0}
+    unfused = sorted(map(tuple, coverage(reads, fuse=False).collect()))
+    assert got == unfused
+    bam_reads = B.read_bam_native(spark, BAM)
+    via_bam = sorted(map(tuple, coverage(bam_reads, fuse=False).collect()))
+    assert got == via_bam
+    # filters apply at decode time, identical to the declarative plan
+    f_f = sorted(map(tuple, coverage(reads, flag_mask=1796, min_mapq=10).collect()))
+    f_d = sorted(map(tuple, coverage(reads, flag_mask=1796, min_mapq=10, fuse=False).collect()))
+    assert f_f == f_d
+    # bases/windows modes ride the same events
+    for kw in ({"mode": "bases"}, {"mode": "windows", "window_size": 1000}):
+        assert sorted(map(tuple, coverage(reads, **kw).collect())) == sorted(
+            map(tuple, coverage(reads, fuse=False, **kw).collect())
+        )
+
+
+def test_cram_coverage_fused_interval(spark):
+    """An interval read keeps htslib-fetch overlap semantics through the
+    fused events path (container pruning + numpy row filter)."""
+    from sequila_spark.operators.coverage import coverage
+    from sequila_spark.sources import bam as B
+
+    ri = B.read_cram_native(
+        spark, CRAM, ref_path=FASTA, contig="1", start=134, end=5034
+    )
+    fi = sorted(map(tuple, coverage(ri).collect()))
+    di = sorted(map(tuple, coverage(ri, fuse=False).collect()))
+    assert fi and fi == di
+
+
+def test_cram_coverage_gapless_prunes_decode(spark, monkeypatch):
+    """use_cigar=False cannot ride the block-based fused reader; it keeps
+    the column-PRUNED re-read (no qname/tags/seq/qual decode), identical
+    to the unpruned declarative plan."""
     from sequila_spark.operators.coverage import coverage
     from sequila_spark.sources import bam as B
 
@@ -2206,13 +2261,12 @@ def test_cram_coverage_prunes_decode(spark, monkeypatch):
 
     monkeypatch.setattr(B, "read_cram_native", spy)
     reads = orig(spark, CRAM, ref_path=FASTA)
-    got = sorted(map(tuple, coverage(reads).collect()))
+    got = sorted(map(tuple, coverage(reads, use_cigar=False).collect()))
     assert calls["pruned"] == 1
-    unpruned = sorted(map(tuple, coverage(reads, fuse=False).collect()))
+    unpruned = sorted(
+        map(tuple, coverage(reads, use_cigar=False, fuse=False).collect())
+    )
     assert got == unpruned
-    bam_reads = B.read_bam_native(spark, BAM)
-    via_bam = sorted(map(tuple, coverage(bam_reads, fuse=False).collect()))
-    assert got == via_bam
 
 
 def test_cram_pileup_prunes_decode(spark, monkeypatch):
