@@ -272,3 +272,60 @@ def test_corrupt_inner_fields_raise_before_gather(tmp_path):
             w.close()
         with pytest.raises(ValueError, match="corrupt BAM record"):
             list(BV.iter_span_batches(path, refs, "S", None))
+
+
+def test_cigar_text_to_ops_parses_like_python():
+    """cigar_text_to_ops (the fused CRAM coverage reader's vectorized
+    text parse) agrees with a per-record Python regex parse on random
+    cigars, including '*' records and multi-digit/op-dense strings."""
+    import re
+
+    import numpy as np
+
+    from sequila_spark.sources import bamvec as BV
+
+    rng = np.random.default_rng(13)
+    ops = "MIDNSHP=X"
+    cigs = []
+    for _ in range(500):
+        kind = rng.integers(0, 10)
+        if kind == 0:
+            cigs.append("*")
+            continue
+        n_ops = int(rng.integers(1, 8))
+        cigs.append(
+            "".join(
+                f"{int(rng.integers(1, 10 ** int(rng.integers(1, 5))))}"
+                f"{ops[rng.integers(0, len(ops))]}"
+                for _ in range(n_ops)
+            )
+        )
+    buf = np.frombuffer("".join(cigs).encode(), dtype=np.uint8)
+    co = np.zeros(len(cigs) + 1, dtype=np.int64)
+    np.cumsum([len(c) for c in cigs], out=co[1:])
+    cig_u32, op_cum = BV.cigar_text_to_ops(buf, co)
+
+    code = {c: i for i, c in enumerate(ops)}
+    want = []
+    for c in cigs:
+        if c == "*":
+            want.append([])
+        else:
+            want.append(
+                [(int(n) << 4) | code[o] for n, o in re.findall(r"(\d+)(.)", c)]
+            )
+    got = [
+        cig_u32[op_cum[i] : op_cum[i + 1]].tolist() for i in range(len(cigs))
+    ]
+    assert got == want
+
+    with pytest.raises(ValueError, match="invalid CIGAR op"):
+        BV.cigar_text_to_ops(
+            np.frombuffer(b"10Z", dtype=np.uint8),
+            np.array([0, 3], dtype=np.int64),
+        )
+    # empty buffer: n zero-op records
+    u, oc = BV.cigar_text_to_ops(
+        np.zeros(0, dtype=np.uint8), np.zeros(4, dtype=np.int64)
+    )
+    assert len(u) == 0 and oc.tolist() == [0, 0, 0, 0]
