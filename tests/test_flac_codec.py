@@ -543,3 +543,12 @@ def test_registry_and_audio_features(spark):
     assert rows[1]["rms"] == rows[2]["rms"]
     assert rows[1]["peak"] == rows[2]["peak"]
     assert rows[1]["duration_s"] == pytest.approx(0.125)
+
+
+def test_roundtrip_multichannel():
+    """FLAC supports up to 8 independent channels (assignment codes 0-7);
+    4- and 8-channel streams roundtrip sample-exact."""
+    for ch in (4, 8):
+        x = _pcm(400, ch, 16, seed=ch)
+        d = decode_flac(encode_flac(x, 48000, 16))
+        _assert_exact(d, x, 48000, 16)
