@@ -67,6 +67,21 @@ def _fixtures():
             ),
             decode_flac,
         ),
+        "flac_lpc": (
+            bytes(
+                encode_flac_fixture(
+                    np.frombuffer(pcm, dtype="<i2").astype(np.int64)[:100][:, None],
+                    8000,
+                    16,
+                    blocksize=50,
+                    mode="lpc",
+                    lpc=([900, 120], 11, 10),
+                    porder=1,
+                    rice2=True,
+                )
+            ),
+            decode_flac,
+        ),
     }
 
 
@@ -74,7 +89,7 @@ def _fixtures():
     "name",
     [
         "jpeg", "jpeg_progressive", "gif", "png", "png_palette",
-        "png_interlaced", "png_16bit", "wav", "flac",
+        "png_interlaced", "png_16bit", "wav", "flac", "flac_lpc",
     ],
 )
 def test_mutated_payloads_fail_loudly_or_decode(name):
