@@ -11,9 +11,13 @@ kernel, ``image/png``/``image/bmp``), baseline AND progressive JPEG
 disposal compositing (sources/gif.py, ``image/gif``, backing
 ``sample_frames``), WAV/PCM audio (sources/audio.py, ``audio/wav``),
 and FLAC (sources/flac.py — integer LPC + Rice per RFC 9639, CRC/MD5
-verified, ``audio/flac``).  Only formats that genuinely need external
-libraries (lossy audio such as MP3/AAC, video containers) remain honestly
-stubbed — for those ``decode_media`` raises NotImplementedError unless
+verified, ``audio/flac``).  MP4/MOV containers DEMUX natively
+(sources/mp4.py — ISO/IEC 14496-12 box grammar + sample tables,
+``video/mp4``): ``sample_frames`` gets real per-sample payloads and
+container metadata, while the codec BITSTREAMS inside the samples
+(H.264/HEVC/AAC) stay opaque bytes — decoding those genuinely needs
+external libraries, as does lossy audio (MP3/AAC); only there does
+``decode_media`` raise NotImplementedError unless
 a decoder is registered, and ``byte_features`` provides the
 deterministic byte-level fallback (length, checksum, 16-bin byte
 histogram) used by tests and oracles.
@@ -113,7 +117,7 @@ def byte_features(media: DataFrame) -> DataFrame:
 
 def decode_media(media: DataFrame) -> DataFrame:
     """Decodability gate + byte features: verifies every media_type in the
-    batch has a registered decoder (PNG/BMP/GIF/JPEG/WAV/FLAC ship as native
+    batch has a registered decoder (PNG/BMP/GIF/JPEG/WAV/FLAC/MP4 ship as native
     defaults; others via register_decoder) and emits the byte-level
     feature row.  Raises NotImplementedError, per-task and loudly, when a
     type present in the data has no decoder.  For decoded OUTPUT use the
@@ -233,6 +237,12 @@ def _flac_decoder(b: bytes) -> dict:
     return decode_flac(b)
 
 
+def _mp4_decoder(b: bytes) -> dict:
+    from sequila_spark.sources.mp4 import demux_mp4
+
+    return demux_mp4(b)
+
+
 def _gif_decoder(b: bytes) -> dict:
     from sequila_spark.sources.gif import decode_gif
 
@@ -251,6 +261,7 @@ _DECODERS.setdefault("image/gif", _gif_decoder)
 _DECODERS.setdefault("image/jpeg", _jpeg_decoder)
 _DECODERS.setdefault("audio/wav", _wav_decoder)
 _DECODERS.setdefault("audio/flac", _flac_decoder)
+_DECODERS.setdefault("video/mp4", _mp4_decoder)
 
 AUDIO_SCHEMA = T.StructType(
     [

@@ -1,0 +1,259 @@
+"""Native ISO-BMFF (MP4/MOV) container demux for the multimodal
+registry — zero new dependencies.
+
+Closes the "video containers" gap at the CONTAINER level: full box-tree
+parse, track headers, and the sample tables (stts / stsc / stsz /
+stco|co64 / stss) reconstructed into per-sample byte spans, so
+``sample_frames`` demuxes REAL MP4 payloads.  Codec bitstream decode
+(H.264/HEVC/AV1/AAC) stays honestly out of scope — samples come back as
+OPAQUE bytes, the exact contract ``fake_video_decoder`` established (a
+PyAV/ffmpeg-backed decoder plugs in via ``register_decoder`` in
+production; the Spark-side plumbing — schema, batch shape, 1-to-many
+frame rows — is identical either way).
+
+Spec: ISO/IEC 14496-12 (publicly specified box grammar).  Corrupt
+payloads raise ValueError per the media-fuzz contract: every box span
+is bounds-checked against its parent, sample spans against the file,
+and the reconstructed frame bytes against the allocation guard.
+"""
+
+from __future__ import annotations
+
+import struct
+
+#: allocation guard: total demuxed sample bytes must stay under 1 GiB
+_MAX_SAMPLE_BYTES = 1 << 30
+
+
+def _boxes(b: bytes, start: int, end: int):
+    """Yield (fourcc, body_start, body_end) for the boxes in [start, end).
+    Handles 64-bit largesize (size==1) and to-end-of-parent (size==0)."""
+    i = start
+    while i < end:
+        if i + 8 > end:
+            raise ValueError("truncated MP4 box header")
+        (size,) = struct.unpack_from(">I", b, i)
+        cc = b[i + 4 : i + 8]
+        body = i + 8
+        if size == 1:
+            if i + 16 > end:
+                raise ValueError("truncated MP4 largesize box")
+            (size,) = struct.unpack_from(">Q", b, i + 8)
+            body = i + 16
+        elif size == 0:
+            size = end - i
+        if size < body - i or i + size > end:
+            raise ValueError(f"MP4 box {cc!r} overruns its parent")
+        yield cc, body, i + size
+        i += size
+
+
+def _find(b: bytes, start: int, end: int, cc: bytes):
+    for c, s, e in _boxes(b, start, end):
+        if c == cc:
+            return s, e
+    return None
+
+
+def _full(b: bytes, s: int, e: int) -> tuple[int, int]:
+    """FullBox: -> (version, body offset past version/flags)."""
+    if s + 4 > e:
+        raise ValueError("truncated MP4 full box")
+    return b[s], s + 4
+
+
+def _u32s(b: bytes, s: int, e: int, n: int, width: int = 4):
+    if s + n * width > e:
+        raise ValueError("truncated MP4 table")
+    fmt = ">%d%s" % (n, "I" if width == 4 else "Q")
+    return struct.unpack_from(fmt, b, s)
+
+
+def _parse_stbl(b: bytes, s: int, e: int, flen: int) -> dict:
+    """Sample tables -> {codec, width, height, samples:[(off, size, sync)]}."""
+    out: dict = {"codec": None, "width": None, "height": None}
+
+    span = _find(b, s, e, b"stsd")
+    if span:
+        v, p = _full(b, *span)
+        (n_entries,) = _u32s(b, p, span[1], 1)
+        p += 4
+        if n_entries >= 1:
+            (esz,) = _u32s(b, p, span[1], 1)
+            if esz < 16 or p + esz > span[1]:
+                raise ValueError("corrupt MP4 stsd entry")
+            out["codec"] = b[p + 4 : p + 8].decode("latin-1")
+            # VisualSampleEntry: 8 sample-entry + 16 pre_defined/reserved,
+            # then width/height u16 — present only when the entry is big
+            # enough (audio entries are shorter)
+            if esz >= 36:
+                w, h = struct.unpack_from(">HH", b, p + 32)
+                if 0 < w < 1 << 15 and 0 < h < 1 << 15:
+                    out["width"], out["height"] = w, h
+
+    span = _find(b, s, e, b"stsz")
+    if span is None:
+        raise ValueError("MP4 stbl missing stsz")
+    v, p = _full(b, *span)
+    fixed, count = _u32s(b, p, span[1], 2)
+    if count > (span[1] - p) and fixed == 0:
+        raise ValueError("corrupt MP4 stsz count")
+    sizes = (
+        [fixed] * count if fixed else list(_u32s(b, p + 8, span[1], count))
+    )
+
+    span = _find(b, s, e, b"stco")
+    width = 4
+    if span is None:
+        span = _find(b, s, e, b"co64")
+        width = 8
+    if span is None:
+        raise ValueError("MP4 stbl missing stco/co64")
+    v, p = _full(b, *span)
+    (n_chunks,) = _u32s(b, p, span[1], 1)
+    chunk_offs = list(_u32s(b, p + 4, span[1], n_chunks, width))
+
+    span = _find(b, s, e, b"stsc")
+    if span is None:
+        raise ValueError("MP4 stbl missing stsc")
+    v, p = _full(b, *span)
+    (n_stsc,) = _u32s(b, p, span[1], 1)
+    stsc = []
+    q = p + 4
+    for _ in range(n_stsc):
+        first, spc, _sdi = _u32s(b, q, span[1], 3)
+        if first < 1 or spc < 1:
+            raise ValueError("corrupt MP4 stsc entry")
+        stsc.append((first, spc))
+        q += 12
+    if stsc != sorted(stsc) or len({f for f, _ in stsc}) != len(stsc):
+        raise ValueError("MP4 stsc first_chunk not strictly increasing")
+
+    syncs: set[int] | None = None
+    span = _find(b, s, e, b"stss")
+    if span:
+        v, p = _full(b, *span)
+        (n_sync,) = _u32s(b, p, span[1], 1)
+        syncs = set(_u32s(b, p + 4, span[1], n_sync))
+
+    # chunk walk: stsc entry k applies to chunks [first_k, first_{k+1})
+    samples: list[tuple[int, int, bool]] = []
+    si = 0
+    ci = 0
+    total = 0
+    while si < len(sizes):
+        if ci >= len(chunk_offs):
+            raise ValueError("MP4 sample tables overrun chunk offsets")
+        chunk_no = ci + 1
+        spc = 1
+        for first, n in stsc:
+            if first <= chunk_no:
+                spc = n
+            else:
+                break
+        off = chunk_offs[ci]
+        for _ in range(min(spc, len(sizes) - si)):
+            sz = sizes[si]
+            if off < 0 or off + sz > flen:
+                raise ValueError("MP4 sample span outside the file")
+            total += sz
+            if total > _MAX_SAMPLE_BYTES:
+                raise ValueError("MP4 demuxed size exceeds allocation guard")
+            samples.append(
+                (off, sz, syncs is None or (si + 1) in syncs)
+            )
+            off += sz
+            si += 1
+        ci += 1
+    out["samples"] = samples
+    return out
+
+
+def parse_mp4(b: bytes) -> dict:
+    """Parse the container -> {"brand", "tracks": [...]} with per-track
+    {track_id, handler, codec, width, height, timescale, duration_s,
+    n_samples, samples:[(offset, size, is_sync)]}."""
+    if len(b) < 16:
+        raise ValueError("not an MP4 (too short)")
+    top = list(_boxes(b, 0, len(b)))
+    if not any(cc == b"ftyp" for cc, _, _ in top[:2]):
+        raise ValueError("not an MP4 (no ftyp box)")
+    brand = None
+    moov = None
+    for cc, s, e in top:
+        if cc == b"ftyp":
+            brand = b[s : s + 4].decode("latin-1")
+        elif cc == b"moov":
+            moov = (s, e)
+    if moov is None:
+        raise ValueError("MP4 missing moov box")
+
+    tracks = []
+    for cc, s, e in _boxes(b, *moov):
+        if cc != b"trak":
+            continue
+        t: dict = {
+            "track_id": None, "handler": None, "timescale": None,
+            "duration_s": None,
+        }
+        span = _find(b, s, e, b"tkhd")
+        if span:
+            v, p = _full(b, *span)
+            t["track_id"] = _u32s(
+                b, p + (16 if v else 8), span[1], 1
+            )[0]
+        mdia = _find(b, s, e, b"mdia")
+        if mdia is None:
+            raise ValueError("MP4 trak missing mdia")
+        span = _find(b, *mdia, b"mdhd")
+        if span:
+            v, p = _full(b, *span)
+            if v:
+                (ts,) = _u32s(b, p + 16, span[1], 1)
+                (dur,) = _u32s(b, p + 20, span[1], 1, 8)
+            else:
+                ts, dur = _u32s(b, p + 8, span[1], 2)
+            if ts == 0:
+                raise ValueError("MP4 mdhd timescale 0")
+            t["timescale"] = ts
+            t["duration_s"] = dur / ts
+        span = _find(b, *mdia, b"hdlr")
+        if span:
+            v, p = _full(b, *span)
+            t["handler"] = b[p + 4 : p + 8].decode("latin-1")
+        minf = _find(b, *mdia, b"minf")
+        if minf is None:
+            raise ValueError("MP4 mdia missing minf")
+        stbl = _find(b, *minf, b"stbl")
+        if stbl is None:
+            raise ValueError("MP4 minf missing stbl")
+        t.update(_parse_stbl(b, *stbl, len(b)))
+        t["n_samples"] = len(t["samples"])
+        tracks.append(t)
+    if not tracks:
+        raise ValueError("MP4 moov has no trak boxes")
+    return {"brand": brand, "tracks": tracks}
+
+
+def demux_mp4(b: bytes) -> dict:
+    """Registry decoder (``video/mp4``): demux the FIRST video track's
+    samples as opaque frame payloads -> {"frames", "n_frames", "codec",
+    "width", "height", "duration_s", "track_id", "sync_idx"} — the
+    ``fake_video_decoder`` frames contract plus container metadata."""
+    info = parse_mp4(b)
+    vid = next(
+        (t for t in info["tracks"] if t["handler"] == "vide"), None
+    )
+    if vid is None:
+        raise ValueError("MP4 has no video track")
+    frames = [b[o : o + sz] for o, sz, _ in vid["samples"]]
+    return {
+        "frames": frames,
+        "n_frames": len(frames),
+        "codec": vid["codec"],
+        "width": vid["width"],
+        "height": vid["height"],
+        "duration_s": vid["duration_s"],
+        "track_id": vid["track_id"],
+        "sync_idx": [i for i, (_, _, sy) in enumerate(vid["samples"]) if sy],
+    }

@@ -19,6 +19,7 @@ from sequila_spark.sources.flac import decode_flac
 from sequila_spark.sources.gif import decode_gif
 from sequila_spark.sources.image import decode_bmp, decode_png
 from sequila_spark.sources.jpeg import decode_jpeg
+from sequila_spark.sources.mp4 import demux_mp4
 
 TRIALS = 300
 
@@ -27,6 +28,7 @@ def _fixtures():
     from tests.test_audio_codec import _wav
     from tests.test_flac_codec import encode_flac as encode_flac_fixture
     from tests.test_gif_codec import encode_gif
+    from tests.test_mp4_demux import mux_mp4
     from tests.test_image_codec import encode_png, encode_png_ex
     from tests.test_jpeg_codec import encode_jpeg, encode_jpeg_progressive
 
@@ -82,6 +84,18 @@ def _fixtures():
             ),
             decode_flac,
         ),
+        "mp4": (
+            bytes(
+                mux_mp4(
+                    [[bytes(rng.integers(0, 256, size=50, dtype=np.uint8))
+                      for _ in range(3)],
+                     [bytes(rng.integers(0, 256, size=80, dtype=np.uint8))
+                      for _ in range(2)]],
+                    syncs=[1, 3],
+                )
+            ),
+            demux_mp4,
+        ),
     }
 
 
@@ -89,7 +103,7 @@ def _fixtures():
     "name",
     [
         "jpeg", "jpeg_progressive", "gif", "png", "png_palette",
-        "png_interlaced", "png_16bit", "wav", "flac", "flac_lpc",
+        "png_interlaced", "png_16bit", "wav", "flac", "flac_lpc", "mp4",
     ],
 )
 def test_mutated_payloads_fail_loudly_or_decode(name):
