@@ -11,13 +11,15 @@ kernel, ``image/png``/``image/bmp``), baseline AND progressive JPEG
 disposal compositing (sources/gif.py, ``image/gif``, backing
 ``sample_frames``), WAV/PCM audio (sources/audio.py, ``audio/wav``),
 and FLAC (sources/flac.py — integer LPC + Rice per RFC 9639, CRC/MD5
-verified, ``audio/flac``).  MP4/MOV containers DEMUX natively
-(sources/mp4.py — ISO/IEC 14496-12 box grammar + sample tables,
-``video/mp4``): ``sample_frames`` gets real per-sample payloads and
-container metadata, while the codec BITSTREAMS inside the samples
-(H.264/HEVC/AAC) stay opaque bytes — decoding those genuinely needs
-external libraries, as does lossy audio (MP3/AAC); only there does
-``decode_media`` raise NotImplementedError unless
+verified, ``audio/flac``).  MP4/MOV AND Matroska/WebM containers
+DEMUX natively (sources/mp4.py — ISO/IEC 14496-12 box grammar + sample
+tables, ``video/mp4``; sources/mkv.py — EBML grammar + all four block
+lacings, ``video/x-matroska``/``video/webm``): ``sample_frames`` gets
+real per-sample payloads and container metadata, while the codec
+BITSTREAMS inside the samples (H.264/HEVC/VP9/AAC/Opus) stay opaque
+bytes — decoding those genuinely needs external libraries, as does
+lossy audio (MP3/AAC); only there does ``decode_media`` raise
+NotImplementedError unless
 a decoder is registered, and ``byte_features`` provides the
 deterministic byte-level fallback (length, checksum, 16-bin byte
 histogram) used by tests and oracles.
@@ -117,7 +119,7 @@ def byte_features(media: DataFrame) -> DataFrame:
 
 def decode_media(media: DataFrame) -> DataFrame:
     """Decodability gate + byte features: verifies every media_type in the
-    batch has a registered decoder (PNG/BMP/GIF/JPEG/WAV/FLAC/MP4 ship as native
+    batch has a registered decoder (PNG/BMP/GIF/JPEG/WAV/FLAC/MP4/MKV ship as native
     defaults; others via register_decoder) and emits the byte-level
     feature row.  Raises NotImplementedError, per-task and loudly, when a
     type present in the data has no decoder.  For decoded OUTPUT use the
@@ -243,6 +245,12 @@ def _mp4_decoder(b: bytes) -> dict:
     return demux_mp4(b)
 
 
+def _mkv_decoder(b: bytes) -> dict:
+    from sequila_spark.sources.mkv import demux_mkv
+
+    return demux_mkv(b)
+
+
 def _gif_decoder(b: bytes) -> dict:
     from sequila_spark.sources.gif import decode_gif
 
@@ -262,6 +270,8 @@ _DECODERS.setdefault("image/jpeg", _jpeg_decoder)
 _DECODERS.setdefault("audio/wav", _wav_decoder)
 _DECODERS.setdefault("audio/flac", _flac_decoder)
 _DECODERS.setdefault("video/mp4", _mp4_decoder)
+_DECODERS.setdefault("video/x-matroska", _mkv_decoder)
+_DECODERS.setdefault("video/webm", _mkv_decoder)
 
 AUDIO_SCHEMA = T.StructType(
     [

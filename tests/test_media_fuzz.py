@@ -19,6 +19,7 @@ from sequila_spark.sources.flac import decode_flac
 from sequila_spark.sources.gif import decode_gif
 from sequila_spark.sources.image import decode_bmp, decode_png
 from sequila_spark.sources.jpeg import decode_jpeg
+from sequila_spark.sources.mkv import demux_mkv
 from sequila_spark.sources.mp4 import demux_mp4
 
 TRIALS = 300
@@ -28,6 +29,7 @@ def _fixtures():
     from tests.test_audio_codec import _wav
     from tests.test_flac_codec import encode_flac as encode_flac_fixture
     from tests.test_gif_codec import encode_gif
+    from tests.test_mkv_demux import mux_mkv
     from tests.test_mp4_demux import mux_mp4
     from tests.test_image_codec import encode_png, encode_png_ex
     from tests.test_jpeg_codec import encode_jpeg, encode_jpeg_progressive
@@ -96,6 +98,20 @@ def _fixtures():
             ),
             demux_mp4,
         ),
+        "mkv": (
+            bytes(
+                mux_mkv(
+                    [
+                        (1, [bytes(rng.integers(0, 256, size=60,
+                                                dtype=np.uint8))], True, 0),
+                        (1, [bytes(rng.integers(0, 256, size=s,
+                                                dtype=np.uint8))
+                             for s in (40, 25, 30)], False, 3),
+                    ]
+                )
+            ),
+            demux_mkv,
+        ),
     }
 
 
@@ -103,7 +119,7 @@ def _fixtures():
     "name",
     [
         "jpeg", "jpeg_progressive", "gif", "png", "png_palette",
-        "png_interlaced", "png_16bit", "wav", "flac", "flac_lpc", "mp4",
+        "png_interlaced", "png_16bit", "wav", "flac", "flac_lpc", "mp4", "mkv",
     ],
 )
 def test_mutated_payloads_fail_loudly_or_decode(name):
