@@ -20,8 +20,13 @@ Progressive (SOF2) decodes too: multi-scan accumulation with spectral
 selection, successive approximation (DC first/refine, AC first/refine
 with EOB runs and correction bits, T.81 G.1.2), interleaved DC scans and
 per-component unpadded block grids for non-interleaved AC scans.
-Arithmetic coding, 12-bit precision and hierarchical modes raise
-NotImplementedError by name.  Returns the image contract
+12-bit sample precision decodes for extended-sequential (SOF1) and
+progressive (SOF2) frames — wider DC categories (T.81 F.1.2.1.1 allows
+0-15 at 12 bits), point transforms to 15, a 2^11 level shift — with the
+output downscaled to the high 8 bits, the same convention the PNG
+decoder applies to 16-bit samples.  Baseline (SOF0) is 8-bit BY SPEC;
+arithmetic coding and hierarchical modes raise NotImplementedError by
+name.  Returns the image contract
 ``{"width", "height", "channels", "pixels"}`` (pixels = row-major uint8,
 RGB for color, 1 channel for grayscale).  Size fields are validated
 before any allocation, mirroring image.py's guard.
@@ -214,8 +219,12 @@ def decode_jpeg(b: bytes) -> dict:
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if len(seg) < 6 + 3 * nc:
                 raise ValueError("JPEG: truncated SOF component list")
-            if prec != 8:
-                raise NotImplementedError(f"JPEG precision {prec} (only 8)")
+            if prec not in (8, 12):
+                raise NotImplementedError(
+                    f"JPEG precision {prec} (only 8 and 12)"
+                )
+            if prec == 12 and m == 0xC0:
+                raise ValueError("JPEG baseline (SOF0) must be 8-bit")
             if nc not in (1, 3):
                 raise NotImplementedError(f"JPEG with {nc} components")
             # the decode path holds float64 intermediates (coef blocks,
@@ -257,7 +266,8 @@ def decode_jpeg(b: bytes) -> dict:
             # T.81 B.2.3: Ss/Se index the 64-entry zig-zag; Ah/Al are bit
             # positions (<=13 for 8-bit precision).  Unvalidated they escape
             # as IndexError deep in the AC-refine loop.
-            if not (0 <= ss <= se <= 63) or ah > 13 or al > 13:
+            albound = 13 if prec == 8 else 15
+            if not (0 <= ss <= se <= 63) or ah > albound or al > albound:
                 raise ValueError(
                     f"JPEG: invalid scan progression Ss={ss} Se={se} Ah={ah} Al={al}"
                 )
@@ -274,12 +284,12 @@ def decode_jpeg(b: bytes) -> dict:
                 scanned = True
             i = _entropy_scan(
                 b, i, scan, huff_dc, huff_ac, restart_interval,
-                ss, se, ah, al,
+                ss, se, ah, al, prec,
             )
         # APPn, COM: skipped
     if not scanned:
         raise ValueError("JPEG: no SOS marker")
-    return _finish(comps, qt, w, h)
+    return _finish(comps, qt, w, h, prec)
 
 
 def _init_coefs(comps, qt, w, h) -> None:
@@ -302,7 +312,7 @@ def _init_coefs(comps, qt, w, h) -> None:
 
 
 def _entropy_scan(b, i, scan, huff_dc, huff_ac, restart_interval,
-                  ss, se, ah, al) -> int:
+                  ss, se, ah, al, prec=8) -> int:
     """Decode one scan's entropy data (sequential full-band, progressive
     DC first/refine, AC first/refine with EOB runs — T.81 F.2 and G.1.2)
     into the components' coefficient arrays; returns the offset of the
@@ -320,7 +330,7 @@ def _entropy_scan(b, i, scan, huff_dc, huff_ac, restart_interval,
                 if td is None:
                     raise ValueError("JPEG: missing DC Huffman table")
                 s = r.huff(td)
-                if s > 11:
+                if s > (11 if prec == 8 else 15):  # T.81 F.1.2.1.1
                     raise ValueError("JPEG: bad DC size")
                 diff = _extend(r.take(s), s) if s else 0
                 c["pred"] += diff
@@ -428,7 +438,7 @@ def _entropy_scan(b, i, scan, huff_dc, huff_ac, restart_interval,
     return r.i
 
 
-def _finish(comps, qt, w, h) -> dict:
+def _finish(comps, qt, w, h, prec=8) -> dict:
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     zz = _ZIGZAG
@@ -438,12 +448,19 @@ def _finish(comps, qt, w, h) -> dict:
     for c in comps:
         # DQT entries are in zigzag order like the coefficients; coef[] was
         # filled at raster positions zz[k], so scatter q the same way
-        q = np.zeros(64, dtype=np.int32)
+        q = np.zeros(64, dtype=np.int64)
         q[zz] = qt[c["tq"]]
-        blocks = (c["coef"] * q).astype(np.float64).reshape(-1, 8, 8)
+        # int64: a 12-bit coefficient (to +-32767) times a 16-bit quant
+        # value overflows int32
+        blocks = (
+            (c["coef"].astype(np.int64) * q).astype(np.float64).reshape(-1, 8, 8)
+        )
         # IDCT: out[x, y] = sum_u sum_v B[u, x] B[v, y] F[u, v]
+        half, top = 1 << (prec - 1), (1 << prec) - 1
         pix = np.einsum("ux,nuv,vy->nxy", _IDCT_B, blocks, _IDCT_B)
-        pix = np.clip(np.round(pix) + 128.0, 0, 255).astype(np.uint8)
+        pix = np.clip(np.round(pix) + half, 0, top)
+        # high-byte convention (like 16-bit PNG): output stays uint8
+        pix = (pix.astype(np.uint16) >> (prec - 8)).astype(np.uint8)
         # stitch blocks -> plane
         bh, bw = c["bh"], c["bw"]
         plane = (
@@ -461,6 +478,9 @@ def _finish(comps, qt, w, h) -> dict:
     y = planes[0].astype(np.float64)
     cb = planes[1].astype(np.float64) - 128.0
     cr = planes[2].astype(np.float64) - 128.0
+    # color conversion runs on the already-downscaled 8-bit planes — the
+    # BT.601 matrix is scale-invariant, so converting after the high-byte
+    # reduction equals converting at 12 bits then reducing (to rounding)
     rgb = np.stack(
         [
             y + 1.402 * cr,

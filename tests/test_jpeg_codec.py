@@ -44,6 +44,18 @@ def _canon_codes(counts, symbols):
 _DC_CODES = _canon_codes(_DC_COUNTS, _DC_SYMS)
 _AC_CODES = _canon_codes(_AC_COUNTS, _AC_SYMS)
 
+# 12-bit tables: DC categories reach 15 (T.81 F.1.2.1.1), AC sizes 14
+_DC12_SYMS = bytes(range(16))
+_DC12_COUNTS = [0, 0, 0, 0, 16] + [0] * 11  # 16 symbols at 5 bits
+_AC12_SYMS = bytes(
+    [0x00, 0xF0]
+    + [(r << 4) | sz for r in range(16) for sz in range(1, 15)]
+    + [n << 4 for n in range(1, 15)]
+)
+_AC12_COUNTS = [0] * 7 + [len(_AC12_SYMS)] + [0] * 8  # 240 at 8 bits
+_DC12_CODES = _canon_codes(_DC12_COUNTS, _DC12_SYMS)
+_AC12_CODES = _canon_codes(_AC12_COUNTS, _AC12_SYMS)
+
 
 class _BitWriter:
     def __init__(self):
@@ -68,11 +80,11 @@ class _BitWriter:
             self.put((1 << pad) - 1, pad)
 
 
-def _fdct_quant(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
-    """plane (H, W) uint8 -> (n_blocks, 64) int32 quantized coefficients,
+def _fdct_quant(plane: np.ndarray, q: np.ndarray, center: float = 128.0) -> np.ndarray:
+    """plane (H, W) uint -> (n_blocks, 64) int32 quantized coefficients,
     raster order within the block; H, W multiples of 8."""
     h, w = plane.shape
-    f = plane.astype(np.float64) - 128.0
+    f = plane.astype(np.float64) - center
     blocks = (
         f.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
     )
@@ -82,11 +94,12 @@ def _fdct_quant(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
     return np.round(coef.reshape(-1, 64) / qr).astype(np.int32)
 
 
-def _emit_block(wtr: _BitWriter, blk: np.ndarray, pred: int) -> int:
+def _emit_block(wtr: _BitWriter, blk: np.ndarray, pred: int,
+                dc_codes=_DC_CODES, ac_codes=_AC_CODES) -> int:
     dc = int(blk[0])
     diff = dc - pred
     s = abs(diff).bit_length()
-    code, ln = _DC_CODES[s]
+    code, ln = dc_codes[s]
     wtr.put(code, ln)
     if s:
         wtr.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
@@ -98,16 +111,16 @@ def _emit_block(wtr: _BitWriter, blk: np.ndarray, pred: int) -> int:
             run += 1
             continue
         while run > 15:
-            code, ln = _AC_CODES[0xF0]
+            code, ln = ac_codes[0xF0]
             wtr.put(code, ln)
             run -= 16
         s = abs(v).bit_length()
-        code, ln = _AC_CODES[(run << 4) | s]
+        code, ln = ac_codes[(run << 4) | s]
         wtr.put(code, ln)
         wtr.put(v if v >= 0 else v + (1 << s) - 1, s)
         run = 0
     if run:
-        code, ln = _AC_CODES[0x00]
+        code, ln = ac_codes[0x00]
         wtr.put(code, ln)
     return dc
 
@@ -116,7 +129,7 @@ def _seg(marker: int, body: bytes) -> bytes:
     return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
 
 
-def _prep_components(planes, q, hv, subsample):
+def _prep_components(planes, q, hv, subsample, center=128.0):
     """Pad planes to MCU coverage, subsample chroma when asked, and FDCT-
     quantize -> [(coef (n_blocks, 64) raster order, blocks_per_row), ...]."""
     h, w = planes[0].shape
@@ -127,7 +140,7 @@ def _prep_components(planes, q, hv, subsample):
     def pad(p, mh, mw):
         ph = -(-p.shape[0] // mh) * mh
         pw = -(-p.shape[1] // mw) * mw
-        out = np.empty((ph, pw), dtype=np.uint8)
+        out = np.empty((ph, pw), dtype=p.dtype)
         out[: p.shape[0], : p.shape[1]] = p
         out[p.shape[0] :, : p.shape[1]] = p[-1:, :]
         out[:, p.shape[1] :] = out[:, p.shape[1] - 1 : p.shape[1]]
@@ -141,20 +154,20 @@ def _prep_components(planes, q, hv, subsample):
             p = np.round(
                 (pp[0::2, 0::2] + pp[0::2, 1::2] + pp[1::2, 0::2] + pp[1::2, 1::2])
                 / 4.0
-            ).astype(np.uint8)
+            ).astype(planes[k].dtype)
         # pad the plane so it covers whole MCUs at this component's scale
         need_h = -(-h // (8 * vmax)) * 8 * hv[k][1]
         need_w = -(-w // (8 * hmax)) * 8 * hv[k][0]
         p = pad(p, 8, 8)
         if p.shape[0] < need_h or p.shape[1] < need_w:
-            full = np.empty((need_h, need_w), dtype=np.uint8)
+            full = np.empty((need_h, need_w), dtype=p.dtype)
             full[: p.shape[0], : p.shape[1]] = p
             full[p.shape[0] :, : p.shape[1]] = p[-1:, :]
             full[:, p.shape[1] :] = full[:, p.shape[1] - 1 : p.shape[1]]
             p = full
         else:
             p = p[:need_h, :need_w]
-        comp_blocks.append((_fdct_quant(p, q), p.shape[1] // 8))
+        comp_blocks.append((_fdct_quant(p, q, center), p.shape[1] // 8))
     return comp_blocks, hmax, vmax
 
 
@@ -165,6 +178,7 @@ def encode_jpeg(
     subsample: bool = False,
     restart_interval: int = 0,
     q16: bool = False,
+    precision: int = 8,
 ) -> bytes:
     """Baseline JPEG encoder for fixtures.  ``planes`` = [gray] or
     [Y, Cb, Cr] full-resolution uint8 planes; with ``subsample`` the
@@ -175,7 +189,12 @@ def encode_jpeg(
     h, w = planes[0].shape
     nc = len(planes)
     hv = [(2, 2), (1, 1), (1, 1)] if (subsample and nc == 3) else [(1, 1)] * nc
-    comp_blocks, hmax, vmax = _prep_components(planes, q, hv, subsample)
+    comp_blocks, hmax, vmax = _prep_components(
+        planes, q, hv, subsample, center=float(1 << (precision - 1))
+    )
+    dc_codes, ac_codes = (
+        (_DC12_CODES, _AC12_CODES) if precision == 12 else (_DC_CODES, _AC_CODES)
+    )
 
     out = bytearray(b"\xff\xd8")
     if q16:
@@ -183,12 +202,17 @@ def encode_jpeg(
     else:
         body = bytes([0x00]) + np.asarray(q, dtype=np.uint8).tobytes()
     out += _seg(0xDB, body)
-    sof = struct.pack(">BHHB", 8, h, w, nc)
+    sof = struct.pack(">BHHB", precision, h, w, nc)
     for k in range(nc):
         sof += bytes([k + 1, (hv[k][0] << 4) | hv[k][1], 0])
-    out += _seg(0xC0, sof)
-    out += _seg(0xC4, bytes([0x00]) + bytes(_DC_COUNTS) + _DC_SYMS)
-    out += _seg(0xC4, bytes([0x10]) + bytes(_AC_COUNTS) + _AC_SYMS)
+    # 12-bit requires extended sequential (SOF1); baseline is 8-bit by spec
+    out += _seg(0xC0 if precision == 8 else 0xC1, sof)
+    if precision == 12:
+        out += _seg(0xC4, bytes([0x00]) + bytes(_DC12_COUNTS) + _DC12_SYMS)
+        out += _seg(0xC4, bytes([0x10]) + bytes(_AC12_COUNTS) + _AC12_SYMS)
+    else:
+        out += _seg(0xC4, bytes([0x00]) + bytes(_DC_COUNTS) + _DC_SYMS)
+        out += _seg(0xC4, bytes([0x10]) + bytes(_AC_COUNTS) + _AC_SYMS)
     if restart_interval:
         out += _seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([nc]) + b"".join(bytes([k + 1, 0x00]) for k in range(nc)) + b"\x00\x3f\x00"
@@ -212,7 +236,9 @@ def encode_jpeg(
                 for by in range(hv[k][1]):
                     for bx in range(hv[k][0]):
                         idx = (my * hv[k][1] + by) * bw + mx * hv[k][0] + bx
-                        preds[k] = _emit_block(wtr, coef[idx], preds[k])
+                        preds[k] = _emit_block(
+                            wtr, coef[idx], preds[k], dc_codes, ac_codes
+                        )
             mcu_seen += 1
     wtr.flush()
     out += wtr.out
@@ -227,6 +253,7 @@ def encode_jpeg_progressive(
     subsample: bool = False,
     al: int = 1,
     ac_bands: tuple = ((1, 63),),
+    precision: int = 8,
 ) -> bytes:
     """Progressive (SOF2) encoder for fixtures, mirroring libjpeg's scan
     discipline: DC first (interleaved, point transform ``al``), DC refine
@@ -240,18 +267,27 @@ def encode_jpeg_progressive(
     h, w = planes[0].shape
     nc = len(planes)
     hv = [(2, 2), (1, 1), (1, 1)] if (subsample and nc == 3) else [(1, 1)] * nc
-    comp_blocks, hmax, vmax = _prep_components(planes, q, hv, subsample)
+    comp_blocks, hmax, vmax = _prep_components(
+        planes, q, hv, subsample, center=float(1 << (precision - 1))
+    )
+    dc_codes, ac_codes = (
+        (_DC12_CODES, _AC12_CODES) if precision == 12 else (_DC_CODES, _AC_CODES)
+    )
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
 
     out = bytearray(b"\xff\xd8")
     out += _seg(0xDB, bytes([0x00]) + np.asarray(q, dtype=np.uint8).tobytes())
-    sof = struct.pack(">BHHB", 8, h, w, nc)
+    sof = struct.pack(">BHHB", precision, h, w, nc)
     for k in range(nc):
         sof += bytes([k + 1, (hv[k][0] << 4) | hv[k][1], 0])
     out += _seg(0xC2, sof)
-    out += _seg(0xC4, bytes([0x00]) + bytes(_DC_COUNTS) + _DC_SYMS)
-    out += _seg(0xC4, bytes([0x10]) + bytes(_AC_COUNTS) + _AC_SYMS)
+    if precision == 12:
+        out += _seg(0xC4, bytes([0x00]) + bytes(_DC12_COUNTS) + _DC12_SYMS)
+        out += _seg(0xC4, bytes([0x10]) + bytes(_AC12_COUNTS) + _AC12_SYMS)
+    else:
+        out += _seg(0xC4, bytes([0x00]) + bytes(_DC_COUNTS) + _DC_SYMS)
+        out += _seg(0xC4, bytes([0x10]) + bytes(_AC_COUNTS) + _AC_SYMS)
 
     def sos(comp_ids, ss, se, ah, al_):
         body = bytes([len(comp_ids)])
@@ -274,7 +310,7 @@ def encode_jpeg_progressive(
                         diff = v - preds[k]
                         preds[k] = v
                         s = abs(diff).bit_length()
-                        code, ln = _DC_CODES[s]
+                        code, ln = dc_codes[s]
                         wtr.put(code, ln)
                         if s:
                             wtr.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
@@ -316,7 +352,7 @@ def encode_jpeg_progressive(
                 nonlocal eobrun
                 if eobrun:
                     n = eobrun.bit_length() - 1
-                    code, ln = _AC_CODES[n << 4]
+                    code, ln = ac_codes[n << 4]
                     wtr.put(code, ln)
                     if n:
                         wtr.put(eobrun - (1 << n), n)
@@ -343,11 +379,11 @@ def encode_jpeg_progressive(
                         run += 1
                         continue
                     while run > 15:
-                        code, ln = _AC_CODES[0xF0]
+                        code, ln = ac_codes[0xF0]
                         wtr.put(code, ln)
                         run -= 16
                     s = abs(v).bit_length()
-                    code, ln = _AC_CODES[(run << 4) | s]
+                    code, ln = ac_codes[(run << 4) | s]
                     wtr.put(code, ln)
                     wtr.put(v if v >= 0 else v + (1 << s) - 1, s)
                     run = 0
@@ -373,7 +409,7 @@ def encode_jpeg_progressive(
                     nonlocal eobrun, pend
                     if eobrun:
                         n = eobrun.bit_length() - 1
-                        code, ln = _AC_CODES[n << 4]
+                        code, ln = ac_codes[n << 4]
                         wtr.put(code, ln)
                         if n:
                             wtr.put(eobrun - (1 << n), n)
@@ -401,14 +437,14 @@ def encode_jpeg_progressive(
                         # newly nonzero at this level
                         while run > 15 and j <= eob_pos:
                             flush_eob_r()
-                            code, ln = _AC_CODES[0xF0]
+                            code, ln = ac_codes[0xF0]
                             wtr.put(code, ln)
                             run -= 16
                             for bit in br:
                                 wtr.put(bit, 1)
                             br = []
                         flush_eob_r()
-                        code, ln = _AC_CODES[(run << 4) | 1]
+                        code, ln = ac_codes[(run << 4) | 1]
                         wtr.put(code, ln)
                         wtr.put(1 if int(zzvals[j]) > 0 else 0, 1)
                         run = 0
@@ -681,3 +717,70 @@ def test_invalid_sos_progression_raises_valueerror():
     assert hit, "no AC scan found in progressive fixture"
     with pytest.raises(ValueError):
         decode_jpeg(bytes(payload))
+
+
+def test_12bit_grayscale_constant_blocks_exact():
+    """12-bit extended-sequential (SOF1): per-8x8-constant content is
+    DC-only, so with q=1 the decode is exact at 12 bits; the output is
+    the high byte (>>4), matching the 16-bit-PNG convention."""
+    rng = np.random.default_rng(12)
+    img = np.repeat(
+        np.repeat(rng.integers(0, 4096, size=(4, 6), dtype=np.uint16), 8, 0),
+        8, 1,
+    )
+    d = decode_jpeg(encode_jpeg([img], precision=12))
+    assert (d["width"], d["height"], d["channels"]) == (48, 32, 1)
+    got = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(32, 48)
+    assert np.array_equal(got, (img >> 4).astype(np.uint8))
+
+
+def test_12bit_grayscale_arbitrary_bounded():
+    """Arbitrary 12-bit content at q=1: coefficient-rounding error only
+    (IDCT envelope ~4 at 12-bit scale, well under one output LSB of 16)."""
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 4096, size=(24, 24), dtype=np.uint16)
+    d = decode_jpeg(encode_jpeg([img], precision=12))
+    got = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(24, 24)
+    assert np.abs(got.astype(int) - (img >> 4).astype(int)).max() <= 1
+
+
+def test_12bit_color_and_progressive():
+    """12-bit YCbCr decodes through the same color path (scale-invariant
+    BT.601 on the downscaled planes), and a 12-bit PROGRESSIVE stream
+    decodes identically to its sequential twin (same quantized
+    coefficients by construction)."""
+    rng = np.random.default_rng(14)
+    planes = [
+        np.repeat(
+            np.repeat(
+                rng.integers(0, 4096, size=(3, 3), dtype=np.uint16), 8, 0
+            ), 8, 1,
+        )
+        for _ in range(3)
+    ]
+    seq = decode_jpeg(encode_jpeg(planes, precision=12))
+    prog = decode_jpeg(
+        encode_jpeg_progressive(planes, precision=12, al=2)
+    )
+    assert seq["channels"] == 3
+    assert seq["pixels"] == prog["pixels"]
+
+
+def test_12bit_wide_dc_categories_roundtrip():
+    """A black->white 12-bit step image forces DC diffs beyond the 8-bit
+    category ceiling (11) — pins the widened T.81 F.1.2.1.1 DC range."""
+    img = np.zeros((16, 32), dtype=np.uint16)
+    img[:, 16:] = 4095  # DC diff = 8*4095 - 0 at the block boundary
+    d = decode_jpeg(encode_jpeg([img], precision=12))
+    got = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(16, 32)
+    assert np.array_equal(got, (img >> 4).astype(np.uint8))
+
+
+def test_baseline_sof0_must_be_8bit():
+    rng = np.random.default_rng(15)
+    img = rng.integers(0, 4096, size=(8, 8), dtype=np.uint16)
+    b = bytearray(encode_jpeg([img], precision=12))
+    i = b.find(b"\xff\xc1")
+    b[i + 1] = 0xC0  # relabel SOF1 as baseline
+    with pytest.raises(ValueError, match="baseline.*8-bit"):
+        decode_jpeg(bytes(b))

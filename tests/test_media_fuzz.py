@@ -46,6 +46,15 @@ def _fixtures():
         "jpeg_progressive": (
             bytes(encode_jpeg_progressive([img])), decode_jpeg,
         ),
+        "jpeg_12bit": (
+            bytes(
+                encode_jpeg(
+                    [rng.integers(0, 4096, size=(16, 16), dtype=np.uint16)],
+                    precision=12,
+                )
+            ),
+            decode_jpeg,
+        ),
         "gif": (bytes(encode_gif([gif_img], pal)), decode_gif),
         "png": (bytes(encode_png(img)), decode_png),
         "png_palette": (
@@ -118,7 +127,7 @@ def _fixtures():
 @pytest.mark.parametrize(
     "name",
     [
-        "jpeg", "jpeg_progressive", "gif", "png", "png_palette",
+        "jpeg", "jpeg_progressive", "jpeg_12bit", "gif", "png", "png_palette",
         "png_interlaced", "png_16bit", "wav", "flac", "flac_lpc", "mp4", "mkv",
     ],
 )
