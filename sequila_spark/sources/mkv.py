@@ -125,6 +125,13 @@ def _block_frames(b: bytes, s: int, e: int) -> tuple[int, bool, list[bytes]]:
                     break
             sizes.append(sz)
         sizes.append((e - i) - sum(sizes))
+    elif n_frames == 1:
+        # EBML lacing encodes sizes only for the first n-1 frames, i.e.
+        # none at all when the lace holds a single frame — the remainder
+        # of the block IS the frame (the Xiph/fixed paths get this right
+        # by construction; reading a size field here would split one
+        # frame into two).
+        sizes = [e - i]
     else:  # EBML lacing: first absolute, rest signed deltas
         first, i = _vint(b, i, e, keep_marker=False)
         if first < 0:

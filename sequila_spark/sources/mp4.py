@@ -96,7 +96,15 @@ def _parse_stbl(b: bytes, s: int, e: int, flen: int) -> dict:
         raise ValueError("MP4 stbl missing stsz")
     v, p = _full(b, *span)
     fixed, count = _u32s(b, p, span[1], 2)
-    if count > (span[1] - p) and fixed == 0:
+    if fixed == 0:
+        if count > (span[1] - p):
+            raise ValueError("corrupt MP4 stsz count")
+    elif count > len(b) or fixed * count > _MAX_SAMPLE_BYTES:
+        # fixed-size path: the table carries no per-sample entries to bound
+        # count against, so bound it by what the file could possibly hold
+        # BEFORE the [fixed] * count allocation (a crafted count of
+        # 0xFFFFFFFF would otherwise allocate a multi-GB list here, ahead
+        # of the per-sample span checks below).
         raise ValueError("corrupt MP4 stsz count")
     sizes = (
         [fixed] * count if fixed else list(_u32s(b, p + 8, span[1], count))

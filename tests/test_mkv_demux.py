@@ -56,8 +56,10 @@ def _simple_block(track: int, payloads: list[bytes], *, key: bool = True,
             body += b"\xff" * (n // 255) + bytes([n % 255])
     elif lacing == 2:  # fixed
         assert len({len(p) for p in payloads}) == 1
-    else:  # EBML: first absolute, rest signed deltas
-        body += _size(len(payloads[0]))
+    else:  # EBML: first absolute, rest signed deltas — sizes cover only
+        # the first n-1 frames, so a 1-frame lace carries NO size fields
+        if len(payloads) > 1:
+            body += _size(len(payloads[0]))
         prev = len(payloads[0])
         for p in payloads[1:-1]:
             # 2-byte signed vint: bias 2^13-1, marker bit 1<<14
@@ -139,6 +141,17 @@ def test_demux_unlaced_blocks():
 def test_demux_lacing_modes(lacing):
     sizes = [64, 64, 64] if lacing == 2 else [300, 12, 77]
     ps = _payloads(sizes, seed=lacing)
+    b = mux_mkv([(1, ps, True, lacing)])
+    assert demux_mkv(b)["frames"] == ps
+
+
+@pytest.mark.parametrize("lacing", [1, 2, 3])
+def test_single_frame_lace(lacing):
+    # a lace-count byte of 0 (n_frames == 1) carries size fields for the
+    # first n-1 frames, i.e. none — the whole remainder is ONE frame.  The
+    # EBML path used to read an absolute first-lace size here and split
+    # the frame in two (r13 ADVICE).
+    ps = _payloads([137], seed=7)
     b = mux_mkv([(1, ps, True, lacing)])
     assert demux_mkv(b)["frames"] == ps
 

@@ -229,6 +229,23 @@ def test_sample_span_outside_file_is_loud():
         demux_mp4(bytes(b))
 
 
+def test_fixed_stsz_huge_count_rejected_before_allocation():
+    # fixed-size stsz (sample_size != 0) carries no per-entry table to
+    # bound count against; a crafted count like 0xFFFFFFFF must be
+    # rejected BEFORE [fixed] * count allocates a multi-GB list
+    # (r13 ADVICE: the old guard only applied on the fixed == 0 path).
+    ps = _payloads(2, seed=9)
+    b = bytearray(mux_mp4([ps]))
+    i = b.find(b"stsz")
+    struct.pack_into(">II", b, i + 8, 4, 0xFFFFFFFF)  # fixed=4, count=4B
+    with pytest.raises(ValueError, match="stsz count"):
+        demux_mp4(bytes(b))
+    # and a fixed size whose total overruns the allocation guard
+    struct.pack_into(">II", b, i + 8, 1 << 20, 1 << 12)  # 4 GiB total
+    with pytest.raises(ValueError, match="stsz count"):
+        demux_mp4(bytes(b))
+
+
 def test_registry_and_sample_frames(spark):
     """video/mp4 dispatches through the registry; sample_frames demuxes
     real container payloads into per-frame rows."""
