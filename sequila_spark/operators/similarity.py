@@ -636,12 +636,15 @@ def lsh_bucket(vec_col, table: int) -> F.Column:
     return bucket.cast("long")
 
 
-def _buckets_batch():
+def _buckets_batch(n_planes: int | None = None, n_tables: int | None = None):
     """Arrow-vectorized multi-table bucket computation: one integer matmul
-    per batch instead of N_TABLES*N_PLANES expression-tree aggregates per
+    per batch instead of n_tables*n_planes expression-tree aggregates per
     row.  Same arithmetic as lsh_bucket (int64 exact) — results identical,
-    just computed in numpy."""
+    just computed in numpy.  (n_planes, n_tables) default to the module
+    operating point; tools/ann_recall.py sweeps them."""
     half = (_PLANE_MOD - 1) // 2
+    n_p = N_PLANES if n_planes is None else n_planes
+    n_t = N_TABLES if n_tables is None else n_tables
 
     @F.pandas_udf("array<long>")
     def udf(vec: pd.Series) -> pd.Series:
@@ -651,13 +654,13 @@ def _buckets_batch():
             [np.floor(np.asarray(x, dtype=np.float64) * QUANT_SCALE).astype(np.int64) for x in vec]
         )
         dim = v.shape[1]
-        g = np.arange(N_TABLES * N_PLANES, dtype=np.int64)[:, None]
+        g = np.arange(n_t * n_p, dtype=np.int64)[:, None]
         d = np.arange(dim, dtype=np.int64)[None, :]
         planes = ((g * 997 + d) * 2654435761) % _PLANE_MOD - half
         bits = (v @ planes.T) > 0  # (n, T*P)
-        weights = np.tile(1 << np.arange(N_PLANES, dtype=np.int64), N_TABLES)
+        weights = np.tile(1 << np.arange(n_p, dtype=np.int64), n_t)
         per_plane = bits.astype(np.int64) * weights[None, :]
-        buckets = per_plane.reshape(len(v), N_TABLES, N_PLANES).sum(axis=2)
+        buckets = per_plane.reshape(len(v), n_t, n_p).sum(axis=2)
         return pd.Series(list(buckets))
 
     return udf
@@ -692,17 +695,21 @@ def ann_topk_lsh(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_planes: int | None = None,
+    n_tables: int | None = None,
 ) -> DataFrame:
-    """Approximate top-k: candidates = union over N_TABLES of same-bucket
+    """Approximate top-k: candidates = union over n_tables of same-bucket
     pairs (each an equi-join on the bucket key — the cross product never
     materializes), exact-rank on candidates.  Bucket hashing and candidate
     scoring run as Arrow-batched numpy (integer-exact, so results match the
-    declarative oracle bit-for-bit).  Recall is probabilistic; tested
-    against cosine_topk."""
+    declarative oracle bit-for-bit).  Recall is probabilistic — expected
+    1-(1-p^n_planes)^n_tables for per-plane agreement p = 1 - theta/pi —
+    measured against cosine_topk by tools/ann_recall.py and tested at the
+    (N_PLANES, N_TABLES) default operating point."""
     # Single Arrow pass per relation computes all table buckets; explode to
     # (table, bucket) rows and one equi-join generates candidates for every
     # table at once (the query side is tiny and broadcasts).
-    buckets = _buckets_batch()
+    buckets = _buckets_batch(n_planes, n_tables)
     ct = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.posexplode(buckets(F.col(vec_col))).alias("table", "bucket"),
