@@ -978,11 +978,14 @@ def _xq_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency-tie order (lossless for any total order — Xiao et al. 2008),
     relocating each equal-frequency prefix boundary and positional-filter
     rank, and verification runs the join path instead of the primary's
-    replicated broadcast."""
+    replicated broadcast; the ranking prologue pins plan='classic'
+    (separate freq/sizes groupBys + joins) against the primary's collapsed
+    two-exchange window shape (r14)."""
     from sequila_spark.operators.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(
-        _docs(spark, sf_dir), threshold=0.8, order="rarity_rev", verify="join"
+        _docs(spark, sf_dir), threshold=0.8, order="rarity_rev",
+        verify="join", plan="classic",
     )
 
 

@@ -78,6 +78,16 @@ def doc_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     measured ~9x faster on the documents corpus with identical output
     (try_element_at past the end coalesces to 0, matching ascii('') on
     the substr path for texts shorter than one shingle)."""
+    return doc_shingles_raw(df, id_col, text_col).distinct()
+
+
+def doc_shingles_raw(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, shingle-hash) pairs BEFORE the distinct — for callers that
+    inject a repartition between explode and distinct so the dedup
+    exchange is shared with the next shingle-keyed stage
+    (ngram_jaccard_pairs plan='collapsed')."""
     # The trailing `0 * __sq_n` term is identically zero for real text but
     # propagates NULL for NULL text — matching the substr form (and the
     # DuckDB oracle), where ascii(substr(NULL,..)) makes the hash NULL so
@@ -98,7 +108,7 @@ def doc_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
         ).alias("__sq_ch"),
         F.length(text_col).alias("__sq_n"),
     )
-    return base.select(F.col(id_col), F.explode(F.expr(expr)).alias("sh")).distinct()
+    return base.select(F.col(id_col), F.explode(F.expr(expr)).alias("sh"))
 
 
 def exact_duplicates(
@@ -123,6 +133,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     order: str = "rarity",
     verify: str = "auto",
+    plan: str = "collapsed",
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs with **prefix filtering**
     (AllPairs/PPJoin family): two sets with Jaccard >= t must share at least
@@ -140,22 +151,58 @@ def ngram_jaccard_pairs(
     prefix boundary and positional-filter rank while provably preserving
     the result — the sweep's crosscheck pairs it with ``verify='join'``
     (see minhash_dedup_pairs) for an independent execution at scale
-    factors where the naive formulation cannot materialize."""
+    factors where the naive formulation cannot materialize.
+
+    ``plan`` picks the physical shape of the rarity-ranking prologue —
+    identical rows either way (both orders are the same total order):
+
+    * ``"collapsed"`` (default, r14): the shingle relation crosses TWO
+      exchanges total before the prefix join — repartition('sh') lets the
+      (id, sh) distinct AND a count-over-Window(sh) frequency share one
+      exchange (HashPartitioning(sh) satisfies the {id, sh} clustering),
+      then one exchange by id computes the rank AND the per-doc size in
+      the same Window sort.  At any scale this halves the shuffled volume
+      of the biggest relation; on overhead-bound corpora it removes three
+      stage barriers and two joins outright.
+    * ``"classic"`` — separate freq/sizes groupBys joined back (the
+      r4-r13 shape); kept as the independent-plan crosscheck target."""
     if order not in ("rarity", "rarity_rev"):
         raise ValueError(f"unknown prefix order: {order!r}")
-    sh = doc_shingles(df, id_col, text_col).persist()
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
-
-    # global rarity order: (frequency, shingle) — deterministic
-    freq = sh.groupBy("sh").agg(F.count("*").alias("f"))
+    if plan not in ("collapsed", "classic"):
+        raise ValueError(f"unknown plan: {plan!r}")
     tie = F.col("sh") if order == "rarity" else F.col("sh").desc()
-    ranked = sh.join(freq, "sh").withColumn(
-        "rk",
-        F.row_number().over(
-            Window.partitionBy(id_col).orderBy(F.col("f"), tie)
-        ),
-    )
-    ranked = ranked.join(sizes, id_col)
+    if plan == "collapsed":
+        # distinct + frequency under ONE exchange keyed by sh...
+        sh = (
+            doc_shingles_raw(df, id_col, text_col)
+            .repartition(F.col("sh"))
+            .distinct()
+            .persist()
+        )
+        withf = sh.withColumn(
+            "f", F.count("*").over(Window.partitionBy("sh"))
+        )
+        # ...then rank and per-doc size under ONE exchange keyed by id
+        wdoc = Window.partitionBy(id_col)
+        ranked = withf.select(
+            id_col,
+            "sh",
+            F.row_number().over(wdoc.orderBy(F.col("f"), tie)).alias("rk"),
+            F.count("*").over(wdoc).alias("n"),
+        )
+    else:
+        sh = doc_shingles(df, id_col, text_col).persist()
+        sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+
+        # global rarity order: (frequency, shingle) — deterministic
+        freq = sh.groupBy("sh").agg(F.count("*").alias("f"))
+        ranked = sh.join(freq, "sh").withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(F.col("f"), tie)
+            ),
+        )
+        ranked = ranked.join(sizes, id_col)
 
     # Asymmetric PPJoin prefixes (Xiao et al. 2008): every doc PROBES with
     # its ⌊(1-t)n⌋+1 rarest shingles but is INDEXED only under its

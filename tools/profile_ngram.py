@@ -128,14 +128,29 @@ def main() -> None:
             )
         )
 
-    def leg_full():
-        return D.ngram_jaccard_pairs(docs, threshold=t)
+    def leg_ranked_collapsed():
+        sh = D.doc_shingles_raw(docs).repartition(F.col("sh")).distinct()
+        withf = sh.withColumn("f", F.count("*").over(Window.partitionBy("sh")))
+        wdoc = Window.partitionBy("doc_id")
+        return withf.select(
+            "doc_id", "sh",
+            F.row_number().over(wdoc.orderBy(F.col("f"), F.col("sh"))).alias("rk"),
+            F.count("*").over(wdoc).alias("n"),
+        )
+
+    def leg_full_classic():
+        return D.ngram_jaccard_pairs(docs, threshold=t, plan="classic")
+
+    def leg_full_collapsed():
+        return D.ngram_jaccard_pairs(docs, threshold=t, plan="collapsed")
 
     legs = {
         "shingles": leg_shingles,
         "ranked": leg_ranked,
+        "ranked_collapsed": leg_ranked_collapsed,
         "cands": leg_cands,
-        "full": leg_full,
+        "full": leg_full_classic,
+        "full_collapsed": leg_full_collapsed,
     }
 
     # warm each plan once, then interleave timed runs; rebuild the
@@ -178,6 +193,10 @@ def main() -> None:
             "rank_order": round(best["ranked"] - best["shingles"], 2),
             "prefix_join_cands": round(best["cands"] - best["ranked"], 2),
             "verify": round(best["full"] - best["cands"], 2),
+        },
+        "collapsed_vs_classic": {
+            "ranked": round(best["ranked_collapsed"] / best["ranked"], 3),
+            "full": round(best["full_collapsed"] / best["full"], 3),
         },
         "stats": stats,
         "cpu_calib_sec": bench._cpu_calibration(),
