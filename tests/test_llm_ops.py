@@ -417,6 +417,33 @@ def test_ngram_jaccard_lossless_vs_bruteforce(spark):
         )
 
 
+def test_ngram_collapsed_plan_rows_and_shape(spark, docs):
+    """plan='collapsed' must (a) produce the identical pair set as
+    plan='classic' (both rank under the same total order) and (b) keep
+    its defining property: strictly fewer exchanges than the classic
+    shape (the prologue shares one sh-keyed and one id-keyed exchange
+    instead of separate freq/sizes groupBys + joins)."""
+    import sequila_spark.operators.dedup as D
+
+    def run(plan):
+        df = D.ngram_jaccard_pairs(docs, threshold=0.8, plan=plan)
+        txt = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        rows = {
+            (r["id_1"], r["id_2"], round(r["jaccard"], 9))
+            for r in df.collect()
+        }
+        return rows, txt.count("Exchange")
+
+    collapsed, n_coll = run("collapsed")
+    classic, n_classic = run("classic")
+    assert collapsed == classic and collapsed
+    assert n_coll < n_classic, (n_coll, n_classic)
+
+
 def test_verify_fast_and_join_paths_identical(spark, docs, monkeypatch):
     """The replicated-set fast path and the join fallback must produce the
     same verified pair set; the byte budget decides which runs.  Forcing
