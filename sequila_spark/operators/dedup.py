@@ -344,8 +344,17 @@ def minhash_dedup_pairs(
     outgrows one broadcast), or ``"auto"`` (broadcast within the byte
     budget).  Both produce identical rows; the sweep's crosscheck runs one
     against the other at scale factors where the DuckDB oracle cannot walk
-    the shared-shingle pair space single-node."""
-    sh = doc_shingles(df, id_col, text_col).persist()
+    the shared-shingle pair space single-node.
+
+    Plan note (r14): the shingle relation is used RAW (pre-distinct) —
+    min-over-duplicates equals min-over-set, and both verify paths dedup
+    inside collect_set — so the pipeline's former largest exchange (the
+    (id, sh) distinct of every shingle row) is gone entirely: signatures
+    shuffle only map-side-combined partial minima, verify shuffles only
+    map-side-deduped partial sets.  The auto-mode byte budget counts raw
+    rows (an upper bound of distinct rows), which can only demote
+    broadcast to join — never admit an over-budget broadcast."""
+    sh = doc_shingles_raw(df, id_col, text_col).persist()
     cands = lsh_candidate_pairs(
         minhash_signatures(df, id_col, text_col, _shingles=sh), id_col
     )
@@ -478,10 +487,12 @@ def _verify_jaccard(
                 )
 
         return cands.mapInPandas(gen, schema=out_schema)
+    # n from the deduped set (not count(*)), so callers may pass the raw
+    # pre-distinct shingle relation — collect_set dedups inside the
+    # aggregate, map-side included
     sets = sh.groupBy(id_col).agg(
         F.array_sort(F.collect_set("sh")).alias("shset"),
-        F.count("*").alias("n"),
-    )
+    ).withColumn("n", F.size("shset"))
     s1 = sets.select(
         F.col(id_col).alias("id_1"), F.col("shset").alias("s1"), F.col("n").alias("n1")
     )
