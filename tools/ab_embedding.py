@@ -45,6 +45,10 @@ def ensure_worktree(commit: str, path: str) -> None:
 def run_leg(path: str, query: str) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_BENCH_ONLY"] = query
+    # one session per leg — the A/B interleave ACROSS legs supplies the
+    # repetition; 3 sessions per leg would triple the window length and
+    # weaken the same-window property the interleave exists for
+    env["SPARK_GRAFT_BENCH_SESSIONS"] = "1"
     env["PYTHONPATH"] = path
     # each leg appends to ITS OWN bench_history inside the worktree — the
     # repo's append-only history stays untouched by A/B probes
