@@ -217,11 +217,17 @@ def ngram_jaccard_pairs(
     # 0.19999...), shortening the floor by one at exact multiples — a
     # one-too-short probe prefix is LOSSY at the boundary; one-too-long
     # only adds candidates
+    # The index prefix is a SUBSET of the probe prefix for any t >= 0
+    # (n - ceil(2t/(1+t)·n) <= floor((1-t)·n) since their gap is
+    # t·n·(1-t)/(1+t) >= 0), so ONE persisted pruned relation serves both
+    # join sides — without this, each side of the self-join re-executed
+    # the whole shingle->frequency->rank pipeline from the sh cache
+    # (profiled as the dominant leg of the query, r14).
     probe = ranked.where(
         F.col("rk") <= F.floor((1.0 - threshold) * F.col("n") + 1e-9) + 1
-    )
+    ).persist()
     two_t = 2.0 * threshold / (1.0 + threshold)
-    index = ranked.where(
+    index = probe.where(
         F.col("rk")
         <= F.col("n") - F.ceil(F.lit(two_t) * F.col("n") - 1e-9) + 1
     )

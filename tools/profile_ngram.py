@@ -179,7 +179,7 @@ def main() -> None:
         F.col("rk") <= F.col("n") - F.ceil(F.lit(two_t) * F.col("n") - 1e-9) + 1
     ).count()
     stats["candidates"] = leg_cands().count()
-    stats["verified_pairs"] = leg_full().count()
+    stats["verified_pairs"] = leg_full_collapsed().count()
     sh.unpersist()
 
     import bench
