@@ -804,20 +804,26 @@ def _q_pileup_convert_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BIGCRAM_COPIES = 64
 
 
-def _cram_oracle_copies() -> int:
-    """Multiplier for the cram_decode oracle, matched to the fixture the
-    QUERY will actually read: 64 when fixtures/bigcram exists, 1 when
-    _q_cram_decode falls back to the single-container reference CRAM, 0 in
-    fully fixture-less environments (where the query returns an empty
-    frame) — so the gate degrades gracefully instead of failing on a
-    row-count mismatch (r13 ADVICE)."""
+def _cram_fixture() -> tuple[str | None, int]:
+    """ONE resolver for the cram_decode fixture, shared by the query and
+    its oracle multiplier so the two can never silently diverge (r14
+    ADVICE): returns (cram_path, oracle_copies) — (bigcram, 64) when the
+    64-container gate fixture exists, (reference single-container, 1) as
+    the fallback, (None, 0) in fully fixture-less environments (where the
+    query returns an empty frame and the gate degrades gracefully instead
+    of failing on a row-count mismatch, r13 ADVICE)."""
     here = os.path.dirname(os.path.abspath(__file__))
-    if os.path.exists(os.path.join(here, "fixtures", "bigcram",
-                                   "NA12878.slice.cram")):
-        return _BIGCRAM_COPIES
-    if os.path.exists("/root/reference/src/test/resources/NA12878.slice.cram"):
-        return 1
-    return 0
+    big = os.path.join(here, "fixtures", "bigcram", "NA12878.slice.cram")
+    if os.path.exists(big):
+        return big, _BIGCRAM_COPIES
+    ref = "/root/reference/src/test/resources/NA12878.slice.cram"
+    if os.path.exists(ref):
+        return ref, 1
+    return None, 0
+
+
+def _cram_oracle_copies() -> int:
+    return _cram_fixture()[1]
 
 
 def _q_cram_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -833,14 +839,9 @@ def _q_cram_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf_dir is ignored — real data."""
     from sequila_spark.sources import read_cram_native
 
-    cram = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "fixtures", "bigcram", "NA12878.slice.cram",
-    )
-    if not os.path.exists(cram):
-        cram = "/root/reference/src/test/resources/NA12878.slice.cram"
+    cram, _ = _cram_fixture()
     fasta = "/root/reference/src/test/resources/NA12878.slice.fasta"
-    if not os.path.exists(cram):  # fixture-less environments: empty result
+    if cram is None:  # fixture-less environments: empty result
         return spark.read.parquet(f"{_SLICEBAM_FIX}/reads.parquet").limit(0)
     # columns= pushes the tag prune into the DECODE (r12): the gate never
     # reads tags, so their rendering + transfer are skipped, not dropped

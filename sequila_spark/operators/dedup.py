@@ -170,14 +170,14 @@ def ngram_jaccard_pairs(
         raise ValueError(f"unknown prefix order: {order!r}")
     if plan not in ("collapsed", "classic"):
         raise ValueError(f"unknown plan: {plan!r}")
+    _release_prior_caches()
     tie = F.col("sh") if order == "rarity" else F.col("sh").desc()
     if plan == "collapsed":
         # distinct + frequency under ONE exchange keyed by sh...
-        sh = (
+        sh = _persist_tracked(
             doc_shingles_raw(df, id_col, text_col)
             .repartition(F.col("sh"))
             .distinct()
-            .persist()
         )
         withf = sh.withColumn(
             "f", F.count("*").over(Window.partitionBy("sh"))
@@ -191,7 +191,7 @@ def ngram_jaccard_pairs(
             F.count("*").over(wdoc).alias("n"),
         )
     else:
-        sh = doc_shingles(df, id_col, text_col).persist()
+        sh = _persist_tracked(doc_shingles(df, id_col, text_col))
         sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
 
         # global rarity order: (frequency, shingle) — deterministic
@@ -223,9 +223,11 @@ def ngram_jaccard_pairs(
     # join sides — without this, each side of the self-join re-executed
     # the whole shingle->frequency->rank pipeline from the sh cache
     # (profiled as the dominant leg of the query, r14).
-    probe = ranked.where(
-        F.col("rk") <= F.floor((1.0 - threshold) * F.col("n") + 1e-9) + 1
-    ).persist()
+    probe = _persist_tracked(
+        ranked.where(
+            F.col("rk") <= F.floor((1.0 - threshold) * F.col("n") + 1e-9) + 1
+        )
+    )
     two_t = 2.0 * threshold / (1.0 + threshold)
     index = probe.where(
         F.col("rk")
@@ -360,7 +362,8 @@ def minhash_dedup_pairs(
     map-side-deduped partial sets.  The auto-mode byte budget counts raw
     rows (an upper bound of distinct rows), which can only demote
     broadcast to join — never admit an over-budget broadcast."""
-    sh = doc_shingles_raw(df, id_col, text_col).persist()
+    _release_prior_caches()
+    sh = _persist_tracked(doc_shingles_raw(df, id_col, text_col))
     cands = lsh_candidate_pairs(
         minhash_signatures(df, id_col, text_col, _shingles=sh), id_col
     )
@@ -414,6 +417,28 @@ def _verify_bcast_row_budget() -> int:
 # Spark re-ships it automatically in the unlikely case a still-pending
 # DataFrame from an earlier call executes afterwards).
 _VERIFY_BCASTS: list = []
+
+# Same lifetime contract for the cached DataFrames (shingle relation,
+# pruned prefix): each top-level dedup call releases the PRIOR call's
+# persisted relations before registering its own.  Unpersist is
+# non-blocking and lossless — a still-referenced DataFrame from an
+# earlier call recomputes lazily (correct, just uncached), so callers
+# that interleave two calls' results should collect the first before
+# issuing the second.
+_CACHED_DFS: list = []
+
+
+def _persist_tracked(df: DataFrame) -> DataFrame:
+    _CACHED_DFS.append(df.persist())
+    return df
+
+
+def _release_prior_caches() -> None:
+    while _CACHED_DFS:
+        try:
+            _CACHED_DFS.pop().unpersist(False)
+        except Exception:
+            pass  # context already stopped
 
 
 def _verify_jaccard(

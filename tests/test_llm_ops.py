@@ -474,6 +474,44 @@ def test_verify_broadcast_budget_and_hygiene(spark, docs):
     assert len(D._VERIFY_BCASTS) == 1
 
 
+@pytest.mark.parametrize("order", ["rarity", "rarity_rev"])
+def test_ngram_plan_order_matrix_row_identity(spark, docs, order):
+    """Both physical plans x both prefix tie orders produce the identical
+    verified pair set: PPJoin's prefix theorems hold for ANY total order
+    and ``plan`` picks only the rarity-prologue's physical shape.  Closes
+    the previously untested order='rarity' x plan='classic' cell (r14
+    VERDICT task 5)."""
+    import sequila_spark.operators.dedup as D
+
+    def rows(plan):
+        return {
+            (r["id_1"], r["id_2"], round(r["jaccard"], 9))
+            for r in D.ngram_jaccard_pairs(
+                docs, threshold=0.8, order=order, plan=plan
+            ).collect()
+        }
+
+    collapsed, classic = rows("collapsed"), rows("classic")
+    assert collapsed == classic and collapsed
+
+
+def test_dedup_persist_hygiene(spark, docs):
+    """Repeated top-level dedup calls hold a BOUNDED set of cached
+    relations: each call releases the prior call's persisted DataFrames
+    via _CACHED_DFS (the _VERIFY_BCASTS contract applied to caches —
+    r14 ADVICE: probe/sh persisted per call were never unpersisted)."""
+    import sequila_spark.operators.dedup as D
+
+    D.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    assert len(D._CACHED_DFS) == 2  # sh + probe prefix
+    D.minhash_dedup_pairs(docs, threshold=0.8).collect()
+    assert len(D._CACHED_DFS) == 1  # prior call's two released, sh registered
+    D.ngram_jaccard_pairs(docs, threshold=0.8, plan="classic").collect()
+    assert len(D._CACHED_DFS) == 2
+    D._release_prior_caches()
+    assert D._CACHED_DFS == []
+
+
 def test_cosine_dup_pairs_persist_hygiene(spark, embs):
     """Small corpora (< _PROJ_PERSIST_MIN_VECS) never persist the (id, vec)
     projection; at/above the gate, repeated calls hold at most ONE cached

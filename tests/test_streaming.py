@@ -390,9 +390,28 @@ def test_stream_lsh_neardup_state_ttl_reanchors(spark, tmp_path):
             time.sleep(0.2)
         raise AssertionError(f"stream never consumed {n} rows")
 
-    # TTL must dwarf inter-batch latency (trigger 200 ms + file discovery +
-    # progress-poll lag): 1002's re-anchor has to survive until 1003's batch
-    ttl_ms = 8_000
+    def await_state_drop(q, below, deadline_s=90):
+        """Poll until the stateful operator holds < ``below`` state rows —
+        i.e. the processing-time TTL actually fired and removed the
+        expired anchors.  Deterministic replacement for the old fixed
+        ``sleep(ttl + 3)``, which under concurrent-load stalls could
+        return before the timeout batch ran (the one recorded flake,
+        PARITY.md r13)."""
+        t0 = time.time()
+        while time.time() - t0 < deadline_s:
+            if q.exception() is not None:
+                raise q.exception()
+            ops = (q.lastProgress or {}).get("stateOperators") or []
+            if ops and ops[0].get("numRowsTotal", 1 << 60) < below:
+                return
+            time.sleep(0.3)
+        raise AssertionError(f"state never dropped below {below} rows")
+
+    # TTL must dwarf inter-batch latency under LOAD (trigger 200 ms + file
+    # discovery + progress-poll lag, all of which stretch under a
+    # concurrent sweep): 1002's re-anchor has to survive until 1003's
+    # batch, so the margin is ~100x the quiet-host batch latency
+    ttl_ms = 20_000
     write_batch("f1.parquet", [1001])          # anchors the base-family buckets
     stream = stream_lsh_neardup(
         spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
@@ -410,8 +429,16 @@ def test_stream_lsh_neardup_state_ttl_reanchors(spark, tmp_path):
     )
     try:
         await_inputs(q, 1)
-        time.sleep(ttl_ms / 1000 + 3.0)        # TTL lapses; a no-data batch
-        # expires 1001's buckets during this window
+        n_anchored = None
+        t0 = time.time()
+        while time.time() - t0 < 30:          # 1001's buckets land in state
+            ops = (q.lastProgress or {}).get("stateOperators") or []
+            if ops and ops[0].get("numRowsTotal", 0) > 0:
+                n_anchored = ops[0]["numRowsTotal"]
+                break
+            time.sleep(0.3)
+        assert n_anchored, "anchor batch never registered state rows"
+        await_state_drop(q, 1)                 # TTL fired: 1001's buckets gone
         write_batch("f3.parquet", [1002])      # near-dup of 1001 — bucket empty,
         await_inputs(q, 2)                     # so 1002 re-anchors (no pair)
         write_batch("f4.parquet", [1003])      # exact dup of 1001 — pairs w/ 1002

@@ -60,21 +60,29 @@ def main() -> None:
             time.sleep(args.poll)
             continue
         fired += 1
-        p = subprocess.run(
-            [sys.executable, "bench.py"], cwd=REPO, capture_output=True,
-            text=True, timeout=3600,
-        )
-        lines = [
-            ln for ln in p.stdout.strip().splitlines()
-            if ln.startswith("{") and '"queries"' in ln
-        ]
         attempt = {
             "admitting_calib": c,
             "md5_dev_pct": round(md5_dev, 1),
             "memcpy_dev_pct": round(mem_dev, 1),
-            "result": json.loads(lines[-1]) if lines else None,
-            "rc": p.returncode,
+            "result": None,
+            "rc": None,
         }
+        try:
+            p = subprocess.run(
+                [sys.executable, "bench.py"], cwd=REPO, capture_output=True,
+                text=True, timeout=3600,
+            )
+            attempt["rc"] = p.returncode
+            lines = [
+                ln for ln in p.stdout.strip().splitlines()
+                if ln.startswith("{") and '"queries"' in ln
+            ]
+            if lines:
+                attempt["result"] = json.loads(lines[-1])
+        except subprocess.TimeoutExpired:
+            attempt["error"] = "bench timeout (3600s)"
+        except (json.JSONDecodeError, OSError) as e:
+            attempt["error"] = f"{type(e).__name__}: {e}"
         attempts.append(attempt)
         with open(os.path.join(REPO, args.out), "w") as f:
             json.dump({"attempts": attempts}, f, indent=1)
