@@ -306,13 +306,27 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
+#: band-row cap for broadcasting one side of the LSH band self-join —
+#: ~60 B/row (band int, ~40 B key string, id), so 2M rows ≈ 120 MB on the
+#: executors.  Past the cap the join falls back to the shuffle plan that
+#: scales with executors; under it, the join needs NO exchange at all and
+#: only the pair-distinct shuffles (two stage barriers saved — measured
+#: ~0.6 s of the 1.27 s cands leg at sf0.1, PROFILE_dedup_minhash_r15).
+_BAND_BCAST_MAX_ROWS = 2_000_000
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str = "doc_id",
+    broadcast_side: bool = False,
+) -> DataFrame:
     """LSH banding: docs sharing any band of the signature are candidates.
     Equi-join on the (band, band-key) pair (shuffle by band value),
     distinct pairs.  No cross join anywhere.  Band rows come from ONE
     posexplode projection of the signature relation — not a 16-way union,
     which would re-evaluate the (expensive, 128-min) signature aggregate
-    once per band branch per join side."""
+    once per band branch per join side.  ``broadcast_side=True`` (caller
+    knows the doc count is under _BAND_BCAST_MAX_ROWS) broadcast-hints
+    the build side, eliding both join exchanges."""
     keys = F.array(
         *[
             F.concat_ws(
@@ -327,6 +341,8 @@ def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFr
     )
     a = tagged.select("band", "bkey", F.col("id").alias("id_1"))
     b_ = tagged.select("band", "bkey", F.col("id").alias("id_2"))
+    if broadcast_side:
+        b_ = F.broadcast(b_)
     return (
         a.join(b_, ["band", "bkey"])
         .where(F.col("id_1") < F.col("id_2"))
@@ -359,15 +375,55 @@ def minhash_dedup_pairs(
     inside collect_set — so the pipeline's former largest exchange (the
     (id, sh) distinct of every shingle row) is gone entirely: signatures
     shuffle only map-side-combined partial minima, verify shuffles only
-    map-side-deduped partial sets.  The auto-mode byte budget counts raw
-    rows (an upper bound of distinct rows), which can only demote
-    broadcast to join — never admit an over-budget broadcast."""
+    map-side-deduped partial sets.
+
+    Plan note (r15, PROFILE_dedup_minhash_r15): the signatures and the
+    verify's per-doc sets are BOTH ``groupBy(id)`` aggregates of the same
+    shingle rows, so they now compute in ONE combined aggregation — one
+    scan, one exchange — and only its doc-count-sized output persists.
+    The previous shape cached the full shingle-ROW relation to share it
+    between the two aggregations; profiling showed writing that cache
+    cost ~16x more than regenerating the shingles (2.4 s vs 0.15 s at
+    sf0.1), i.e. the cache was the query's single largest leg.  The
+    auto-mode byte budget now reads the EXACT distinct-shingle count from
+    the cached aggregate (sum of set sizes) instead of the raw-row upper
+    bound."""
     _release_prior_caches()
-    sh = _persist_tracked(doc_shingles_raw(df, id_col, text_col))
-    cands = lsh_candidate_pairs(
-        minhash_signatures(df, id_col, text_col, _shingles=sh), id_col
+    x = F.col("sh") % MINHASH_P
+    combined = _persist_tracked(
+        doc_shingles_raw(df, id_col, text_col)
+        .groupBy(id_col)
+        .agg(
+            *[
+                F.min((PERM_A[i] * x + PERM_B[i]) % MINHASH_P)
+                .cast("long")
+                .alias(f"mh{i}")
+                for i in range(NUM_PERM)
+            ],
+            F.array_sort(F.collect_set("sh")).alias("shset"),
+        )
     )
-    return _verify_jaccard(sh, cands, threshold, id_col, mode=verify)
+    # ONE action materializes the cache and yields both budget inputs:
+    # the doc count gates the band-join broadcast, the exact
+    # distinct-shingle count gates the verify broadcast
+    n_docs, n_sh = combined.agg(
+        F.count("*"), F.sum(F.size("shset"))
+    ).collect()[0]
+    if verify == "auto":
+        verify = (
+            "broadcast"
+            if (n_sh or 0) <= _verify_bcast_row_budget()
+            else "join"
+        )
+    cands = lsh_candidate_pairs(
+        combined.select(id_col, *[f"mh{i}" for i in range(NUM_PERM)]),
+        id_col,
+        broadcast_side=n_docs * BANDS <= _BAND_BCAST_MAX_ROWS,
+    )
+    return _verify_jaccard(
+        None, cands, threshold, id_col, mode=verify,
+        sets=combined.select(id_col, "shset"),
+    )
 
 
 def _intersect_size_batch():
@@ -442,10 +498,16 @@ def _release_prior_caches() -> None:
 
 
 def _verify_jaccard(
-    sh: DataFrame, cands: DataFrame, threshold: float, id_col: str,
-    mode: str = "auto",
+    sh: DataFrame | None, cands: DataFrame, threshold: float, id_col: str,
+    mode: str = "auto", sets: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-Jaccard verification of candidate pairs.
+
+    Input is EITHER ``sh`` (the raw (id, sh) shingle rows — the per-doc
+    sets are aggregated here) or ``sets`` (a pre-aggregated
+    (id, shset sorted-array) relation — r15: minhash computes it in the
+    same single pass as the signatures, so no shingle-row relation need
+    exist, let alone be cached).
 
     Fast path (replicated hash verify): when the per-doc set table fits
     the broadcast regime, it ships to executors ONCE as a Python
@@ -463,21 +525,36 @@ def _verify_jaccard(
     if mode not in ("auto", "broadcast", "join"):
         raise ValueError(f"unknown verify mode: {mode!r}")
     if mode == "auto":
-        n_sh = sh.count()  # callers persist sh, so this reuses the cache
+        if sets is not None:
+            # exact distinct-shingle count from the cached aggregate —
+            # cheap, and tighter than the raw-row upper bound
+            n_sh = sets.agg(F.sum(F.size("shset"))).collect()[0][0] or 0
+        else:
+            n_sh = sh.count()  # callers persist sh, so this reuses the cache
         mode = "broadcast" if n_sh <= _verify_bcast_row_budget() else "join"
     if mode == "broadcast":
-        # Arrow collect (toPandas): array<long> cells arrive as numpy
-        # arrays, never boxed Python ints — the Row-based collect held
-        # tens of bytes per shingle transiently at the cap
-        pdf = (
-            sh.groupBy(id_col)
-            .agg(F.array_sort(F.collect_set("sh")).alias("shset"))
-            .toPandas()
+        # Arrow collect (toArrow, r15): the per-doc arrays are sliced as
+        # views of the ListArray's ONE flat int64 values buffer — no
+        # pandas object column, no per-row numpy allocation (toPandas
+        # measured 0.78 s vs ~0.1 s for the same 1.45 M elements), and
+        # never boxed Python ints (the Row-based collect held tens of
+        # bytes per shingle transiently at the cap)
+        atbl = (
+            sets if sets is not None
+            else sh.groupBy(id_col).agg(
+                F.array_sort(F.collect_set("sh")).alias("shset")
+            )
+        ).toArrow()
+        ids = atbl.column(id_col).to_numpy(zero_copy_only=False)
+        lcol = atbl.column("shset").combine_chunks()
+        offs = lcol.offsets.to_numpy()
+        vals = lcol.values.to_numpy(zero_copy_only=False).astype(
+            np.int64, copy=False
         )
         table = {
-            i: np.asarray(v, dtype=np.int64)
-            for i, v in zip(pdf[id_col].to_numpy(), pdf["shset"])
-            if v is not None and len(v)
+            ids[i]: vals[offs[i]:offs[i + 1]]
+            for i in range(len(ids))
+            if offs[i + 1] > offs[i]
         }
         while _VERIFY_BCASTS:
             try:
@@ -508,6 +585,10 @@ def _verify_jaccard(
                         continue  # doc without shingles: join path drops it
                     if len(xa) > len(ya):
                         xa, ya = ya, xa
+                    # size prefilter (lossless): c <= |small| so
+                    # J <= |small|/|large| — skip the merge outright
+                    if len(xa) < threshold * len(ya):
+                        continue
                     idx = np.searchsorted(ya, xa)
                     idx[idx == len(ya)] = len(ya) - 1
                     c = int(np.count_nonzero(ya[idx] == xa))
@@ -521,9 +602,11 @@ def _verify_jaccard(
     # n from the deduped set (not count(*)), so callers may pass the raw
     # pre-distinct shingle relation — collect_set dedups inside the
     # aggregate, map-side included
-    sets = sh.groupBy(id_col).agg(
-        F.array_sort(F.collect_set("sh")).alias("shset"),
-    ).withColumn("n", F.size("shset"))
+    if sets is None:
+        sets = sh.groupBy(id_col).agg(
+            F.array_sort(F.collect_set("sh")).alias("shset"),
+        )
+    sets = sets.withColumn("n", F.size("shset"))
     s1 = sets.select(
         F.col(id_col).alias("id_1"), F.col("shset").alias("s1"), F.col("n").alias("n1")
     )
