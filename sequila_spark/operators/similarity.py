@@ -49,6 +49,50 @@ def quantized(col):
     return F.transform(col, lambda x: F.floor(x.cast("double") * QUANT_SCALE).cast("long"))
 
 
+def quantized_unit(col):
+    """array<float> -> array<bigint> on the UNIT sphere: q_i =
+    floor(x_i / ||x|| * 1e6) with the norm in float64 (one left-fold
+    aggregate — fixed evaluation order, deterministic).  Zero-norm
+    vectors fall back to plain quantization.  The spherical-IVF input:
+    L2 on these vectors is monotone in angle, so k-means partitions by
+    DIRECTION — the metric cosine search actually ranks by — instead of
+    conflating direction with magnitude."""
+    n2 = F.aggregate(
+        F.transform(col, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return F.when(
+        n2 > 0,
+        F.transform(
+            col,
+            lambda x: F.floor(x.cast("double") / F.sqrt(n2) * QUANT_SCALE).cast("long"),
+        ),
+    ).otherwise(quantized(col))
+
+
+def _renorm_int(c):
+    """Rescale an integer centroid back onto the radius-1e6 sphere
+    (floor(c_i / ||c|| * 1e6)) — the spherical k-means step that keeps
+    every Lloyd round's centroids comparable by angle.  Exact int64
+    squares (components <= 1e6, so sums < 2^63 up to ~9e6 dims), one
+    float64 divide + floor per component: deterministic."""
+    n2 = F.aggregate(
+        F.transform(c, lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return F.when(
+        n2 > 0,
+        F.transform(
+            c,
+            lambda x: F.floor(
+                x.cast("double") / F.sqrt(n2.cast("double")) * QUANT_SCALE
+            ).cast("long"),
+        ),
+    ).otherwise(c)
+
+
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, v: acc + v
@@ -466,7 +510,7 @@ def _nearest(e: DataFrame, centroids) -> DataFrame:
     )
 
 
-def _ivf_build(e: DataFrame, n_lists: int, iters: int):
+def _ivf_build(e: DataFrame, n_lists: int, iters: int, spherical: bool = False):
     """(assignment, centroids) for a deterministic integer-k-means IVF.
 
     Seeds are the ``n_lists`` smallest ids — picked with orderBy().limit()
@@ -478,7 +522,12 @@ def _ivf_build(e: DataFrame, n_lists: int, iters: int):
     accumulation order).  ``iters=0`` is the SQL-expressible seeded variant
     (assignment to nearest seed) used by the oracle-gated driver query.
     The returned centroids are the ones that PRODUCED the assignment, so
-    probing is consistent with list membership."""
+    probing is consistent with list membership.
+
+    ``spherical=True`` renormalizes each Lloyd round's mean centroid back
+    onto the radius-1e6 sphere (spherical k-means) — pair it with
+    ``quantized_unit`` inputs so assignment L2 is monotone in ANGLE,
+    the quantity cosine retrieval ranks by."""
     seeds = e.orderBy("id").limit(n_lists)
     # number the 16 seed rows (window over a tiny relation, not the corpus)
     seeds = seeds.withColumn(
@@ -501,6 +550,8 @@ def _ivf_build(e: DataFrame, n_lists: int, iters: int):
                 ).alias("c")
             )
         )
+        if spherical:
+            sums = sums.select("list_id", _renorm_int(F.col("c")).alias("c"))
         centroids = F.broadcast(sums)
     return _nearest(e, centroids), centroids
 
@@ -511,13 +562,15 @@ def ivf_index(
     vec_col: str = "embedding",
     n_lists: int = IVF_LISTS,
     iters: int = IVF_ITERS,
+    spherical: bool = False,
 ) -> DataFrame:
     """IVF (inverted-file) assignment — see _ivf_build.  Returns
     (id, list_id, v): the corpus partitioned into inverted lists.  Centroid
     recomputation aggregates per-dimension sums (a groupBy over exploded
     (list, dim, value) triples — one shuffle per iteration, tiny)."""
-    e = corpus.select(F.col(id_col).alias("id"), quantized(F.col(vec_col)).alias("v"))
-    assigned, _ = _ivf_build(e, n_lists, iters)
+    qz = quantized_unit if spherical else quantized
+    e = corpus.select(F.col(id_col).alias("id"), qz(F.col(vec_col)).alias("v"))
+    assigned, _ = _ivf_build(e, n_lists, iters, spherical)
     return assigned
 
 
@@ -528,6 +581,7 @@ def ivf_index_save(
     vec_col: str = "embedding",
     n_lists: int = IVF_LISTS,
     iters: int = IVF_ITERS,
+    spherical: bool = False,
 ) -> None:
     """Materialize the IVF index once: the assignment (id, list_id, v)
     parquet-PARTITIONED BY list_id — so a probe of p lists prunes to p
@@ -535,8 +589,9 @@ def ivf_index_save(
     ``<path>/centroids``.  Build once per corpus version, then serve every
     query batch from the saved index (`ivf_topk(index_path=...)`) instead
     of re-running k-means per call."""
-    e = corpus.select(F.col(id_col).alias("id"), quantized(F.col(vec_col)).alias("v"))
-    assigned, cents = _ivf_build(e, n_lists, iters)
+    qz = quantized_unit if spherical else quantized
+    e = corpus.select(F.col(id_col).alias("id"), qz(F.col(vec_col)).alias("v"))
+    assigned, cents = _ivf_build(e, n_lists, iters, spherical)
     # the centroid lineage embeds every Lloyd iteration and feeds BOTH
     # writes (the final _nearest inside `assigned`, and the centroid
     # table itself) — persist it so the k-means build runs once, not once
@@ -568,6 +623,7 @@ def ivf_topk(
     n_lists: int = IVF_LISTS,
     iters: int = IVF_ITERS,
     index_path: str | None = None,
+    spherical: bool = False,
 ) -> DataFrame:
     """IVF approximate top-k: each query probes its n_probes nearest
     inverted lists and scores only those lists' vectors (equi-join on
@@ -578,16 +634,19 @@ def ivf_topk(
     the scale pattern: the k-means build is paid once per corpus version,
     and the list_id partitioning means each query batch SCANS only the
     probed lists (partition pruning, no full-corpus pass).  ``corpus`` is
-    ignored (may be None) when an index_path is given."""
+    ignored (may be None) when an index_path is given — pass the SAME
+    ``spherical`` the index was saved with (list vectors and probe
+    geometry must agree)."""
+    qz = quantized_unit if spherical else quantized
     if index_path is not None:
         index, cents = ivf_index_load(queries.sparkSession, index_path)
     else:
         if corpus is None:
             raise ValueError("ivf_topk needs a corpus or an index_path")
-        e = corpus.select(F.col(id_col).alias("id"), quantized(F.col(vec_col)).alias("v"))
-        index, cents = _ivf_build(e, n_lists, iters)
+        e = corpus.select(F.col(id_col).alias("id"), qz(F.col(vec_col)).alias("v"))
+        index, cents = _ivf_build(e, n_lists, iters, spherical)
     cents = cents.select("list_id", F.col("c"))
-    q = queries.select(F.col(id_col).alias("query_id"), quantized(F.col(vec_col)).alias("qv"))
+    q = queries.select(F.col(id_col).alias("query_id"), qz(F.col(vec_col)).alias("qv"))
     probes = (
         q.crossJoin(F.broadcast(cents))
         .withColumn("d2", _l2_int(F.col("qv"), F.col("c")))
@@ -670,6 +729,47 @@ def _buckets_batch(n_planes: int | None = None, n_tables: int | None = None):
     return udf
 
 
+def _probe_buckets_batch(n_planes: int, n_tables: int, n_flip: int):
+    """Arrow-vectorized MULTI-PROBE bucket computation for the query side
+    (Lv et al. 2007, multi-probe LSH): per table, the base bucket plus
+    ``n_flip`` perturbed buckets, each flipping ONE plane bit in
+    ascending order of |dot| margin — the planes the query was closest
+    to, i.e. the flips most likely to recover a near neighbor that fell
+    on the other side.  Output is a flat array of n_tables*(1+n_flip)
+    bucket ids, table index = position div (1+n_flip); with n_flip=0 it
+    reduces bit-for-bit to _buckets_batch.  Multi-probe buys recall at
+    FIXED index size (the corpus side still stores one bucket per
+    table) — the scale-relevant direction, since tables multiply index
+    storage but probes only multiply query-side join rows."""
+    half = (_PLANE_MOD - 1) // 2
+    n_probe = 1 + n_flip
+
+    @F.pandas_udf("array<long>")
+    def udf(vec: pd.Series) -> pd.Series:
+        if len(vec) == 0:
+            return pd.Series([], dtype=object)
+        v = np.stack(
+            [np.floor(np.asarray(x, dtype=np.float64) * QUANT_SCALE).astype(np.int64) for x in vec]
+        )
+        dim = v.shape[1]
+        g = np.arange(n_tables * n_planes, dtype=np.int64)[:, None]
+        d = np.arange(dim, dtype=np.int64)[None, :]
+        planes = ((g * 997 + d) * 2654435761) % _PLANE_MOD - half
+        dots = (v @ planes.T).reshape(len(v), n_tables, n_planes)
+        bits = (dots > 0).astype(np.int64)
+        weights = 1 << np.arange(n_planes, dtype=np.int64)
+        base = (bits * weights[None, None, :]).sum(axis=2)  # (n, T)
+        out = np.empty((len(v), n_tables, n_probe), dtype=np.int64)
+        out[:, :, 0] = base
+        if n_flip:
+            order = np.argsort(np.abs(dots), axis=2, kind="stable")
+            for f in range(n_flip):
+                out[:, :, 1 + f] = base ^ (1 << order[:, :, f])
+        return pd.Series(list(out.reshape(len(v), -1)))
+
+    return udf
+
+
 def _cosine_batch():
     """Arrow-vectorized quantized cosine: exact int64 dot/norms, then the
     same float64 op sequence as the expression path (IEEE-identical).
@@ -701,6 +801,7 @@ def ann_topk_lsh(
     vec_col: str = "embedding",
     n_planes: int | None = None,
     n_tables: int | None = None,
+    n_flip: int = 0,
 ) -> DataFrame:
     """Approximate top-k: candidates = union over n_tables of same-bucket
     pairs (each an equi-join on the bucket key — the cross product never
@@ -709,18 +810,34 @@ def ann_topk_lsh(
     declarative oracle bit-for-bit).  Recall is probabilistic — expected
     1-(1-p^n_planes)^n_tables for per-plane agreement p = 1 - theta/pi —
     measured against cosine_topk by tools/ann_recall.py and tested at the
-    (N_PLANES, N_TABLES) default operating point."""
+    (N_PLANES, N_TABLES) default operating point.
+
+    ``n_flip`` enables multi-probe (Lv et al. 2007): each query probes,
+    per table, its base bucket PLUS n_flip perturbed buckets flipping the
+    lowest-|margin| plane bits — recall rises at fixed index size, with
+    query-side join rows (not corpus storage) paying for it.  n_flip=0 is
+    the exact r14 behavior; the measured frontier lives in
+    RECALL_r15.json / tools/ann_frontier.py."""
     # Single Arrow pass per relation computes all table buckets; explode to
     # (table, bucket) rows and one equi-join generates candidates for every
     # table at once (the query side is tiny and broadcasts).
+    n_p = N_PLANES if n_planes is None else n_planes
+    n_t = N_TABLES if n_tables is None else n_tables
+    if not 0 <= n_flip <= n_p:
+        raise ValueError(f"n_flip must be in [0, n_planes]: {n_flip}")
     buckets = _buckets_batch(n_planes, n_tables)
     ct = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.posexplode(buckets(F.col(vec_col))).alias("table", "bucket"),
     )
+    probes = _probe_buckets_batch(n_p, n_t, n_flip)
     qt = queries.select(
         F.col(id_col).alias("query_id"),
-        F.posexplode(buckets(F.col(vec_col))).alias("table", "bucket"),
+        F.posexplode(probes(F.col(vec_col))).alias("pos", "bucket"),
+    ).select(
+        "query_id",
+        (F.col("pos") / (1 + n_flip)).cast("int").alias("table"),
+        "bucket",
     )
     cand = (
         ct.join(F.broadcast(qt), ["table", "bucket"])

@@ -678,3 +678,85 @@ def test_mix_domains_edge_semantics(spark, docs):
         mix_domains(docs, "doc_id", "source", {"src0": 0.0})
     with _pt.raises(ValueError, match="non-empty"):
         mix_domains(docs, "doc_id", "source", {})
+
+
+def test_ann_multiprobe_probe_set_structure(spark, embs):
+    """Multi-probe contract (r15): with n_flip=0 the probe UDF equals the
+    corpus-side bucket UDF bit-for-bit; each extra flip APPENDS one
+    bucket per table at Hamming distance exactly 1 from the base, and the
+    probe list for n_flip=f is a prefix of the one for n_flip=f+1 (the
+    margin order is stable)."""
+    import sequila_spark.operators.similarity as SIM
+
+    vec = embs.select("embedding").limit(8)
+    base = vec.select(
+        SIM._buckets_batch(6, 4)(F.col("embedding")).alias("b")
+    ).collect()
+    p0 = vec.select(
+        SIM._probe_buckets_batch(6, 4, 0)(F.col("embedding")).alias("b")
+    ).collect()
+    assert [list(r["b"]) for r in base] == [list(r["b"]) for r in p0]
+
+    p2 = [list(r["b"]) for r in vec.select(
+        SIM._probe_buckets_batch(6, 4, 2)(F.col("embedding")).alias("b")
+    ).collect()]
+    p3 = [list(r["b"]) for r in vec.select(
+        SIM._probe_buckets_batch(6, 4, 3)(F.col("embedding")).alias("b")
+    ).collect()]
+    for row0, row2, row3 in zip([list(r["b"]) for r in base], p2, p3):
+        for t in range(4):
+            probes2 = row2[t * 3:(t + 1) * 3]
+            probes3 = row3[t * 4:(t + 1) * 4]
+            assert probes2[0] == row0[t]
+            assert probes2 == probes3[:3]  # prefix property
+            for flipped in probes2[1:]:
+                x = flipped ^ row0[t]
+                assert x and (x & (x - 1)) == 0  # exactly one bit
+
+
+def test_ann_multiprobe_recall_dominates_base(spark, embs):
+    """n_flip>0 results contain at least the base-plan recall: the probed
+    bucket set is a superset, so the true top-k overlap can only grow."""
+    import sequila_spark.operators.similarity as SIM
+
+    queries = embs.where(F.col("vec_id") % 100 == 0)
+    truth = {}
+    for r in SIM.cosine_topk(embs, queries, k=5).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    def rec(n_flip):
+        got = {}
+        for r in SIM.ann_topk_lsh(embs, queries, k=5, n_flip=n_flip).collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        hits = sum(len(v & got.get(q, set())) for q, v in truth.items())
+        return hits / sum(len(v) for v in truth.values())
+
+    r0, r4 = rec(0), rec(4)
+    assert r4 >= r0, (r0, r4)
+
+    with pytest.raises(ValueError, match="n_flip"):
+        SIM.ann_topk_lsh(embs, queries, k=5, n_flip=99)
+
+
+def test_ivf_spherical_magnitude_invariant(spark):
+    """Spherical IVF assigns by DIRECTION: the same direction at 10x the
+    magnitude lands in the same inverted list (plain L2 k-means would
+    split by norm), and results are deterministic across runs."""
+    import sequila_spark.operators.similarity as SIM
+
+    rows = []
+    dirs = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0],
+            [0.0, 0.0, 1.0, 0.0], [0.7, 0.7, 0.0, 0.0]]
+    vid = 0
+    for d in dirs:
+        for scale in (0.1, 1.0, 10.0):
+            rows.append((vid, [x * scale for x in d]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    idx = SIM.ivf_index(df, n_lists=3, iters=2, spherical=True)
+    got = {r["id"]: r["list_id"] for r in idx.collect()}
+    for base in range(0, len(rows), 3):
+        assert got[base] == got[base + 1] == got[base + 2], got
+    idx2 = {r["id"]: r["list_id"] for r in
+            SIM.ivf_index(df, n_lists=3, iters=2, spherical=True).collect()}
+    assert got == idx2
