@@ -200,13 +200,32 @@ def _q_grange_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select("target_id", S.CONTIG, S.START, S.END)
 
 
+def _slice_reads(reads: DataFrame, contig: str, lo: int, hi: int) -> DataFrame:
+    """Read-level slice prune for the pileup slice queries — the Spark-side
+    mirror of the oracle's ``_pileup_base_cte(prune=(contig, lo, hi))``,
+    which pushes the same filter below its UNNEST.  Lossless for any query
+    that keeps only pileup rows with pos in [lo, hi]: a pileup row at pos p
+    aggregates bases exclusively from reads with pos_start <= p <= pos_end,
+    and every such read satisfies pos_start <= hi AND pos_end >= lo.
+    Catalyst cannot derive this bound itself (pos is born inside the
+    explode), so without it every read of the contig pays seq/qual
+    synthesis + per-base explode only to be filtered after the Generate
+    (measured ~90% wasted work for a 10 kb slice of a 99 kb contig —
+    guide §8: use what you know that the optimizer does not)."""
+    return reads.where(
+        (F.col(S.CONTIG) == contig)
+        & (F.col(S.START) <= hi)
+        & (F.col(S.END) >= lo)
+    )
+
+
 def _q_pileup_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-position pileup with alt maps on a genomic slice (contig 1,
     1..20000), alts rendered with altmap_to_str for comparison — the
     reference's own golden-comparison technique (AltFunctions.scala:15-22)."""
     from sequila_spark.functions.maps import altmap_to_str
 
-    reads = TD.reads_with_seq(spark, sf_dir)
+    reads = _slice_reads(TD.reads_with_seq(spark, sf_dir), "1", 1, 20000)
     # synthetic reads are all-M: gapless expansion is exact here (CIGAR-walk
     # semantics are oracle-gated separately by pileup_indels*)
     p = pileup(reads, ref=TD.ref_base_col, alts=True, use_cigar=False)
@@ -241,7 +260,7 @@ def _q_pileup_quals_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     qualsmap_to_str (QualityFunctions.scala:52-58 golden rendering)."""
     from sequila_spark.functions.maps import qualsmap_to_str
 
-    reads = TD.reads_with_seq(spark, sf_dir)
+    reads = _slice_reads(TD.reads_with_seq(spark, sf_dir), "2", 1, 10000)
     p = pileup(reads, ref=TD.ref_base_col, alts=True, quals=True, use_cigar=False)
     return p.where((F.col(S.CONTIG) == "2") & F.col(S.START).between(1, 10000)).select(
         S.CONTIG,
@@ -257,7 +276,7 @@ def _q_pileup_quals_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     qual div binSize."""
     from sequila_spark.functions.maps import qualsmap_to_str
 
-    reads = TD.reads_with_seq(spark, sf_dir)
+    reads = _slice_reads(TD.reads_with_seq(spark, sf_dir), "4", 1, 10000)
     p = pileup(
         reads, ref=TD.ref_base_col, alts=True, quals=True, qual_bin_size=10, use_cigar=False
     )
@@ -292,7 +311,7 @@ def _q_pileup_indels_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     with CIGAR-shifted base attribution."""
     from sequila_spark.functions.maps import altmap_to_str
 
-    reads = TD.reads_indel(spark, sf_dir)
+    reads = _slice_reads(TD.reads_indel(spark, sf_dir), "3", 1, 20000)
     ref_rel = (
         spark.range(1, 20001)
         .select(F.lit("3").alias(S.CONTIG), F.col("id").cast("int").alias("pos"))
@@ -319,7 +338,7 @@ def _q_pileup_blocks_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sequila_spark.functions.maps import altmap_to_str
     from sequila_spark.operators.pileup import pileup_blocks
 
-    reads = TD.reads_indel(spark, sf_dir)
+    reads = _slice_reads(TD.reads_indel(spark, sf_dir), "2", 1, 30000)
     p = pileup(reads, ref=TD.ref_base_col, alts=True)
     sliced = p.where((F.col(S.CONTIG) == "2") & F.col(S.START).between(1, 30000))
     b = pileup_blocks(sliced)
@@ -915,11 +934,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
 
-# Misaligned with the default 5000 (not a divisor or multiple): every bin
-# boundary, explode fan-out and anchor-bin assignment differs from the
-# primary plan's, so a boundary/anchor bug cannot produce the same wrong
-# answer in both.  1700 also changes which rows the bin_cap long-branch
-# routing would see (cap * 1700 vs cap * 5000 thresholds).
+# Misaligned with the default 750 (not a divisor or multiple; boundaries
+# coincide only every lcm=25500 positions): every bin boundary, explode
+# fan-out and anchor-bin assignment differs from the primary plan's, so a
+# boundary/anchor bug cannot produce the same wrong answer in both.  1700
+# also changes which rows the bin_cap long-branch routing would see
+# (cap * 1700 vs cap * 750 thresholds).
 _XCHECK_BIN = 1700
 
 

@@ -358,17 +358,33 @@ def coverage(
         S.CONTIG, "chunk", F.col("ev.pos").alias("pos"), F.col("ev.delta").alias("delta")
     )
 
-    deltas = (
-        events.groupBy(S.CONTIG, "chunk", "pos")
-        .agg(F.sum("delta").alias("delta"))
-        .where(F.col("delta") != 0)
-    )
+    deltas = _events_to_deltas(events, mode)
     return _deltas_to_coverage(
         deltas,
         chunk_size=chunk_size,
         mode=mode,
         window_size=window_size,
         ref_bases=ref_bases,
+    )
+
+
+def _events_to_deltas(events: DataFrame, mode: str) -> DataFrame:
+    """Net per-(contig, chunk, pos) deltas.  In bases/windows mode the
+    events are pre-partitioned by (contig, chunk), so the groupBy here AND
+    the prefix-sum window downstream share ONE exchange
+    (HashPartitioning(contig, chunk) satisfies both clusterings — the same
+    collapse as _pileup_sparse; measured 0.83x on coverage_windows,
+    identical rows).  Blocks mode deliberately keeps the plain groupBy:
+    its interior/merged branches both consume the window output, and the
+    post-aggregation exchange is the materialization point AQE stage
+    reuse shares between them — collapsing it made each branch re-run
+    the aggregation (measured 1.19x SLOWER)."""
+    if mode != "blocks":
+        events = events.repartition(F.col(S.CONTIG), F.col("chunk"))
+    return (
+        events.groupBy(S.CONTIG, "chunk", "pos")
+        .agg(F.sum("delta").alias("delta"))
+        .where(F.col("delta") != 0)
     )
 
 
@@ -408,11 +424,7 @@ def coverage_from_events(
             ),
         ).isNull()
     )
-    deltas = (
-        events.groupBy(S.CONTIG, "chunk", "pos")
-        .agg(F.sum("delta").alias("delta"))
-        .where(F.col("delta") != 0)
-    )
+    deltas = _events_to_deltas(events, mode)
     return _deltas_to_coverage(
         deltas,
         chunk_size=chunk_size,
