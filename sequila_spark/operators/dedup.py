@@ -174,7 +174,7 @@ def ngram_jaccard_pairs(
     tie = F.col("sh") if order == "rarity" else F.col("sh").desc()
     if plan == "collapsed":
         # distinct + frequency under ONE exchange keyed by sh...
-        sh = _persist_tracked(
+        sh = (
             doc_shingles_raw(df, id_col, text_col)
             .repartition(F.col("sh"))
             .distinct()
@@ -182,13 +182,21 @@ def ngram_jaccard_pairs(
         withf = sh.withColumn(
             "f", F.count("*").over(Window.partitionBy("sh"))
         )
-        # ...then rank and per-doc size under ONE exchange keyed by id
+        # ...then rank and per-doc size under ONE exchange keyed by id.
+        # THIS relation is the one cached (r15): it serves the probe and
+        # index prefix filters AND — because the cache preserves its
+        # hashpartitioning(id) — the verify's per-doc set aggregation
+        # runs on it with NO further exchange.  The r14 shape cached sh
+        # and the probe separately, then paid a fresh id-keyed exchange
+        # of the full shingle relation inside the verify.
         wdoc = Window.partitionBy(id_col)
-        ranked = withf.select(
-            id_col,
-            "sh",
-            F.row_number().over(wdoc.orderBy(F.col("f"), tie)).alias("rk"),
-            F.count("*").over(wdoc).alias("n"),
+        ranked = _persist_tracked(
+            withf.select(
+                id_col,
+                "sh",
+                F.row_number().over(wdoc.orderBy(F.col("f"), tie)).alias("rk"),
+                F.count("*").over(wdoc).alias("n"),
+            )
         )
     else:
         sh = _persist_tracked(doc_shingles(df, id_col, text_col))
@@ -219,15 +227,17 @@ def ngram_jaccard_pairs(
     # only adds candidates
     # The index prefix is a SUBSET of the probe prefix for any t >= 0
     # (n - ceil(2t/(1+t)·n) <= floor((1-t)·n) since their gap is
-    # t·n·(1-t)/(1+t) >= 0), so ONE persisted pruned relation serves both
-    # join sides — without this, each side of the self-join re-executed
-    # the whole shingle->frequency->rank pipeline from the sh cache
-    # (profiled as the dominant leg of the query, r14).
-    probe = _persist_tracked(
-        ranked.where(
-            F.col("rk") <= F.floor((1.0 - threshold) * F.col("n") + 1e-9) + 1
-        )
+    # t·n·(1-t)/(1+t) >= 0), so ONE pruned relation serves both join
+    # sides — without this, each side of the self-join re-executed the
+    # whole shingle->frequency->rank pipeline (profiled as the dominant
+    # leg of the query, r14).  Collapsed plan: the probe is a plain
+    # filter over the RANKED cache (both sides read it); classic keeps
+    # its own persist because nothing upstream of it is cached.
+    probe = ranked.where(
+        F.col("rk") <= F.floor((1.0 - threshold) * F.col("n") + 1e-9) + 1
     )
+    if plan != "collapsed":
+        probe = _persist_tracked(probe)
     two_t = 2.0 * threshold / (1.0 + threshold)
     index = probe.where(
         F.col("rk")
@@ -286,6 +296,25 @@ def ngram_jaccard_pairs(
         )
     )
 
+    if plan == "collapsed":
+        # Per-doc sets straight off the id-partitioned ranked cache: no
+        # exchange (InMemoryTableScan preserves hashpartitioning(id)),
+        # and collect_list instead of collect_set — the rows are already
+        # distinct, so the per-element set probe is pure overhead.
+        mode = verify
+        if mode == "auto":
+            # exact distinct-shingle count = the cache's row count
+            mode = (
+                "broadcast"
+                if ranked.count() <= _verify_bcast_row_budget()
+                else "join"
+            )
+        sets = ranked.groupBy(id_col).agg(
+            F.array_sort(F.collect_list("sh")).alias("shset")
+        )
+        return _verify_jaccard(
+            None, cands, threshold, id_col, mode=mode, sets=sets
+        )
     return _verify_jaccard(sh, cands, threshold, id_col, mode=verify)
 
 
