@@ -434,6 +434,19 @@ def cosine_dup_pairs(
     first_shared = F.array_position(
         F.zip_with("bs1", "bs2", lambda x, y: x == y), F.lit(True)
     )
+    build = ebt.select(
+        F.col("id").alias("id_2"),
+        F.col("bs").alias("bs2"),
+        "table",
+        "bucket",
+        blk_of_id.alias("blk"),
+    )
+    # ebt is an Arrow-UDF output with no stats, so the planner never picks
+    # a broadcast on its own; under the same row budget as dedup.py's band
+    # join (~90 B/row) the hint elides BOTH join exchanges.  Past the cap
+    # the shuffle plan stands — the 100 TB path.
+    if n_vecs * N_TABLES <= 2_000_000:
+        build = F.broadcast(build)
     pairs = (
         ebt.select(
             F.col("id").alias("id_1"),
@@ -442,16 +455,7 @@ def cosine_dup_pairs(
             "bucket",
             F.explode(F.sequence(F.lit(0), F.lit(pair_blocks - 1))).alias("blk"),
         )
-        .join(
-            ebt.select(
-                F.col("id").alias("id_2"),
-                F.col("bs").alias("bs2"),
-                "table",
-                "bucket",
-                blk_of_id.alias("blk"),
-            ),
-            ["table", "bucket", "blk"],
-        )
+        .join(build, ["table", "bucket", "blk"])
         .where((F.col("id_1") < F.col("id_2")) & (first_shared == F.col("table") + 1))
         .select("id_1", "id_2")
     )
@@ -461,6 +465,12 @@ def cosine_dup_pairs(
         quantized(F.col("vec")).alias("v"),
         _norm2(quantized(F.col("vec"))).alias("n2"),
     )
+    # Expression cosine kept deliberately: an Arrow-batched cosine was
+    # tried here (r15) and measured ~2x SLOWER — the candidate relation
+    # arrives as array cells that pandas materializes one numpy object
+    # per row, and that conversion tax exceeds the interpreted-HOF cost
+    # it removes (unlike dedup.py's set verify, which slices ONE flat
+    # Arrow buffer).
     return (
         pairs.join(
             ev.select(F.col("id").alias("id_1"), F.col("v").alias("v1"), F.col("n2").alias("n1")),
