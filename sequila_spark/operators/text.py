@@ -118,16 +118,22 @@ def lang_scores(col: Column) -> dict[str, Column]:
 
 def lang_id(col: Column) -> Column:
     """Predicted language = argmax of profile scores, ties broken by
-    alphabetical language order (deterministic)."""
+    alphabetical language order (deterministic).
+
+    Shape matters: the obvious running-max chain (best = when(s_k > best,
+    s_k).otherwise(best)) embeds each earlier score expression TWICE per
+    level — the tree doubles per language and the early profiles' replace()
+    scans evaluate up to 2^(k-1) times (measured as the dominant leg of
+    text_features).  greatest() + first-equal CASE references each score
+    at most twice, and the first equal match in alphabetical order is
+    exactly the strict-greater chain's winner."""
     scores = lang_scores(col)
     langs = sorted(scores)  # alphabetical = tie-break order
-    best = scores[langs[0]]
-    best_lang = F.lit(langs[0])
-    for lang in langs[1:]:
-        is_better = scores[lang] > best
-        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
-        best = F.when(is_better, scores[lang]).otherwise(best)
-    return best_lang
+    m = F.greatest(*[scores[lang] for lang in langs])
+    best_lang = F.when(scores[langs[0]] == m, F.lit(langs[0]))
+    for lang in langs[1:-1]:
+        best_lang = best_lang.when(scores[lang] == m, F.lit(lang))
+    return best_lang.otherwise(F.lit(langs[-1]))
 
 
 def lang_id_sql(expr: str) -> str:
@@ -165,11 +171,19 @@ def text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """One-stop projection of all text-analysis columns."""
     c = F.col(text_col)
     m = quality_metrics(c)
+    # quality inlined from the SAME metrics dict (quality_score(c) would
+    # build a second identical metrics tree in this projection)
+    quality = (
+        F.lit(0.5)
+        + m["stop_ratio"] * 2.0
+        - m["punct_ratio"] * 1.0
+        - m["digit_ratio"] * 1.0
+    )
     return df.select(
         "*",
         m["n_tokens"].alias("ws_tokens"),
         bpe_token_count(c).alias("bpe_tokens"),
-        quality_score(c).alias("quality"),
+        quality.alias("quality"),
         lang_id(c).alias("lang_pred"),
         doc_fingerprint(c).alias("fp_md5"),
         shingle_fingerprint(text_col).alias("fp_shingle"),
