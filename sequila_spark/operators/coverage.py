@@ -164,19 +164,26 @@ def merge_touching_blocks(blocks: DataFrame, chunk_size: int = DEFAULT_CHUNK) ->
     b = blocks.select(S.CONTIG, S.START, S.END).withColumn(
         "chunk", F.floor(F.col(S.START) / chunk_size)
     )
+    # pre-partition once: the run-break window AND the per-chunk info
+    # aggregation below both cluster on (contig, chunk), so they share
+    # this single exchange
+    b = b.repartition(F.col(S.CONTIG), F.col("chunk"))
     w_local = Window.partitionBy(S.CONTIG, "chunk").orderBy(S.START)
     prev_end = F.lag(S.END).over(w_local)
     brk = (prev_end.isNull() | (F.col(S.START) != prev_end + 1)).cast("long")
     loc = b.withColumn("brk", brk).withColumn("lrun", F.sum("brk").over(w_local))
 
-    ci = b.groupBy(S.CONTIG, "chunk").agg(
-        F.min(S.START).alias("first_start"),
-        F.max(S.END).alias("last_end"),
-    )
-    m = loc.groupBy(S.CONTIG, "chunk").agg(F.max("lrun").alias("m"))
+    # ONE aggregation over loc yields the whole per-chunk info row (the
+    # old separate ci-over-b + m-over-loc pair joined back re-evaluated
+    # the blocks lineage a third time)
     w_chunks = Window.partitionBy(S.CONTIG).orderBy("chunk")
     info = (
-        ci.join(m, [S.CONTIG, "chunk"])
+        loc.groupBy(S.CONTIG, "chunk")
+        .agg(
+            F.min(S.START).alias("first_start"),
+            F.max(S.END).alias("last_end"),
+            F.max("lrun").alias("m"),
+        )
         .withColumn(
             "cont",
             F.coalesce(
