@@ -183,20 +183,21 @@ def ngram_jaccard_pairs(
             "f", F.count("*").over(Window.partitionBy("sh"))
         )
         # ...then rank and per-doc size under ONE exchange keyed by id.
-        # THIS relation is the one cached (r15): it serves the probe and
-        # index prefix filters AND — because the cache preserves its
-        # hashpartitioning(id) — the verify's per-doc set aggregation
-        # runs on it with NO further exchange.  The r14 shape cached sh
-        # and the probe separately, then paid a fresh id-keyed exchange
-        # of the full shingle relation inside the verify.
+        # NOT persisted (r15, adjudicated by interleaved commit A/B —
+        # tools/ab_commits.py): caching any full shingle-sized relation
+        # (the r14 sh cache, or r15's first attempt at caching THIS
+        # ranked relation to make the verify exchange-free) costs more
+        # in cache-write bandwidth than the one exchange it saves —
+        # the same finding as PROFILE_dedup_minhash_r15 ("persisting the
+        # 1.45M-row relation cost ~2.2s more than generating it") and
+        # the pileup_blocks 6.4x persist regression.  Only the ~20%
+        # probe prefix below is cached.
         wdoc = Window.partitionBy(id_col)
-        ranked = _persist_tracked(
-            withf.select(
-                id_col,
-                "sh",
-                F.row_number().over(wdoc.orderBy(F.col("f"), tie)).alias("rk"),
-                F.count("*").over(wdoc).alias("n"),
-            )
+        ranked = withf.select(
+            id_col,
+            "sh",
+            F.row_number().over(wdoc.orderBy(F.col("f"), tie)).alias("rk"),
+            F.count("*").over(wdoc).alias("n"),
         )
     else:
         sh = _persist_tracked(doc_shingles(df, id_col, text_col))
@@ -227,17 +228,16 @@ def ngram_jaccard_pairs(
     # only adds candidates
     # The index prefix is a SUBSET of the probe prefix for any t >= 0
     # (n - ceil(2t/(1+t)·n) <= floor((1-t)·n) since their gap is
-    # t·n·(1-t)/(1+t) >= 0), so ONE pruned relation serves both join
-    # sides — without this, each side of the self-join re-executed the
-    # whole shingle->frequency->rank pipeline (profiled as the dominant
-    # leg of the query, r14).  Collapsed plan: the probe is a plain
-    # filter over the RANKED cache (both sides read it); classic keeps
-    # its own persist because nothing upstream of it is cached.
-    probe = ranked.where(
-        F.col("rk") <= F.floor((1.0 - threshold) * F.col("n") + 1e-9) + 1
+    # t·n·(1-t)/(1+t) >= 0), so ONE persisted pruned relation serves both
+    # join sides — without this, each side of the self-join re-executed
+    # the whole shingle->frequency->rank pipeline (profiled as the
+    # dominant leg of the query, r14).  The cache is the ~20% prefix,
+    # never a data-sized relation (see the ranked-relation note above).
+    probe = _persist_tracked(
+        ranked.where(
+            F.col("rk") <= F.floor((1.0 - threshold) * F.col("n") + 1e-9) + 1
+        )
     )
-    if plan != "collapsed":
-        probe = _persist_tracked(probe)
     two_t = 2.0 * threshold / (1.0 + threshold)
     index = probe.where(
         F.col("rk")
@@ -297,23 +297,20 @@ def ngram_jaccard_pairs(
     )
 
     if plan == "collapsed":
-        # Per-doc sets straight off the id-partitioned ranked cache: no
-        # exchange (InMemoryTableScan preserves hashpartitioning(id)),
-        # and collect_list instead of collect_set — the rows are already
-        # distinct, so the per-element set probe is pure overhead.
-        mode = verify
-        if mode == "auto":
-            # exact distinct-shingle count = the cache's row count
-            mode = (
-                "broadcast"
-                if ranked.count() <= _verify_bcast_row_budget()
-                else "join"
-            )
-        sets = ranked.groupBy(id_col).agg(
-            F.array_sort(F.collect_list("sh")).alias("shset")
-        )
+        # Verify from the RAW shingle rows, no cache and no distinct:
+        # collect_set dedups per doc inside the aggregate (map-side
+        # partials included — the minhash r14 trick), so the verify leg
+        # is shingle regeneration (map-only, measured ~0.15 s — cheap)
+        # plus the one id-keyed exchange of already-deduped partial
+        # sets.  Sharing a cached relation with the candidate pipeline
+        # instead was measured SLOWER both ways (r14 sh cache, r15
+        # ranked cache — see the A/B note above).  verify='auto' counts
+        # raw rows: over-counts distinct by the within-doc repeat factor
+        # (~7%), so it can only demote broadcast -> join, never
+        # over-admit (same fail-safe direction as minhash's byte budget).
         return _verify_jaccard(
-            None, cands, threshold, id_col, mode=mode, sets=sets
+            doc_shingles_raw(df, id_col, text_col),
+            cands, threshold, id_col, mode=verify,
         )
     return _verify_jaccard(sh, cands, threshold, id_col, mode=verify)
 

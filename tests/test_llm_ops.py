@@ -503,7 +503,7 @@ def test_dedup_persist_hygiene(spark, docs):
     import sequila_spark.operators.dedup as D
 
     D.ngram_jaccard_pairs(docs, threshold=0.8).collect()
-    assert len(D._CACHED_DFS) == 1  # collapsed plan: the ranked relation
+    assert len(D._CACHED_DFS) == 1  # collapsed plan: the probe prefix only
     D.minhash_dedup_pairs(docs, threshold=0.8).collect()
     assert len(D._CACHED_DFS) == 1  # prior call's two released, sh registered
     D.ngram_jaccard_pairs(docs, threshold=0.8, plan="classic").collect()
