@@ -506,17 +506,45 @@ def _l2_int(a, b):
     )
 
 
+def _centroid_arr(centroids):
+    """Collapse the tiny (list_id, c) relation to ONE row holding
+    array<struct<list_id,c>> sorted by list_id.  crossJoining this single
+    broadcast row lets nearest-centroid selection run ROW-LOCALLY as an
+    array expression — the r14 shape crossJoined the corpus x n_lists and
+    then paid a full hashpartitioning(id) Exchange + Window just to argmin
+    over the n_lists copies of every vector (guide 2.4: the decision needs
+    no data movement at all)."""
+    return F.broadcast(
+        centroids.agg(
+            F.array_sort(F.collect_list(F.struct("list_id", "c"))).alias("_cents")
+        )
+    )
+
+
+def _dists(vec_col, cents_col):
+    """array<struct<d2,list_id>> of exact int64 distances to each centroid;
+    struct order (d2, list_id) makes lexicographic min/sort reproduce the
+    old Window orderBy('d2', 'list_id') tie-break exactly."""
+    return F.transform(
+        cents_col,
+        lambda t: F.struct(
+            _l2_int(vec_col, t["c"]).alias("d2"), t["list_id"].alias("list_id")
+        ),
+    )
+
+
 def _nearest(e: DataFrame, centroids) -> DataFrame:
     """Assign each vector to its nearest centroid (ties -> smallest
-    list_id); centroids is a tiny broadcast relation (list_id, c)."""
+    list_id); centroids is a tiny broadcast relation (list_id, c).
+    Row-local argmin: no shuffle of the corpus (array_min over the
+    per-centroid distance structs == the old window's rk=1 row)."""
     return (
-        e.crossJoin(centroids)
-        .withColumn("d2", _l2_int(F.col("v"), F.col("c")))
-        .withColumn(
-            "rk", F.row_number().over(Window.partitionBy("id").orderBy("d2", "list_id"))
+        e.crossJoin(_centroid_arr(centroids))
+        .select(
+            "id",
+            F.array_min(_dists(F.col("v"), F.col("_cents")))["list_id"].alias("list_id"),
+            "v",
         )
-        .where(F.col("rk") == 1)
-        .select("id", "list_id", "v")
     )
 
 
@@ -657,19 +685,28 @@ def ivf_topk(
         index, cents = _ivf_build(e, n_lists, iters, spherical)
     cents = cents.select("list_id", F.col("c"))
     q = queries.select(F.col(id_col).alias("query_id"), qz(F.col(vec_col)).alias("qv"))
+    # Row-local probe pick (no per-query Window shuffle): sort the tiny
+    # distance array and take the n_probes head — identical ordering and
+    # tie-break to the old row_number <= n_probes.
     probes = (
-        q.crossJoin(F.broadcast(cents))
-        .withColumn("d2", _l2_int(F.col("qv"), F.col("c")))
-        .withColumn(
-            "rk",
-            F.row_number().over(Window.partitionBy("query_id").orderBy("d2", "list_id")),
+        q.crossJoin(_centroid_arr(cents))
+        .select(
+            "query_id",
+            "qv",
+            F.explode(
+                F.slice(F.array_sort(_dists(F.col("qv"), F.col("_cents"))), 1, n_probes)
+            ).alias("p"),
         )
-        .where(F.col("rk") <= n_probes)
-        .select("query_id", "qv", "list_id")
+        .select("query_id", "qv", F.col("p.list_id").alias("list_id"))
     )
     cos = _cosine_batch()
+    # The probe side is (queries x n_probes) — the module contract (same as
+    # cosine_topk / ann_topk_lsh) is that the QUERY side is the small one,
+    # so broadcast it: the corpus-sized index is never shuffled (the r14
+    # plan SortMergeJoined here, exchanging BOTH sides by list_id).
     scored = (
-        probes.join(index.select("list_id", F.col("id").alias("neighbor_id"), F.col("v").alias("cv")), "list_id")
+        F.broadcast(probes)
+        .join(index.select("list_id", F.col("id").alias("neighbor_id"), F.col("v").alias("cv")), "list_id")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", cos(F.col("qv"), F.col("cv")).alias("cosine"))
     )
@@ -830,42 +867,64 @@ def ann_topk_lsh(
     RECALL_r15.json / tools/ann_frontier.py."""
     # Single Arrow pass per relation computes all table buckets; explode to
     # (table, bucket) rows and one equi-join generates candidates for every
-    # table at once (the query side is tiny and broadcasts).
+    # table at once (the query side is tiny and broadcasts).  Both sides
+    # CARRY their quantized vector and full bucket array through the
+    # broadcast join (map-side — the corpus is never shuffled), so a pair
+    # colliding in several tables is kept only in its FIRST shared table by
+    # a map-side filter (the cosine_dup_pairs trick) and the cosine runs
+    # directly on the join output.  The r14 shape instead paid a
+    # .distinct() Exchange of the candidate set plus TWO more joins (and
+    # two more corpus scans) just to re-attach the vectors it had dropped
+    # (guide 2.4/2.3: the decision data already rides the join).
     n_p = N_PLANES if n_planes is None else n_planes
     n_t = N_TABLES if n_tables is None else n_tables
     if not 0 <= n_flip <= n_p:
         raise ValueError(f"n_flip must be in [0, n_planes]: {n_flip}")
+    n_probe = 1 + n_flip
     buckets = _buckets_batch(n_planes, n_tables)
     ct = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.posexplode(buckets(F.col(vec_col))).alias("table", "bucket"),
+        quantized(F.col(vec_col)).alias("cv"),
+        buckets(F.col(vec_col)).alias("bs"),
+    ).select(
+        "neighbor_id", "cv", "bs", F.posexplode("bs").alias("table", "bucket")
     )
     probes = _probe_buckets_batch(n_p, n_t, n_flip)
-    qt = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.posexplode(probes(F.col(vec_col))).alias("pos", "bucket"),
-    ).select(
-        "query_id",
-        (F.col("pos") / (1 + n_flip)).cast("int").alias("table"),
-        "bucket",
+    qt = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            quantized(F.col(vec_col)).alias("qv"),
+            probes(F.col(vec_col)).alias("pbs"),
+        )
+        .select(
+            "query_id", "qv", "pbs", F.posexplode("pbs").alias("pos", "bucket")
+        )
+        .select(
+            "query_id",
+            "qv",
+            "pbs",
+            (F.col("pos") / n_probe).cast("int").alias("table"),
+            "bucket",
+        )
     )
-    cand = (
-        ct.join(F.broadcast(qt), ["table", "bucket"])
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id")
-        .distinct()
-    )
-
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), quantized(F.col(vec_col)).alias("cv")
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), quantized(F.col(vec_col)).alias("qv")
-    )
+    # First table where the corpus bucket is in the query's probe set for
+    # that table.  Within one table all probe buckets are distinct (bit
+    # flips of distinct planes), so a pair collides at most once per
+    # table and exactly one row survives the table == first_shared filter.
+    first_shared = F.filter(
+        F.sequence(F.lit(0), F.lit(n_t - 1)),
+        lambda t: F.array_contains(
+            F.slice(F.col("pbs"), t * n_probe + 1, n_probe),
+            F.element_at(F.col("bs"), t + 1),
+        ),
+    )[0]
     cos = _cosine_batch()
     scored = (
-        cand.join(F.broadcast(q), "query_id")
-        .join(c, "neighbor_id")
+        ct.join(F.broadcast(qt), ["table", "bucket"])
+        .where(
+            (F.col("query_id") != F.col("neighbor_id"))
+            & (F.col("table") == first_shared)
+        )
         .select("query_id", "neighbor_id", cos(F.col("qv"), F.col("cv")).alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(
