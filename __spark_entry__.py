@@ -361,17 +361,28 @@ def _q_distinct_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- LLM-pipeline operators (dedup / similarity / text / multimodal) --------
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Spread a small (single-file / single-rowgroup) input across the
+    local cores before compute-heavy map work.  Scale-adaptive (guide
+    §2.4): when the scan already has at least half the session
+    parallelism in natural file-split partitions — always true for the
+    many-file inputs of a real deployment — the keyless repartition
+    (a full payload shuffle + sort-before-repartition) is skipped, so at
+    scale the corpus is never shuffled just to be spread.  Row set is
+    identical either way."""
+    p = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 >= p:
+        return df
+    return df.repartition(p)
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # small single-file input; spread before the 100x shingle explosion
-    return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    return _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    return _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
