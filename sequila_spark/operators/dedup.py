@@ -304,13 +304,33 @@ def ngram_jaccard_pairs(
         # plus the one id-keyed exchange of already-deduped partial
         # sets.  Sharing a cached relation with the candidate pipeline
         # instead was measured SLOWER both ways (r14 sh cache, r15
-        # ranked cache — see the A/B note above).  verify='auto' counts
-        # raw rows: over-counts distinct by the within-doc repeat factor
-        # (~7%), so it can only demote broadcast -> join, never
-        # over-admit (same fail-safe direction as minhash's byte budget).
+        # ranked cache — see the A/B note above).
+        mode = verify
+        if mode == "auto":
+            # EXACT distinct-shingle count at prefix-cache cost: the
+            # ranked relation's per-doc `n` IS that doc's distinct-set
+            # size and every non-empty doc has >= 1 probe row, so
+            # sum(first(n)) over the persisted ~20% prefix equals
+            # count(distinct (id, sh)).  The previous raw-row upper
+            # bound was fail-safe but over-counted by the within-doc
+            # repeat factor (x1.39 at sf1: 19.4M raw vs 13.9M distinct
+            # against the 16.8M-row budget), demoting to the join path
+            # exactly at the scale where the replicated fast path pays
+            # most (measured 22.7 s broadcast vs 38.4 s join at sf1).
+            # This job also fronts the probe materialization the main
+            # action needs anyway — net jobs are unchanged (the raw
+            # count() job it replaces regenerated every shingle).
+            n_sh = (
+                probe.groupBy(id_col)
+                .agg(F.first("n").alias("n"))
+                .agg(F.sum("n"))
+                .collect()[0][0]
+                or 0
+            )
+            mode = "broadcast" if n_sh <= _verify_bcast_row_budget() else "join"
         return _verify_jaccard(
             doc_shingles_raw(df, id_col, text_col),
-            cands, threshold, id_col, mode=verify,
+            cands, threshold, id_col, mode=mode,
         )
     return _verify_jaccard(sh, cands, threshold, id_col, mode=verify)
 

@@ -43,6 +43,25 @@ _GRID_MIN_VECS = 5_000
 _PROJ_PERSIST_MIN_VECS = 2_048
 _PROJ_CACHE: list = []
 
+# Vector re-attach broadcast gate (ann_topk_lsh): planner-statistics bytes
+# below which the corpus-vector relation is broadcast-hinted for the
+# candidate re-attach join.  Read from the optimized plan's sizeInBytes —
+# the same statistic autoBroadcastJoinThreshold consults, so the gate
+# costs NO job; parquet-backed lineages estimate from file size.  Past
+# the gate the join is left to the planner/AQE (shuffles when the corpus
+# outgrows one broadcast — the 100 TB path).
+_VEC_BCAST_MAX_BYTES = 256 << 20
+
+
+def _hint_if_small(df: DataFrame) -> DataFrame:
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return df
+    return F.broadcast(df) if size <= _VEC_BCAST_MAX_BYTES else df
+
 
 def quantized(col):
     """array<float> -> array<bigint>, q_i = floor(double(x_i) * 1e6)."""
@@ -699,16 +718,23 @@ def ivf_topk(
         )
         .select("query_id", "qv", F.col("p.list_id").alias("list_id"))
     )
-    cos = _cosine_batch()
     # The probe side is (queries x n_probes) — the module contract (same as
     # cosine_topk / ann_topk_lsh) is that the QUERY side is the small one,
     # so broadcast it: the corpus-sized index is never shuffled (the r14
-    # plan SortMergeJoined here, exchanging BOTH sides by list_id).
+    # plan SortMergeJoined here, exchanging BOTH sides by list_id).  The
+    # cosine is the NATIVE integer expression (exact int64 dot/norms, the
+    # op sequence _cosine_batch mimics — identical rows, no ArrowEvalPython
+    # over the probed-list stream; guide 4.1).
+    cosine = F.try_divide(
+        _dot(F.col("qv"), F.col("cv")).cast("double"),
+        F.sqrt(_norm2(F.col("qv")).cast("double"))
+        * F.sqrt(_norm2(F.col("cv")).cast("double")),
+    )
     scored = (
         F.broadcast(probes)
         .join(index.select("list_id", F.col("id").alias("neighbor_id"), F.col("v").alias("cv")), "list_id")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cos(F.col("qv"), F.col("cv")).alias("cosine"))
+        .select("query_id", "neighbor_id", cosine.alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
@@ -867,15 +893,25 @@ def ann_topk_lsh(
     RECALL_r15.json / tools/ann_frontier.py."""
     # Single Arrow pass per relation computes all table buckets; explode to
     # (table, bucket) rows and one equi-join generates candidates for every
-    # table at once (the query side is tiny and broadcasts).  Both sides
-    # CARRY their quantized vector and full bucket array through the
-    # broadcast join (map-side — the corpus is never shuffled), so a pair
-    # colliding in several tables is kept only in its FIRST shared table by
-    # a map-side filter (the cosine_dup_pairs trick) and the cosine runs
-    # directly on the join output.  The r14 shape instead paid a
-    # .distinct() Exchange of the candidate set plus TWO more joins (and
-    # two more corpus scans) just to re-attach the vectors it had dropped
-    # (guide 2.4/2.3: the decision data already rides the join).
+    # table at once (the query side is tiny and broadcasts).  The collision
+    # stream is kept NARROW (ids + the small bucket arrays only): the
+    # quantized vectors do NOT ride the join.  An earlier r15 shape carried
+    # both vectors through the collision stream to skip the re-attach
+    # joins; at sf1 (7.7M collision rows x ~1.2 KB carried vs ~100 B
+    # narrow) that inflated the hot path ~10x and measured 13.7-20.6 s vs
+    # 3.9-5.6 s for this shape (guide 2.1: shuffle/stream fewer bytes —
+    # per-row payload scales with collision count, the re-attach joins
+    # scale with the corpus).  A pair colliding in several tables is kept
+    # only in its FIRST shared table by a map-side filter, so the
+    # .distinct() Exchange of the candidate set never returns; the vectors
+    # re-attach to the deduped survivors via the broadcast query relation
+    # and a stats-gated corpus join, and the cosine is the NATIVE integer
+    # expression (the exact op sequence _cosine_batch mimics; row-identity
+    # measured at sf0.1 and sf1) — the COLLISION-SCALED ArrowEvalPython is
+    # gone (guide 4.1; the only Arrow nodes left are the bucket-projection
+    # matmuls, which run once per corpus/query row, not per candidate
+    # pair), which also removes the ~80 s cold-start Python-worker tail
+    # the bench's single-cold-run rule was recording at sf1.
     n_p = N_PLANES if n_planes is None else n_planes
     n_t = N_TABLES if n_tables is None else n_tables
     if not 0 <= n_flip <= n_p:
@@ -884,24 +920,19 @@ def ann_topk_lsh(
     buckets = _buckets_batch(n_planes, n_tables)
     ct = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        quantized(F.col(vec_col)).alias("cv"),
         buckets(F.col(vec_col)).alias("bs"),
-    ).select(
-        "neighbor_id", "cv", "bs", F.posexplode("bs").alias("table", "bucket")
-    )
+    ).select("neighbor_id", "bs", F.posexplode("bs").alias("table", "bucket"))
     probes = _probe_buckets_batch(n_p, n_t, n_flip)
     qt = (
         queries.select(
             F.col(id_col).alias("query_id"),
-            quantized(F.col(vec_col)).alias("qv"),
             probes(F.col(vec_col)).alias("pbs"),
         )
         .select(
-            "query_id", "qv", "pbs", F.posexplode("pbs").alias("pos", "bucket")
+            "query_id", "pbs", F.posexplode("pbs").alias("pos", "bucket")
         )
         .select(
             "query_id",
-            "qv",
             "pbs",
             (F.col("pos") / n_probe).cast("int").alias("table"),
             "bucket",
@@ -911,21 +942,52 @@ def ann_topk_lsh(
     # that table.  Within one table all probe buckets are distinct (bit
     # flips of distinct planes), so a pair collides at most once per
     # table and exactly one row survives the table == first_shared filter.
-    first_shared = F.filter(
-        F.sequence(F.lit(0), F.lit(n_t - 1)),
-        lambda t: F.array_contains(
-            F.slice(F.col("pbs"), t * n_probe + 1, n_probe),
-            F.element_at(F.col("bs"), t + 1),
-        ),
-    )[0]
-    cos = _cosine_batch()
-    scored = (
+    if n_flip == 0:
+        # one probe per table: "bucket in probe set" degenerates to
+        # elementwise equality — zip_with + array_position costs ~1/4 of
+        # the general filter(slice/array_contains) form, which measured
+        # ~12 s on 7.7M collision rows at sf1
+        first_shared = (
+            F.array_position(
+                F.zip_with(F.col("bs"), F.col("pbs"), lambda x, y: x == y),
+                True,
+            )
+            - 1
+        )
+    else:
+        first_shared = F.filter(
+            F.sequence(F.lit(0), F.lit(n_t - 1)),
+            lambda t: F.array_contains(
+                F.slice(F.col("pbs"), t * n_probe + 1, n_probe),
+                F.element_at(F.col("bs"), t + 1),
+            ),
+        )[0]
+    cands = (
         ct.join(F.broadcast(qt), ["table", "bucket"])
         .where(
             (F.col("query_id") != F.col("neighbor_id"))
             & (F.col("table") == first_shared)
         )
-        .select("query_id", "neighbor_id", cos(F.col("qv"), F.col("cv")).alias("cosine"))
+        .select("query_id", "neighbor_id")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), quantized(F.col(vec_col)).alias("qv")
+    )
+    cv = _hint_if_small(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            quantized(F.col(vec_col)).alias("cv"),
+        )
+    )
+    cosine = F.try_divide(
+        _dot(F.col("qv"), F.col("cv")).cast("double"),
+        F.sqrt(_norm2(F.col("qv")).cast("double"))
+        * F.sqrt(_norm2(F.col("cv")).cast("double")),
+    )
+    scored = (
+        cands.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select("query_id", "neighbor_id", cosine.alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
