@@ -177,7 +177,9 @@ def range_join(
     keyed = left.withColumn("__sq_rowid", F.monotonically_increasing_id())
     matched = _inner(keyed, right, lc, rc, ls, le, rs, re,
                      min_overlap, max_gap, bin_size, strategy, bin_cap, max_width)
-    matched_ids = matched.select("__sq_rowid").distinct()
+    matched_ids = _hint_rowids_if_left_small(
+        left, matched.select("__sq_rowid").distinct()
+    )
     if how == "left_semi":
         return keyed.join(matched_ids, "__sq_rowid", "left_semi").drop("__sq_rowid")
     if how == "left_anti":
@@ -298,6 +300,32 @@ def _inner(
         .drop("__sq_bin_l", "__sq_bin_r")
     )
     return out.drop(rc) if rc and lc != rc else out
+
+
+# Byte cap on the LEFT side's planner size estimate under which the
+# composed variants broadcast-hint the matched-rowid relation.  64 MB of
+# the (wider) left relation bounds the one-long-column rowid build table
+# well inside executor broadcast budgets.
+_ROWID_BCAST_MAX_LEFT_BYTES = 64 << 20
+
+
+def _hint_rowids_if_left_small(left: DataFrame, ids: DataFrame) -> DataFrame:
+    """Broadcast-hint the matched-rowid relation of a composed
+    (semi/anti/outer) range join when the LEFT side's own planner stats
+    bound it small.  ``ids`` has at most one row per left row (a distinct
+    of a left-derived rowid), but its own size estimate inherits the inner
+    join's multiplied row estimate, so the planner can never pick the
+    broadcast unaided — the static plan sort-merges the full left side
+    against it.  Gating on ``left``'s optimizedPlan sizeInBytes costs no
+    job, and ``ids`` is strictly narrower than any left relation, so
+    ``left_bytes <= budget`` bounds the build side safely.  Past the
+    budget the hint is withheld and AQE decides at runtime — the 100 TB
+    path (same fail-safe shape as the dedup/similarity budget gates)."""
+    try:
+        size = int(left._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return ids
+    return F.broadcast(ids) if size <= _ROWID_BCAST_MAX_LEFT_BYTES else ids
 
 
 _SKIPPED = object()  # probe declined: expensive uncached lineage

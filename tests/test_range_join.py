@@ -96,6 +96,49 @@ def test_semi_anti(spark, how, expected):
     assert got == expected
 
 
+def test_semi_rowid_broadcast_hint(spark, monkeypatch, tmp_path):
+    """The composed variants broadcast-hint the matched-rowid relation when
+    the LEFT side's planner stats bound it small.  matched_ids' own size
+    estimate inherits the inner join's multiplied row estimate, so only the
+    hint (or an AQE runtime rescue) can pick the broadcast — assert the
+    STATIC plan choice with auto-broadcast disabled, and that withholding
+    the hint (budget 0) changes the plan but not the rows.  The left side
+    must be scan-backed: a createDataFrame LogicalRDD reports unknown
+    (max) size, for which the gate correctly declines the hint."""
+    import sequila_spark.operators.range_join as rj
+
+    mk(spark, [("a", "1", 100, 200), ("c", "1", 900, 950)]).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "left.parquet"))
+    left = spark.read.parquet(str(tmp_path / "left.parquet"))
+    right = mk(spark, [("b", "1", 150, 250)])
+
+    def static_plan(df):
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        hinted = range_join(left, right, how="left_semi")
+        plan = static_plan(hinted)
+        assert "BroadcastHashJoin LeftSemi" in plan, plan
+        rows_hinted = sorted(r["id"] for r in hinted.collect())
+
+        monkeypatch.setattr(rj, "_ROWID_BCAST_MAX_LEFT_BYTES", 0)
+        plain = range_join(left, right, how="left_semi")
+        plan0 = static_plan(plain)
+        assert "BroadcastHashJoin LeftSemi" not in plan0, plan0
+        rows_plain = sorted(r["id"] for r in plain.collect())
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+
+    assert rows_hinted == rows_plain == ["a"]
+
+
 def test_left_outer(spark):
     left = mk(spark, [("a", "1", 100, 200), ("c", "1", 900, 950)])
     right = mk(spark, [("b", "1", 150, 250)])
