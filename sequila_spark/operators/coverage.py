@@ -109,6 +109,19 @@ def aligned_blocks(reads: DataFrame, use_cigar: bool | None = None) -> DataFrame
             F.col(S.END).alias("__sq_be"),
         )
 
+    blocks = _cigar_blocks_col()
+    exploded = reads.select("*", F.explode(blocks).alias("__sq_blk"))
+    return exploded.select(
+        "*",
+        F.col("__sq_blk.s").alias("__sq_bs"),
+        F.col("__sq_blk.e").alias("__sq_be"),
+    ).drop("__sq_blk")
+
+
+def _cigar_blocks_col():
+    """``array<struct<s,e>>`` of reference-consuming aligned blocks from the
+    CIGAR walk (shared by :func:`aligned_blocks` and the multi-walk
+    variant): M/=/X emit, D/N advance, I/S/H/P consume nothing."""
     ops = F.regexp_extract_all(F.col(S.CIGAR), F.lit(r"(\d+)([MIDNSHP=X])"), 0)
     init = F.struct(
         F.col(S.START).cast("int").alias("off"),
@@ -144,13 +157,146 @@ def aligned_blocks(reads: DataFrame, use_cigar: bool | None = None) -> DataFrame
             (F.col(S.START) + n1 - 1).cast("int").alias("e"),
         )
     )
-    blocks = F.when(F.col(S.CIGAR).rlike("^[0-9]+[M=X]$"), gapless).otherwise(folded)
-    exploded = reads.select("*", F.explode(blocks).alias("__sq_blk"))
-    return exploded.select(
-        "*",
-        F.col("__sq_blk.s").alias("__sq_bs"),
-        F.col("__sq_blk.e").alias("__sq_be"),
-    ).drop("__sq_blk")
+    return F.when(F.col(S.CIGAR).rlike("^[0-9]+[M=X]$"), gapless).otherwise(folded)
+
+
+def coverage_blocks_walks(
+    reads: DataFrame,
+    walks: tuple[tuple[str, bool], ...] = (("span", False), ("cigar", True)),
+    chunk_size: int = DEFAULT_CHUNK,
+    walk_col: str = "walk",
+) -> DataFrame:
+    """Blocks-mode coverage for SEVERAL block walks of the same reads in ONE
+    shared pipeline — row-identical to the union of per-walk
+    ``coverage(reads, mode='blocks', use_cigar=uc)`` tagged with the walk
+    name, but the input relation is scanned once (both walks' blocks come
+    out of one tagged explode), the events cross one aggregation pipeline
+    instead of one per walk, and one prefix-sum window / one boundary-merge
+    pass serve every walk (guide §2.4: operations keyed the same way share
+    the exchange — the walk tag only widens the key, it never changes which
+    partition a (contig, chunk) group lands in).
+
+    ``walks`` maps output tag -> use_cigar.  Every stage carries a tinyint
+    walk id; the name attaches in the final projection.
+    """
+    names = [n for n, _ in walks]
+    arrays = []
+    for i, (_, use_cigar) in enumerate(walks):
+        if use_cigar and S.CIGAR in reads.columns:
+            # NOTE: one-arg lambda built by a factory — a `lambda b, i=i`
+            # two-parameter form would make F.transform pass the ARRAY
+            # INDEX as the second argument, silently shadowing the walk id
+            def _tag(i):
+                return lambda b: F.struct(
+                    F.lit(i).cast("tinyint").alias("w"),
+                    b["s"].cast("int").alias("s"),
+                    b["e"].cast("int").alias("e"),
+                )
+
+            # NULL cigar makes the walk's block array NULL, which would
+            # nullify the whole concat and silently drop the read from
+            # EVERY walk — coalesce to empty so only this walk skips it
+            # (exactly what explode(NULL blocks) does in aligned_blocks)
+            arrays.append(
+                F.coalesce(
+                    F.transform(_cigar_blocks_col(), _tag(i)),
+                    F.expr(
+                        "CAST(array() AS "
+                        "ARRAY<STRUCT<w: TINYINT, s: INT, e: INT>>)"
+                    ),
+                )
+            )
+        else:
+            arrays.append(
+                F.array(
+                    F.struct(
+                        F.lit(i).cast("tinyint").alias("w"),
+                        F.col(S.START).cast("int").alias("s"),
+                        F.col(S.END).cast("int").alias("e"),
+                    )
+                )
+            )
+    tagged = reads.select(
+        S.CONTIG, F.explode(F.concat(*arrays)).alias("__tb")
+    ).select(
+        S.CONTIG,
+        F.col("__tb.w").alias("__w"),
+        F.col("__tb.s").alias("bs"),
+        F.col("__tb.e").alias("be"),
+    )
+
+    c_lo = F.floor((F.col("bs") - 1) / chunk_size)
+    c_hi = F.floor((F.col("be") - 1) / chunk_size)
+    per_chunk = tagged.select(
+        S.CONTIG, "__w", "bs", "be", F.explode(F.sequence(c_lo, c_hi)).alias("chunk")
+    )
+    cbs = F.greatest(F.col("bs"), (F.col("chunk") * chunk_size + 1).cast("int"))
+    cbe = F.least(F.col("be"), ((F.col("chunk") + 1) * chunk_size).cast("int"))
+    events = per_chunk.select(
+        S.CONTIG,
+        "__w",
+        "chunk",
+        F.explode(
+            F.array(
+                F.struct(cbs.alias("pos"), F.lit(1).alias("delta")),
+                F.struct((cbe + 1).alias("pos"), F.lit(-1).alias("delta")),
+            )
+        ).alias("ev"),
+    ).select(
+        S.CONTIG, "__w", "chunk", F.col("ev.pos").alias("pos"), F.col("ev.delta").alias("delta")
+    )
+    # Blocks-mode shape (see _events_to_deltas): the groupBy's own exchange
+    # is the AQE stage-reuse point between the interior/merged branches.
+    deltas = (
+        events.groupBy("__w", S.CONTIG, "chunk", "pos")
+        .agg(F.sum("delta").alias("delta"))
+        .where(F.col("delta") != 0)
+    )
+    w_local = Window.partitionBy("__w", S.CONTIG, "chunk").orderBy("pos")
+    local = deltas.select(
+        "__w",
+        S.CONTIG,
+        "chunk",
+        "pos",
+        F.sum("delta").over(w_local).alias(S.COVERAGE),
+        F.lead("pos").over(w_local).alias("next_pos"),
+    )
+    raw_blocks = local.where(
+        (F.col(S.COVERAGE) > 0) & F.col("next_pos").isNotNull()
+    ).select(
+        "__w",
+        S.CONTIG,
+        F.col("pos").cast("int").alias(S.START),
+        (F.col("next_pos") - 1).cast("int").alias(S.END),
+        F.col(S.COVERAGE).cast("int").alias(S.COVERAGE),
+    )
+    at_boundary = (F.col(S.END) % chunk_size == 0) | (
+        (F.col(S.START) - 1) % chunk_size == 0
+    )
+    interior = raw_blocks.where(~at_boundary)
+    cand = raw_blocks.where(at_boundary)
+    w_merge = Window.partitionBy("__w", S.CONTIG).orderBy(S.START)
+    brk = (
+        F.lag(S.END).over(w_merge).isNull()
+        | (F.col(S.START) != F.lag(S.END).over(w_merge) + 1)
+        | (F.col(S.COVERAGE) != F.lag(S.COVERAGE).over(w_merge))
+    ).cast("long")
+    merged = (
+        cand.withColumn("brk", brk)
+        .withColumn("run", F.sum("brk").over(w_merge))
+        .groupBy("__w", S.CONTIG, "run")
+        .agg(
+            F.min(S.START).alias(S.START),
+            F.max(S.END).alias(S.END),
+            F.first(S.COVERAGE).alias(S.COVERAGE),
+        )
+        .select("__w", S.CONTIG, S.START, S.END, S.COVERAGE)
+    )
+    out = interior.unionByName(merged)
+    name = F.element_at(F.array(*[F.lit(n) for n in names]), F.col("__w") + 1)
+    return out.select(
+        name.alias(walk_col), S.CONTIG, S.START, S.END, S.COVERAGE
+    )
 
 
 def merge_touching_blocks(blocks: DataFrame, chunk_size: int = DEFAULT_CHUNK) -> DataFrame:

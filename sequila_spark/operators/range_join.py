@@ -305,8 +305,13 @@ def _inner(
 # Byte cap on the LEFT side's planner size estimate under which the
 # composed variants broadcast-hint the matched-rowid relation.  64 MB of
 # the (wider) left relation bounds the one-long-column rowid build table
-# well inside executor broadcast budgets.
+# well inside executor broadcast budgets.  The byte estimate for parquet
+# scans is COMPRESSED on-disk size (r15 ADVICE), so a highly compressed
+# small file of many tiny rows can understate the in-memory hash relation
+# — when the plan also knows a row count, cap the build at a few million
+# rowids (8 B each -> ~64 MB of build-side payload) as a second bound.
 _ROWID_BCAST_MAX_LEFT_BYTES = 64 << 20
+_ROWID_BCAST_MAX_LEFT_ROWS = 8_000_000
 
 
 def _hint_rowids_if_left_small(left: DataFrame, ids: DataFrame) -> DataFrame:
@@ -316,16 +321,22 @@ def _hint_rowids_if_left_small(left: DataFrame, ids: DataFrame) -> DataFrame:
     of a left-derived rowid), but its own size estimate inherits the inner
     join's multiplied row estimate, so the planner can never pick the
     broadcast unaided — the static plan sort-merges the full left side
-    against it.  Gating on ``left``'s optimizedPlan sizeInBytes costs no
-    job, and ``ids`` is strictly narrower than any left relation, so
-    ``left_bytes <= budget`` bounds the build side safely.  Past the
-    budget the hint is withheld and AQE decides at runtime — the 100 TB
-    path (same fail-safe shape as the dedup/similarity budget gates)."""
-    try:
-        size = int(left._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    except Exception:
-        return ids
-    return F.broadcast(ids) if size <= _ROWID_BCAST_MAX_LEFT_BYTES else ids
+    against it.  Gating on ``left``'s optimizedPlan statistics costs no
+    job, and ``ids`` is strictly narrower than any left relation, so the
+    byte budget (plus the row cap, when the plan provides a row count)
+    bounds the build side.  Past the budget the hint is withheld and AQE
+    decides at runtime — the 100 TB path (same fail-safe shape as the
+    dedup/similarity budget gates)."""
+    from sequila_spark.planutil import plan_stats
+
+    size, rows = plan_stats(left)
+    if (
+        size is not None
+        and size <= _ROWID_BCAST_MAX_LEFT_BYTES
+        and (rows is None or rows <= _ROWID_BCAST_MAX_LEFT_ROWS)
+    ):
+        return F.broadcast(ids)
+    return ids
 
 
 _SKIPPED = object()  # probe declined: expensive uncached lineage

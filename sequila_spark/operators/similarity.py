@@ -54,11 +54,10 @@ _VEC_BCAST_MAX_BYTES = 256 << 20
 
 
 def _hint_if_small(df: DataFrame) -> DataFrame:
-    try:
-        size = int(
-            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        )
-    except Exception:
+    from sequila_spark.planutil import plan_stats
+
+    size, _ = plan_stats(df)
+    if size is None:
         return df
     return F.broadcast(df) if size <= _VEC_BCAST_MAX_BYTES else df
 

@@ -144,6 +144,39 @@ def test_boundary_real_change_point_not_merged(spark):
     assert got == [("1", 1, 10, 2), ("1", 11, 20, 1)]
 
 
+def test_coverage_blocks_walks_matches_union(spark):
+    """The fused multi-walk pipeline (one tagged explode, one events
+    aggregation, one window — r16) must be row-identical to the union of
+    per-walk coverage() calls, on reads where the walks genuinely differ
+    (mixed CIGARs: deletions split blocks) and across chunk boundaries."""
+    from sequila_spark.operators.coverage import coverage_blocks_walks
+
+    df = reads_df(
+        spark,
+        [
+            ("r1", "1", 1, 30, "10M5D15M"),   # cigar walk splits; span does not
+            ("r2", "1", 8, 27, "20M"),         # crosses chunk boundary at 10/20
+            ("r3", "2", 5, 24, "5S10M3I10M"),  # soft-clip + insertion
+            ("r4", "2", 15, 34, None),         # no cigar: both walks span
+        ],
+    )
+    union = (
+        coverage(df, mode="blocks", use_cigar=False, chunk_size=10)
+        .select(F.lit("span").alias("walk"), "*")
+        .unionByName(
+            coverage(df, mode="blocks", use_cigar=True, chunk_size=10).select(
+                F.lit("cigar").alias("walk"), "*"
+            )
+        )
+    )
+    fused = coverage_blocks_walks(df, chunk_size=10)
+    key = lambda r: (r["walk"], r["contig"], r["pos_start"], r["pos_end"], r["coverage"])  # noqa: E731
+    assert sorted(map(key, fused.collect())) == sorted(map(key, union.collect()))
+    # both walks present and differ where the deletion splits the block
+    walks = {r["walk"] for r in fused.collect()}
+    assert walks == {"span", "cigar"}
+
+
 def test_fused_coverage_events_matches_batch_operator(spark):
     """read_bam_coverage_events + coverage_from_events must produce exactly
     the rows coverage(read_bam_native(..., with_blocks=True)) produces —
