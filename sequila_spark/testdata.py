@@ -255,10 +255,17 @@ def _reg_par(spark: SparkSession, sf_dir: str, name: str) -> None:
     # views fan out 100-1000x (seq strings, per-base explosion), so spread
     # the narrow BASE rows across the cluster before the expensive
     # projections run (repartitioning afterwards would leave the projection
-    # itself single-task).  On real data the scan is already split.
-    spark.read.parquet(f"{sf_dir}/{name}.parquet").repartition(
-        spark.sparkContext.defaultParallelism
-    ).createOrReplaceTempView(name)
+    # itself single-task).  Scale-adaptive (guide §2.4, same guard as the
+    # entry's _spread, r15): when the scan already has at least half the
+    # session parallelism in natural file splits — always true for the
+    # many-file inputs of a real deployment — the keyless repartition (a
+    # full shuffle + sort-before-repartition of the base rows) is skipped.
+    # Locally (single file) behavior is identical.
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    p = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 < p:
+        df = df.repartition(p)
+    df.createOrReplaceTempView(name)
 
 
 def reads(spark: SparkSession, sf_dir: str) -> DataFrame:
